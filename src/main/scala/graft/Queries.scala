@@ -1,0 +1,909 @@
+package graft
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.Rounding.r
+import graft.model.LogSchema
+import graft.operators.{Dedup, Ingest, IngestConfig, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The operator registry: one entry per SURVEY.md §2 operator key, each a
+  * Spark query builder plus (where SQL-expressible) the DuckDB oracle SQL
+  * the driver hash-compares against on the same parquet tables.
+  *
+  * Conventions for oracle parity:
+  *  - every query ends in a deterministic ORDER BY mirrored in the SQL;
+  *  - aggregate/computed columns carry identical aliases on both sides;
+  *  - doubles are rounded on both sides;
+  *  - timestamps are emitted as epoch millis (`unix_millis` / `epoch_ms`)
+  *    to dodge timezone-annotation mismatches between engines.
+  */
+object Queries {
+
+  final case class Q(
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** Log-shaped view over `events` (see [[LogSchema.logsFromEvents]]); the
+    * oracle SQL for log operators is written directly against `events`
+    * using the same deterministic mapping.
+    */
+  private def logs(s: SparkSession, dir: String): DataFrame =
+    LogSchema.logsFromEvents(t(s, dir, "events"))
+
+  private val msEv = "epoch_ms(ts)" // DuckDB: events.ts truncated ns→µs→ms
+
+  // ------------------------------------------------------------------
+  // §2.1 scans / sources
+  // ------------------------------------------------------------------
+
+  private val scanParquet = Q(
+    (s, dir) => t(s, dir, "region").orderBy("r_regionkey"),
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  private val sourceTsExtract = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(
+        col("event_id").as("id"),
+        unix_millis(Ingest.coerceTimestamp(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS"))).as("ts_iso_ms"),
+        unix_millis(Ingest.coerceTimestamp(unix_seconds(col("ts")))).as("ts_epoch_ms"),
+      ).orderBy("id")
+    },
+    Some("""SELECT event_id AS id,
+        epoch_ms(ts) AS ts_iso_ms,
+        epoch_ms(date_trunc('second', ts)) AS ts_epoch_ms
+        FROM events ORDER BY id"""))
+
+  // ------------------------------------------------------------------
+  // §2.2 projection / filter / predicates (log-shaped view over events)
+  // ------------------------------------------------------------------
+
+  private val projectColumns = Q(
+    (s, dir) => logs(s, dir).select("id", "namespace", "app").orderBy("id"),
+    Some("""SELECT event_id AS id, event_type AS namespace,
+        'app-' || (user_id % 10)::VARCHAR AS app
+        FROM events ORDER BY id"""))
+
+  private val filterMetadataEq = Q(
+    (s, dir) => logs(s, dir)
+      .where(col("namespace") === "purchase" && col("host") === "host-3")
+      .select("id", "pod_name").orderBy("id"),
+    Some("""SELECT event_id AS id, 'pod-' || user_id::VARCHAR AS pod_name
+        FROM events WHERE event_type = 'purchase' AND user_id % 5 = 3
+        ORDER BY id"""))
+
+  private val filterTimeRange = Q(
+    (s, dir) => logs(s, dir)
+      .where(col("timestamp") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("timestamp") < to_timestamp(lit("2024-01-20 00:00:00")))
+      .select(col("id"), unix_millis(col("timestamp")).as("ts_ms"))
+      .orderBy("id"),
+    Some(s"""SELECT event_id AS id, $msEv AS ts_ms FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        ORDER BY id"""))
+
+  private val filterMapStringEq = Q(
+    (s, dir) => logs(s, dir)
+      .where(try_element_at(col("fields_string"), lit("event.type")) === "error")
+      .select("id").orderBy("id"),
+    Some("SELECT event_id AS id FROM events WHERE event_type = 'error' ORDER BY id"))
+
+  private val filterMapNumberCmp = Q(
+    (s, dir) => logs(s, dir)
+      .where(try_element_at(col("fields_number"), lit("event.value")) >= 150.0)
+      .select(col("id"),
+        r(try_element_at(col("fields_number"), lit("event.value")), 2).as("v"))
+      .orderBy("id"),
+    Some("""SELECT event_id AS id, round(value, 2) AS v FROM events
+        WHERE value >= 150.0 ORDER BY id"""))
+
+  private val filterFieldExists = Q(
+    (s, dir) => logs(s, dir)
+      .where(map_contains_key(col("fields_string"), lit("flag.err")))
+      .select("id", "namespace").orderBy("id"),
+    Some("""SELECT event_id AS id, event_type AS namespace FROM events
+        WHERE event_type = 'error' ORDER BY id"""))
+
+  private val filterLogContains = Q(
+    (s, dir) => logs(s, dir)
+      .where(col("log").contains("purchase"))
+      .select("id").orderBy("id"),
+    Some("""SELECT event_id AS id FROM events
+        WHERE (event_type || ' ' || props) LIKE '%purchase%' ORDER BY id"""))
+
+  private val projectPromotedColumn = Q(
+    (s, dir) => logs(s, dir)
+      .withColumn("content_value",
+        r(try_element_at(col("fields_number"), lit("event.value")), 2))
+      .select("id", "content_value").orderBy("id"),
+    Some("""SELECT event_id AS id, round(value, 2) AS content_value
+        FROM events ORDER BY id"""))
+
+  private val filterNullElision = Q(
+    (s, dir) => logs(s, dir)
+      .select(col("id"),
+        size(col("fields_string")).cast(LongType).as("n_str"),
+        size(col("fields_number")).cast(LongType).as("n_num"))
+      .orderBy("id"),
+    Some("""SELECT event_id AS id,
+        (CASE WHEN event_type = 'error' THEN 2 ELSE 1 END)::BIGINT AS n_str,
+        2::BIGINT AS n_num
+        FROM events ORDER BY id"""))
+
+  // ------------------------------------------------------------------
+  // §2.3 dynamic-field ingest engine (flatten / type dispatch / routing)
+  // ------------------------------------------------------------------
+
+  /** Nested JSON synthesized deterministically from `events` columns so the
+    * oracle can state the expected flattened fields directly.
+    */
+  private def nestedJson: Column = to_json(struct(
+    struct(
+      col("event_type").as("type"),
+      col("user_id").as("uid"),
+      array(lit(1), col("user_id")).as("arr")).as("content"),
+    get_json_object(col("props"), "$.k").cast(LongType).as("k")))
+
+  private val flattenNested = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("j", nestedJson)
+      Ingest.ingestJson(ev, col("j"), col("ts"))
+        .withColumn("id", col("fields_number")("content_uid").cast(LongType))
+        .select(
+          col("id"),
+          try_element_at(col("fields_string"), lit("content_type")).as("content_type"),
+          try_element_at(col("fields_number"), lit("content_arr_0")).as("arr0"),
+          try_element_at(col("fields_number"), lit("content_arr_1")).as("arr1"),
+          try_element_at(col("fields_number"), lit("k")).as("k"))
+        .groupBy("id", "content_type", "arr0", "arr1")
+        .agg(count(lit(1)).as("n"), r(avg("k"), 4).as("avg_k"))
+        .orderBy("id", "content_type")
+    },
+    Some("""SELECT user_id AS id, event_type AS content_type,
+        1.0 AS arr0, user_id::DOUBLE AS arr1,
+        count(*) AS n, round(avg(json_extract(props,'$.k')::DOUBLE), 4) AS avg_k
+        FROM events GROUP BY ALL ORDER BY id, content_type"""))
+
+  private val typeDispatch = Q(
+    (s, dir) => {
+      val j = to_json(
+        struct(
+          col("event_type").as("s"),
+          col("user_id").as("i"),
+          col("value").as("f"),
+          (col("user_id") % 2 === 0).as("b"),
+          lit(null).cast(StringType).as("n")),
+        Map("ignoreNullFields" -> "false"))
+      val ev = t(s, dir, "events").withColumn("j", j)
+      Ingest.ingestJson(ev, col("j"), col("ts"))
+        .select(
+          col("fields_number")("i").cast(LongType).as("id_i"),
+          try_element_at(col("fields_string"), lit("s")).as("s_val"),
+          r(try_element_at(col("fields_number"), lit("f")), 2).as("f_val"),
+          try_element_at(col("fields_string"), lit("b")).as("b_val"),
+          (size(col("fields_string")) + size(col("fields_number")))
+            .cast(LongType).as("n_fields"))
+        .groupBy("id_i", "s_val", "b_val", "n_fields")
+        .agg(r(sum("f_val"), 2).as("sum_f"))
+        .orderBy("id_i", "s_val")
+    },
+    Some("""SELECT user_id AS id_i, event_type AS s_val,
+        CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END AS b_val,
+        4::BIGINT AS n_fields, round(sum(round(value, 2)), 2) AS sum_f
+        FROM events GROUP BY ALL ORDER BY id_i, s_val"""))
+
+  private val routeWellknownKeys = Q(
+    (s, dir) => {
+      val j = to_json(struct(
+        lit("c1").as("cluster"),
+        struct(
+          col("event_type").as("namespace_name"),
+          concat(lit("pod-"), col("user_id")).as("pod_name"),
+          lit("main").as("container_name"),
+          concat(lit("host-"), col("user_id") % 5).as("host"),
+          struct(
+            concat(lit("app-"), col("user_id") % 10).as("app"),
+            lit("legacy").as("k8s-app")).as("labels")).as("kubernetes"),
+        col("props").as("log"),
+        col("event_id").as("event_id")))
+      val ev = t(s, dir, "events").withColumn("j", j)
+      Ingest.ingestJson(ev, col("j"), col("ts"))
+        .select(
+          col("fields_number")("event_id").cast(LongType).as("id"),
+          col("cluster"), col("namespace"), col("app"), col("pod_name"),
+          col("container_name"), col("host"), col("log"))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id, 'c1' AS cluster, event_type AS namespace,
+        'app-' || (user_id % 10)::VARCHAR AS app,
+        'pod-' || user_id::VARCHAR AS pod_name,
+        'main' AS container_name,
+        'host-' || (user_id % 5)::VARCHAR AS host,
+        props AS log
+        FROM events ORDER BY id"""))
+
+  private val keyForceUnderscores = Q(
+    (s, dir) => {
+      val j = to_json(struct(
+        col("event_id").as("event_id"),
+        col("value").as("metric.v"),
+        col("event_type").as("tag.t")))
+      val ev = t(s, dir, "events").withColumn("j", j)
+      Ingest.ingestJson(ev, col("j"), col("ts"),
+          IngestConfig(forceUnderscores = true))
+        .select(
+          col("fields_number")("event_id").cast(LongType).as("id"),
+          r(try_element_at(col("fields_number"), lit("metric_v")), 2).as("mv"),
+          try_element_at(col("fields_string"), lit("tag_t")).as("tt"))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id, round(value, 2) AS mv, event_type AS tt
+        FROM events ORDER BY id"""))
+
+  private val coerceForceNumber = Q(
+    (s, dir) => {
+      val j = to_json(struct(
+        col("event_id").as("event_id"),
+        col("value").cast(StringType).as("metric.v"),
+        col("event_type").as("note.n")))
+      val ev = t(s, dir, "events").withColumn("j", j)
+      // membership is tested on the ORIGINAL dotted key, storage lands on
+      // the underscored key (/root/reference/main.go:337-345)
+      Ingest.ingestJson(ev, col("j"), col("ts"),
+          IngestConfig(forceNumberFields = Seq("metric.v", "note.n"),
+            forceUnderscores = true))
+        .select(
+          col("fields_number")("event_id").cast(LongType).as("id"),
+          r(try_element_at(col("fields_number"), lit("metric_v")), 2).as("mv"),
+          try_element_at(col("fields_string"), lit("note_n")).as("nn"),
+          size(col("fields_number")).cast(LongType).as("n_num"))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id, round(value, 2) AS mv, event_type AS nn,
+        2::BIGINT AS n_num FROM events ORDER BY id"""))
+
+  private val mapBuildSplit = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("j", nestedJson)
+      Ingest.ingestJson(ev, col("j"), col("ts"))
+        .select(
+          size(col("fields_string")).cast(LongType).as("n_str"),
+          size(col("fields_number")).cast(LongType).as("n_num"))
+        .groupBy("n_str", "n_num").agg(count(lit(1)).as("n"))
+        .orderBy("n_str", "n_num")
+    },
+    Some("""SELECT 1::BIGINT AS n_str, 4::BIGINT AS n_num, count(*) AS n
+        FROM events GROUP BY ALL ORDER BY n_str, n_num"""))
+
+  // ------------------------------------------------------------------
+  // §2.4 aggregations
+  // ------------------------------------------------------------------
+
+  private val aggCount = Q(
+    (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("cnt")),
+    Some("SELECT count(*) AS cnt FROM lineitem"))
+
+  private val aggGroupMetadata = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        r(sum("l_quantity"), 2).as("sum_qty"),
+        r(avg("l_extendedprice"), 2).as("avg_price"),
+        r(min("l_discount"), 2).as("min_disc"),
+        r(max("l_tax"), 2).as("max_tax"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(avg(l_extendedprice), 2) AS avg_price,
+        round(min(l_discount), 2) AS min_disc,
+        round(max(l_tax), 2) AS max_tax
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""))
+
+  private val aggTimeBucket = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("bucket_ms"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket_ms"),
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        count(*) AS cnt FROM events GROUP BY 1 ORDER BY bucket_ms"""))
+
+  private val aggNumericFieldStats = Q(
+    (s, dir) => logs(s, dir)
+      .groupBy("namespace")
+      .agg(
+        count(lit(1)).as("cnt"),
+        r(sum(try_element_at(col("fields_number"), lit("event.value"))), 2).as("sum_v"),
+        r(avg(try_element_at(col("fields_number"), lit("event.value"))), 2).as("avg_v"),
+        r(min(try_element_at(col("fields_number"), lit("event.value"))), 2).as("min_v"),
+        r(max(try_element_at(col("fields_number"), lit("event.value"))), 2).as("max_v"))
+      .orderBy("namespace"),
+    Some("""SELECT event_type AS namespace, count(*) AS cnt,
+        round(sum(value), 2) AS sum_v, round(avg(value), 2) AS avg_v,
+        round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+        FROM events GROUP BY 1 ORDER BY namespace"""))
+
+  private val aggDistinct = Q(
+    (s, dir) => t(s, dir, "events").agg(
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("user_id")).as("n_users")),
+    Some("""SELECT count(DISTINCT event_type) AS n_types,
+        count(DISTINCT user_id) AS n_users FROM events"""))
+
+  private val aggGroupingSets = Q(
+    (s, dir) => t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        r(sum("o_totalprice"), 2).as("sum_total"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("cnt"), col("sum_total"), col("g_status"), col("g_prio"))
+      .orderBy("g_status", "g_prio", "status", "prio"),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS prio,
+        count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_total,
+        GROUPING(o_orderstatus)::BIGINT AS g_status,
+        GROUPING(o_orderpriority)::BIGINT AS g_prio
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio, status, prio"""))
+
+  private val aggFieldKeyHistogram = Q(
+    (s, dir) => logs(s, dir)
+      .select(explode(map_keys(col("fields_string"))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k"),
+    Some("""SELECT k, cnt FROM (
+        SELECT 'event.type' AS k, count(*) AS cnt FROM events
+        UNION ALL
+        SELECT 'flag.err' AS k, count(*) AS cnt FROM events
+        WHERE event_type = 'error') ORDER BY k"""))
+
+  // ------------------------------------------------------------------
+  // §2.5 joins
+  // ------------------------------------------------------------------
+
+  private val joinBroadcast = Q(
+    (s, dir) => t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n_sup"))
+      .orderBy("r_name"),
+    Some("""SELECT r_name, count(*) AS n_sup FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name"""))
+
+  private val joinShuffleHash = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  private val joinSemiAnti = Q(
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("with_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("without_orders"))
+      semi.crossJoin(anti)
+    },
+    Some("""SELECT
+        (SELECT count(*) FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_orders"""))
+
+  private val joinOuter = Q(
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+        count(*) AS n_rows
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  private val joinRangeAsof = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+      ev.join(o,
+          col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+          "left_outer")
+        .groupBy(col("event_id").as("id"))
+        .agg(unix_millis(max(col("o_orderdate"))).as("asof_ms"))
+        .orderBy("id")
+    },
+    Some("""SELECT e.event_id AS id, epoch_ms(max(o.o_orderdate)) AS asof_ms
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id ORDER BY id"""))
+
+  // ------------------------------------------------------------------
+  // §2.6 window functions
+  // ------------------------------------------------------------------
+
+  private val winTopkPerGroup = Q(
+    (s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id"))
+      counts.withColumn("rn", row_number().over(w).cast(LongType))
+        .where(col("rn") <= 3)
+        .orderBy("event_type", "rn")
+    },
+    Some("""SELECT event_type, user_id, cnt, rn FROM (
+        SELECT event_type, user_id, count(*) AS cnt,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY count(*) DESC, user_id) AS rn
+        FROM events GROUP BY event_type, user_id)
+        WHERE rn <= 3 ORDER BY event_type, rn"""))
+
+  private val winLagInterarrival = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id").as("id"),
+          (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+            .as("gap_ms"))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id,
+        epoch_ms(ts) - LAG(epoch_ms(ts), 1) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM events ORDER BY id"""))
+
+  private val winRunningFrame = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-5, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id").as("id"),
+          r(sum("value").over(w), 2).as("rsum"))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id,
+        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS rsum
+        FROM events ORDER BY id"""))
+
+  // ------------------------------------------------------------------
+  // §2.7 sorts / limits / set ops / exact dedup
+  // ------------------------------------------------------------------
+
+  private val sortByTime = Q(
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id").as("id"), unix_millis(col("ts")).as("ts_ms"))
+      .orderBy(col("ts_ms").desc, col("id").desc)
+      .limit(100),
+    Some("""SELECT event_id AS id, epoch_ms(ts) AS ts_ms FROM events
+        ORDER BY ts_ms DESC, id DESC LIMIT 100"""))
+
+  private val limitN = Q(
+    (s, dir) => t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(50),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        ORDER BY l_orderkey, l_linenumber LIMIT 50"""))
+
+  private val setUnion = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "error").select(col("event_id").as("id"))
+        .unionByName(
+          ev.where(col("event_type") === "purchase").select(col("event_id").as("id")))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT event_id AS id FROM events WHERE event_type = 'purchase'
+        ORDER BY id"""))
+
+  private val setIntersectExcept = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchase = ev.where(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      val error = ev.where(col("event_type") === "error")
+        .select("user_id").distinct()
+      purchase.intersect(error).withColumn("op", lit("i"))
+        .unionByName(purchase.except(error).withColumn("op", lit("e")))
+        .orderBy("op", "user_id")
+    },
+    Some("""SELECT user_id, op FROM (
+        SELECT user_id, 'i' AS op FROM (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'error')
+        UNION ALL
+        SELECT user_id, 'e' AS op FROM (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'error'))
+        ORDER BY op, user_id"""))
+
+  private val dedupExact = Q(
+    (s, dir) => Dedup.exact(
+        t(s, dir, "documents").withColumn("text_md5", md5(col("text")))
+          .select("text_md5", "doc_id"),
+        Seq("text_md5"), "doc_id")
+      .orderBy("doc_id"),
+    Some("""SELECT md5(text) AS text_md5, min(doc_id) AS doc_id,
+        count(*) AS n_copies FROM documents GROUP BY md5(text)
+        ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
+  // §2.8 scalar functions
+  // ------------------------------------------------------------------
+
+  private val fnMapAccess = Q(
+    (s, dir) => logs(s, dir).select(
+        col("id"),
+        try_element_at(col("fields_string"), lit("event.type")).as("etype"),
+        map_contains_key(col("fields_string"), lit("flag.err")).as("has_flag"),
+        array_join(array_sort(map_keys(col("fields_string"))), ",").as("ks"))
+      .orderBy("id"),
+    Some("""SELECT event_id AS id, event_type AS etype,
+        event_type = 'error' AS has_flag,
+        CASE WHEN event_type = 'error' THEN 'event.type,flag.err'
+             ELSE 'event.type' END AS ks
+        FROM events ORDER BY id"""))
+
+  private val fnDate = Q(
+    (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("plus30"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("d"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS plus30,
+        year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+        day(o_orderdate)::BIGINT AS d
+        FROM orders ORDER BY o_orderkey"""))
+
+  private val fnString = Q(
+    (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        col("p_name").contains("a").as("has_a"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+        length(p_name)::BIGINT AS name_len,
+        split_part(p_name, ' ', 1) AS first_word,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        concat_ws('-', p_brand, p_type) AS brand_type,
+        contains(p_name, 'a') AS has_a
+        FROM part ORDER BY p_partkey"""))
+
+  private val fnKeyRewrite = Q(
+    (s, dir) => logs(s, dir).select(
+        col("id"),
+        array_join(array_sort(map_keys(
+          transform_keys(col("fields_string"),
+            (k, _) => regexp_replace(k, "\\.", "_")))), ",").as("ks"))
+      .orderBy("id"),
+    Some("""SELECT event_id AS id,
+        CASE WHEN event_type = 'error' THEN 'event_type,flag_err'
+             ELSE 'event_type' END AS ks
+        FROM events ORDER BY id"""))
+
+  private val fnNumericParse = Q(
+    (s, dir) => t(s, dir, "events").select(
+        col("event_id").as("id"),
+        get_json_object(col("props"), "$.k").try_cast(DoubleType).as("k_num"),
+        col("event_type").try_cast(DoubleType).as("bad"))
+      .orderBy("id"),
+    Some("""SELECT event_id AS id,
+        TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+        TRY_CAST(event_type AS DOUBLE) AS bad
+        FROM events ORDER BY id"""))
+
+  private val fnMath = Q(
+    (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        r(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 2).as("charge"),
+        r(abs(col("l_discount") - 0.05), 3).as("absd"),
+        floor(col("l_quantity")).cast(LongType).as("fl"),
+        ceil(col("l_quantity")).cast(LongType).as("ce"),
+        r(sqrt(col("l_extendedprice")), 3).as("sq"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+        round(abs(l_discount - 0.05), 3) AS absd,
+        CAST(floor(l_quantity) AS BIGINT) AS fl,
+        CAST(ceil(l_quantity) AS BIGINT) AS ce,
+        round(sqrt(l_extendedprice), 3) AS sq
+        FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private val fnJson = Q(
+    (s, dir) => t(s, dir, "events").select(
+        col("event_id").as("id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_int"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .orderBy("id"),
+    Some("""SELECT event_id AS id,
+        json_extract(props, '$.k')::BIGINT AS k_int,
+        json_extract_string(props, '$.k') AS k_str
+        FROM events ORDER BY id"""))
+
+  private val fnArray = Q(
+    (s, dir) => t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        r(element_at(col("embedding"), 1).cast(DoubleType), 4).as("e1"),
+        r(VF.l2Norm(col("embedding")), 4).as("l2"),
+        exists(col("embedding"), x => x < 0).as("has_neg"))
+      .orderBy("vec_id"),
+    Some("""SELECT vec_id, len(embedding)::BIGINT AS dim,
+        round(embedding[1]::DOUBLE, 4) AS e1,
+        round(sqrt(list_sum(list_transform(embedding,
+          x -> x::DOUBLE * x::DOUBLE))), 4) AS l2,
+        len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg
+        FROM embeddings ORDER BY vec_id"""))
+
+  // ------------------------------------------------------------------
+  // §2.9 streaming (batch-equivalent forms; true streaming in ScalaTest)
+  // ------------------------------------------------------------------
+
+  private val streamTumblingCounts = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("cnt"))
+      .orderBy("bucket_ms", "event_type"),
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        event_type, count(*) AS cnt FROM events
+        GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""))
+
+  // ------------------------------------------------------------------
+  // §2.10 north-star: dedup / similarity / text / multimodal
+  // ------------------------------------------------------------------
+
+  private val dedupMinhash = Q(
+    (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, bands = 8, rowsPerBand = 4, jaccardThreshold = 0.4)
+      .select(col("id_a"), col("id_b"), r(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b"),
+    None)
+
+  private val dedupSimhash = Q(
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 12)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  private val dedupNgramJaccard = Q(
+    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 1, threshold = 0.8, maxId = 60)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH d AS (
+        SELECT doc_id, list_distinct(list_filter(
+          string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh
+        FROM documents WHERE doc_id < 60)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+          FROM d a, d b WHERE a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
+
+  private val dedupEmbeddingCosine = Q(
+    (s, dir) => Dedup.embeddingCosinePairsExact(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.9)
+      .orderBy("id_a", "id_b"),
+    Some("""SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(
+            list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+             sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+          4) AS cosine
+        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        WHERE cosine >= 0.9 ORDER BY id_a, id_b"""))
+
+  private val simSearchTopk = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, c.vec_id AS nid,
+            round(
+              list_sum(list_transform(list_zip(q.qv, c.embedding),
+                p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) *
+               sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+            4) AS cosine
+          FROM q, embeddings c WHERE c.vec_id <> q.qid)
+        SELECT qid, rank, nid, cosine FROM (
+          SELECT qid, nid, cosine,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, nid) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  private val simSearchLsh = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, dim = 64)
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  private val textAnalyze = Q(
+    (s, dir) => t(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20),
+    Some("""SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> x <> '')) AS token FROM documents)
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""))
+
+  private val tokenCount = Q(
+    (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCountWs(col("text")).cast(LongType).as("n_ws"),
+        TF.tokenCountBpe(col("text")).as("n_bpe"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        len(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> x <> ''))::BIGINT AS n_ws,
+        (len(regexp_extract_all(text, '[\p{L}\p{N}]{1,4}')) +
+         len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')))::BIGINT AS n_bpe,
+        length(text)::BIGINT AS n_chars
+        FROM documents ORDER BY doc_id"""))
+
+  private val qualityScore = Q(
+    (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), TF.qualityScore(col("text")).as("score"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, round(
+        least(length(text) / 500.0, 1.0) * 0.4 +
+        (1.0 - least(4.0 * (len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE /
+          greatest(length(text), 1)), 1.0)) * 0.2 +
+        least(5.0 * (len(list_filter(string_split_regex(lower(text), '\\s+'),
+            t -> list_contains(${TF.EnglishStopwords.map("'" + _ + "'").mkString("[", ",", "]")}, t)))::DOUBLE /
+          greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '')), 1)), 1.0) * 0.4,
+        4) AS score
+        FROM documents ORDER BY doc_id"""))
+
+  private val langId = Q(
+    (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), TF.langId(col("text")).as("pred_lang"), col("lang"))
+      .orderBy("doc_id"),
+    None)
+
+  private val docFingerprint = Q(
+    (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), TF.fingerprint(col("text"), 8).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        CASE WHEN length(text) < 8 THEN md5(text)
+             ELSE list_min(list_transform(range(1, length(text) - 6),
+               i -> md5(substring(text, i::INT, 8)))) END AS fp
+        FROM documents ORDER BY doc_id"""))
+
+  private val multimodalColumns = Q(
+    (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast(BinaryType)).cast(LongType).as("blob_len"),
+        md5(col("text").cast(BinaryType)).as("blob_md5"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_len,
+        md5(text) AS blob_md5 FROM documents ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+
+  val registry: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "source_ts_extract" -> sourceTsExtract,
+    "project_columns" -> projectColumns,
+    "filter_metadata_eq" -> filterMetadataEq,
+    "filter_time_range" -> filterTimeRange,
+    "filter_map_string_eq" -> filterMapStringEq,
+    "filter_map_number_cmp" -> filterMapNumberCmp,
+    "filter_field_exists" -> filterFieldExists,
+    "filter_log_contains" -> filterLogContains,
+    "project_promoted_column" -> projectPromotedColumn,
+    "filter_null_elision" -> filterNullElision,
+    "flatten_nested" -> flattenNested,
+    "type_dispatch" -> typeDispatch,
+    "route_wellknown_keys" -> routeWellknownKeys,
+    "key_force_underscores" -> keyForceUnderscores,
+    "coerce_force_number" -> coerceForceNumber,
+    "map_build_split" -> mapBuildSplit,
+    "agg_count" -> aggCount,
+    "agg_group_metadata" -> aggGroupMetadata,
+    "agg_time_bucket" -> aggTimeBucket,
+    "agg_numeric_field_stats" -> aggNumericFieldStats,
+    "agg_distinct" -> aggDistinct,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_field_key_histogram" -> aggFieldKeyHistogram,
+    "join_broadcast" -> joinBroadcast,
+    "join_shuffle_hash" -> joinShuffleHash,
+    "join_semi_anti" -> joinSemiAnti,
+    "join_outer" -> joinOuter,
+    "join_range_asof" -> joinRangeAsof,
+    "win_topk_per_group" -> winTopkPerGroup,
+    "win_lag_interarrival" -> winLagInterarrival,
+    "win_running_frame" -> winRunningFrame,
+    "sort_by_time" -> sortByTime,
+    "limit_n" -> limitN,
+    "set_union" -> setUnion,
+    "set_intersect_except" -> setIntersectExcept,
+    "dedup_exact" -> dedupExact,
+    "fn_map_access" -> fnMapAccess,
+    "fn_date" -> fnDate,
+    "fn_string" -> fnString,
+    "fn_key_rewrite" -> fnKeyRewrite,
+    "fn_numeric_parse" -> fnNumericParse,
+    "fn_math" -> fnMath,
+    "fn_json" -> fnJson,
+    "fn_array" -> fnArray,
+    "stream_tumbling_counts" -> streamTumblingCounts,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "sim_search_topk" -> simSearchTopk,
+    "sim_search_lsh" -> simSearchLsh,
+    "text_analyze" -> textAnalyze,
+    "token_count" -> tokenCount,
+    "quality_score" -> qualityScore,
+    "lang_id" -> langId,
+    "doc_fingerprint" -> docFingerprint,
+    "multimodal_columns" -> multimodalColumns,
+  )
+}

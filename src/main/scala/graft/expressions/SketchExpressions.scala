@@ -1,0 +1,116 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch expressions for the dedup operators.
+  *
+  * The naive composition (`transform` × `array_min` × `xxhash64` higher-order
+  * functions) evaluates interpreted, walking an expression tree per shingle
+  * per hash — ~100× slower than a fused loop. These expressions do all
+  * hashing for a row in one `eval` call with primitive loops. (They are
+  * CodegenFallback — one virtual call per ROW is negligible; the win is not
+  * interpreting per ELEMENT.)
+  */
+
+/** graft_minhash(shingles ARRAY<STRING>, k INT) → ARRAY<BIGINT>:
+  * k-permutation MinHash signature; family member i is xxhash64 with seed i.
+  */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def prettyName: String = "graft_minhash"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(shinglesAny: Any, kAny: Any): Any = {
+    val shingles = shinglesAny.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val n = shingles.numElements()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val s = shingles.getUTF8String(j)
+        if (s != null) {
+          val h = XxHash64Function.hash(s, StringType, i.toLong)
+          if (h < best) best = h
+        }
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_simhash(tokens ARRAY<STRING>) → BIGINT: 64-bit SimHash — per bit,
+  * sign of the sum of ±1 votes from each token's xxhash64 bit.
+  */
+case class SimHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def prettyName: String = "graft_simhash"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(tokensAny: Any): Any = {
+    val tokens = tokensAny.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val t = tokens.getUTF8String(j)
+      if (t != null) {
+        val h = XxHash64Function.hash(t, StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchExprs {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> (es => MinHashSignature(es.head, es(1))),
+    "graft_simhash" -> (es => SimHash(es.head)),
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  def minhash(shingles: Column, k: Int): Column =
+    call_function("graft_minhash", shingles,
+      org.apache.spark.sql.functions.lit(k))
+
+  def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+}

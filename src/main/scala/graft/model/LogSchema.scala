@@ -1,0 +1,113 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The log-event data model: a fixed metadata "spine" plus two dynamic
+  * typed map columns that absorb any flattened record shape.
+  *
+  * Mirrors the reference storage schema (/root/reference/schema.sql:3-19 —
+  * `timestamp DateTime64(3)`, six `LowCardinality(String)` metadata columns,
+  * `fields_string Map(String,String)`, `fields_number Map(String,Float64)`,
+  * raw `log String`) re-expressed for Spark/Parquet:
+  *   - `DateTime64(3)` → `TimestampType` (µs precision; ms at ingest),
+  *   - `LowCardinality` → parquet dictionary encoding (automatic),
+  *   - date partitioning + in-partition sort key replaces the MergeTree
+  *     `PARTITION BY toDate(timestamp)` / `ORDER BY` physical design
+  *     (/root/reference/schema.sql:17-18) so row-group min/max stats give
+  *     the same data-skipping on metadata predicates.
+  */
+object LogSchema {
+
+  val schema: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType),
+    StructField("cluster", StringType),
+    StructField("namespace", StringType),
+    StructField("app", StringType),
+    StructField("pod_name", StringType),
+    StructField("container_name", StringType),
+    StructField("host", StringType),
+    StructField("fields_string", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("fields_number", MapType(StringType, DoubleType, valueContainsNull = false)),
+    StructField("log", StringType),
+  ))
+
+  /** The reference sort key (/root/reference/schema.sql:18). */
+  val sortKey: Seq[String] =
+    Seq("cluster", "namespace", "app", "pod_name", "container_name", "host", "timestamp")
+
+  val metadataColumns: Seq[String] =
+    Seq("cluster", "namespace", "app", "pod_name", "container_name", "host")
+
+  /** Drop null-valued entries, mirroring nil elision at ingest
+    * (/root/reference/main.go:269-270,312: nil fields are never stored, so
+    * key-absence *means* "field not set").
+    */
+  def elideNulls(m: Column): Column = map_filter(m, (_, v) => v.isNotNull)
+
+  /** Deterministic log-shaped view over the shared `events` table, used by
+    * the map/metadata query operators and mirrored 1:1 by their DuckDB
+    * oracle SQL. `id` (= event_id) is carried for deterministic ordering.
+    */
+  def logsFromEvents(events: DataFrame): DataFrame = {
+    events.select(
+      col("event_id").as("id"),
+      col("ts").as("timestamp"),
+      concat(lit("c"), col("user_id") % 2).as("cluster"),
+      col("event_type").as("namespace"),
+      concat(lit("app-"), col("user_id") % 10).as("app"),
+      concat(lit("pod-"), col("user_id")).as("pod_name"),
+      lit("main").as("container_name"),
+      concat(lit("host-"), col("user_id") % 5).as("host"),
+      elideNulls(map(
+        lit("event.type"), col("event_type"),
+        lit("flag.err"), when(col("event_type") === "error", lit("y")),
+      )).as("fields_string"),
+      elideNulls(map(
+        lit("event.value"), col("value"),
+        lit("props.k"), get_json_object(col("props"), "$.k").cast(DoubleType),
+      )).as("fields_number"),
+      concat_ws(" ", col("event_type"), col("props")).as("log"),
+    )
+  }
+
+  /** Physical write layout: daily partitions, reference sort key within each
+    * partition, zstd — the Spark equivalent of schema.sql:17-19. Filters on
+    * `date` prune directories; filters on the sort-key columns skip row
+    * groups via parquet min/max stats.
+    */
+  def writePartitioned(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
+    df.withColumn("date", to_date(col("timestamp")))
+      .repartition(col("date"))
+      .sortWithinPartitions(sortKey.map(col): _*)
+      .write
+      .mode(mode)
+      .option("compression", "zstd")
+      .partitionBy("date")
+      .parquet(path)
+  }
+
+  def readLogs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Retention: drop partitions older than `days` (the TTL job,
+    * /root/reference/schema.sql:19 `TTL ... + INTERVAL 30 DAY`). At scale
+    * this is a metadata-only directory drop, not a rewrite.
+    */
+  def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {
+    val cutoff = java.time.LocalDate.now().minusDays(days.toLong)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("date="))
+      .filter { p =>
+        val d = p.getName.stripPrefix("date=")
+        scala.util.Try(java.time.LocalDate.parse(d).isBefore(cutoff)).getOrElse(false)
+      }
+      .map(_.toString)
+  }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.expressions.{SketchExprs, VectorExprs}
+import graft.functions.{Rounding, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for the training-data pipeline surface: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is banded/bucketed so candidate generation is
+  * a hash-partitioned equi-join on (band, signature) — never an all-pairs
+  * product. At 100 TB the only shuffles are (1) the band-key exchange whose
+  * fan-in is bounded by bucket size and (2) the final pair verification,
+  * which touches candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup with a deterministic survivor: group by `keys`, keep the
+    * minimum `idCol`. Map-side partial aggregation makes this one shuffle
+    * of (keys → min id), not a data-wide sort.
+    */
+  def exact(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature column: for each of `numHashes` seeded xxhash64
+    * families take the min over the document's shingle set. Uses the native
+    * [[graft.expressions.MinHashSignature]] expression (fused loop);
+    * signature computation is embarrassingly parallel.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    SketchExprs.minhash(shingleCol, numHashes)
+
+  /** MinHash+LSH candidate pairs over `documents(idCol, textCol)`:
+    * shingle → minhash signature → band hashes → equi-self-join per band →
+    * exact-Jaccard verification on the shingle sets.
+    *
+    * bands*rowsPerBand = numHashes; the usual S-curve threshold is
+    * (1/bands)^(1/rowsPerBand).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    SketchExprs.register(docs.sparkSession)
+    val numHashes = bands * rowsPerBand
+    val withSh = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TF.shingles(col(textCol), shingleN)).as("sh"))
+    val withSig = withSh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // candidate generation: equi-join on (band, bandhash) with ids only —
+    // the shuffle carries (id, 8 bytes) rows, not shingle sets
+    val banded = withSig.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(transform(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          v => v.cast(StringType)), ","), b)))
+        .as(Seq("band", "bandhash")))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band", "bandhash"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    // verification: exact Jaccard computed ONCE per distinct candidate pair
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+          .as("jaccard"))
+      .where(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** 64-bit SimHash of a token multiset: per bit, sum +1/-1 weighted by
+    * token-hash bit, take the sign. Near-duplicate docs differ in few bits.
+    * Native fused-loop expression ([[graft.expressions.SimHash]]).
+    */
+  def simhash(textCol: Column): Column =
+    SketchExprs.simhash(TF.tokens(textCol))
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into four 16-bit
+    * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
+    * one exact chunk), equi-join per chunk, verify Hamming distance.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    SketchExprs.register(docs.sparkSession)
+    val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = withFp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), VF.hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs produced by a
+    * bounded self-join (`idFilter` bounds the verified set — at scale the
+    * candidates come from [[minhashPairs]]/[[simhashPairs]] instead of a
+    * product).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxId: Long): DataFrame = {
+    val d = docs
+      .where(col(idCol) < maxId)
+      .select(col(idCol).as("id"),
+        array_distinct(TF.shingles(col(textCol), n)).as("sh"))
+    val l = d.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = d.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Rounding.r4(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold. The scale path
+    * buckets by a random-hyperplane sketch first (candidates = pairs that
+    * collide on at least one band), then verifies exact cosine — the
+    * all-pairs product never materializes.
+    */
+  def embeddingCosinePairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      sketchBits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bitsPerBand = sketchBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val withSketch = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VF.hyperplaneSketch(col(vecCol), sketchBits, dim).as("sk"))
+    val banded = withSketch.select(col("id"), col("v"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sk"), b * bitsPerBand).bitwiseAND(mask)))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("v_b"))
+    VectorExprs.register(emb.sparkSession)
+    l.join(r, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(Rounding.r4(VectorExprs.cosine(col("v_a"), col("v_b")))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Exact (non-LSH) embedding cosine pairs — the oracle-checkable variant;
+    * bounded all-pairs for verification at small SF.
+    */
+  def embeddingCosinePairsExact(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    VectorExprs.register(emb.sparkSession)
+    // repartition the streamed side so the nested-loop pair scan
+    // parallelizes across all cores instead of one task
+    val l = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      .repartition(col("id_a"))
+    val r = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.crossJoin(broadcast(r))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Rounding.r4(VectorExprs.cosine(col("v_a"), col("v_b"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

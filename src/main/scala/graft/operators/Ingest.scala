@@ -1,0 +1,288 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Ingest configuration, mirroring the reference plugin's knobs
+  * (/root/reference/main.go:207-215):
+  *   - `forceNumberFields`: keys whose string values are parsed to double,
+  *     falling back to the string map when unparsable (main.go:339-345).
+  *     NB the reference tests membership on the ORIGINAL key but stores
+  *     under the FORMATTED (underscored) key (main.go:337-339) — replicated.
+  *   - `forceUnderscores`: rewrite `.`→`_` in non-routed keys
+  *     (main.go:331-334).
+  */
+case class IngestConfig(
+    forceNumberFields: Seq[String] = Nil,
+    forceUnderscores: Boolean = false,
+) extends Serializable
+
+/** One ingested record: the spine metadata routed out of the flat map plus
+  * the two typed dynamic maps (/root/reference/pkg/clickhouse/clickhouse.go:16-27).
+  */
+case class IngestedRecord(
+    cluster: String,
+    namespace: String,
+    app: String,
+    pod_name: String,
+    container_name: String,
+    host: String,
+    log: String,
+    fields_string: Map[String, String],
+    fields_number: Map[String, Double],
+)
+
+/** The klogs record dataflow re-expressed for Spark: recursive flatten of
+  * arbitrarily nested records (/root/reference/pkg/flatten/flatten.go:11-66),
+  * per-value dynamic typing into string-or-double
+  * (/root/reference/main.go:262-310), well-known-key routing to spine
+  * columns (main.go:313-329), and the force-underscores / force-number
+  * rewrites (main.go:331-349).
+  *
+  * Two execution paths:
+  *  1. [[ingestJson]] — a Scala UDF over a raw JSON string column, for
+  *     truly dynamic schemas (unknown keys/depth). One UDF call per record,
+  *     no shuffle; the pipeline stays narrow so it scales linearly with
+  *     input splits.
+  *  2. [[flattenStruct]] — a pure-Column expression expansion for records
+  *     whose nested schema IS known to Spark (a `StructType` column):
+  *     the flatten recursion runs at plan time and emits codegen-friendly
+  *     built-in expressions only (no UDF, no serialization wall). Preferred
+  *     at scale whenever the source schema is stable.
+  */
+object Ingest {
+
+  /** Flatten-key composition (/root/reference/pkg/flatten/flatten.go:56-66):
+    * top level unprefixed, nested joined with `_`, array elements keyed by
+    * index.
+    */
+  private def enkey(top: Boolean, prefix: String, subkey: String): String =
+    if (top) prefix + subkey else prefix + "_" + subkey
+
+  /** A flattened leaf after type dispatch (main.go:262-310): every JSON
+    * number (the Go side collapses all int/uint/float widths, main.go:276-307)
+    * becomes Double; strings stay strings; null is elided (main.go:269-270,
+    * 312); anything else (bool) renders like Go `fmt.Sprintf("%v")`
+    * (main.go:308-309).
+    */
+  private sealed trait Leaf
+  private final case class StrLeaf(v: String) extends Leaf
+  private final case class NumLeaf(v: Double) extends Leaf
+
+  private val mapperHolder = new ThreadLocal[ObjectMapper] {
+    override def initialValue(): ObjectMapper = new ObjectMapper()
+  }
+
+  /** Flatten one parsed JSON tree into ordered (key → Leaf) pairs.
+    * Mirrors flatten.go:22-54; non-container roots raise, like
+    * flatten.go:47-51 ("invalid input: must be a map or slice").
+    */
+  private def flattenNode(
+      out: mutable.LinkedHashMap[String, Leaf],
+      node: JsonNode,
+      top: Boolean,
+      prefix: String): Unit = {
+    def assign(key: String, v: JsonNode): Unit =
+      if (v.isObject || v.isArray) flattenNode(out, v, top = false, key)
+      else if (v.isNull) () // nil elision, main.go:269-270,312
+      else if (v.isNumber) out(key) = NumLeaf(v.asDouble())
+      else if (v.isTextual) out(key) = StrLeaf(v.asText())
+      else out(key) = StrLeaf(v.asText()) // bool → "true"/"false", Go %v
+
+    if (node.isObject) {
+      node.properties().asScala.foreach { e =>
+        assign(enkey(top, prefix, e.getKey), e.getValue)
+      }
+    } else if (node.isArray) {
+      var i = 0
+      val it = node.elements()
+      while (it.hasNext) { assign(enkey(top, prefix, i.toString), it.next()); i += 1 }
+    } else {
+      throw new IllegalArgumentException("invalid input: must be a map or slice")
+    }
+  }
+
+  /** Full record processing: flatten → route → force rewrites → split maps.
+    * Returns null (→ SQL NULL row) on malformed JSON, mirroring the
+    * reference's skip-the-chunk-on-error stance (main.go:251-254) in a
+    * per-record form the caller can filter or count.
+    */
+  def processRecord(json: String, cfg: IngestConfig): IngestedRecord = {
+    if (json == null) return null
+    val root =
+      try mapperHolder.get().readTree(json)
+      catch { case _: Exception => return null }
+    if (root == null || !(root.isObject || root.isArray)) return null
+
+    val flat = mutable.LinkedHashMap.empty[String, Leaf]
+    flattenNode(flat, root, top = true, "")
+
+    var cluster = ""; var namespace = ""; var pod = ""
+    var container = ""; var host = ""; var logLine = ""
+    var appFromApp: String = null; var appFromK8sApp: String = null
+    val fs = mutable.LinkedHashMap.empty[String, String]
+    val fn = mutable.LinkedHashMap.empty[String, Double]
+
+    flat.foreach { case (k, leaf) =>
+      // Routing uses the *string* rendering; a numeric value under a routed
+      // key routes as "" exactly as the reference's unset stringValue does
+      // (main.go:262-329).
+      val stringValue = leaf match {
+        case StrLeaf(s) => s
+        case NumLeaf(_) => ""
+      }
+      k match {
+        case "cluster"                    => cluster = stringValue
+        case "kubernetes_namespace_name"  => namespace = stringValue
+        // The reference assigns App from both label keys in Go map-iteration
+        // order (nondeterministic, main.go:318-321); we fix the documented
+        // deterministic precedence: `kubernetes_labels_app` wins.
+        case "kubernetes_labels_k8s-app"  => appFromK8sApp = stringValue
+        case "kubernetes_labels_app"      => appFromApp = stringValue
+        case "kubernetes_pod_name"        => pod = stringValue
+        case "kubernetes_container_name"  => container = stringValue
+        case "kubernetes_host"            => host = stringValue
+        case "log"                        => logLine = stringValue
+        case _ =>
+          val formattedKey =
+            if (cfg.forceUnderscores) k.replace(".", "_") else k
+          leaf match {
+            case NumLeaf(d) => fn(formattedKey) = d
+            case StrLeaf(s) =>
+              // membership on original key, storage under formatted key
+              // (main.go:337-345)
+              if (cfg.forceNumberFields.contains(k)) {
+                s.toDoubleOption match {
+                  case Some(d) => fn(formattedKey) = d
+                  case None    => fs(formattedKey) = s
+                }
+              } else fs(formattedKey) = s
+          }
+      }
+    }
+
+    val app = if (appFromApp != null) appFromApp
+              else if (appFromK8sApp != null) appFromK8sApp else ""
+    IngestedRecord(cluster, namespace, app, pod, container, host, logLine,
+      fs.toMap, fn.toMap)
+  }
+
+  /** UDF wrapping [[processRecord]]; returns a struct of the nine routed /
+    * map fields.
+    */
+  def ingestUdf(cfg: IngestConfig): UserDefinedFunction =
+    udf((json: String) => processRecord(json, cfg))
+
+  /** Timestamp coercion (/root/reference/main.go:85-103): native timestamp,
+    * else epoch seconds, else the first element of a nested
+    * `[[ts, meta], msg]` v2.1 event array, else the injected fallback
+    * (the reference falls back to `now()`; tests inject a fixed clock).
+    */
+  def coerceTimestamp(c: Column, fallback: Column = current_timestamp()): Column = {
+    val fromString = try_to_timestamp(c.cast(StringType))
+    val fromEpoch = when(c.cast(StringType).rlike("^[0-9]{9,10}(\\.[0-9]+)?$"),
+      timestamp_seconds(c.cast(DoubleType)))
+    coalesce(fromEpoch, fromString, fallback)
+  }
+
+  /** The full ingest pipeline over a DataFrame with a raw JSON column and a
+    * timestamp column: one narrow projection — decode, flatten, type, route
+    * — exactly the reference's per-record loop (main.go:237-354) as a single
+    * Catalyst-planned map stage.
+    */
+  def ingestJson(
+      df: DataFrame,
+      jsonCol: Column,
+      tsCol: Column,
+      cfg: IngestConfig = IngestConfig()): DataFrame = {
+    val ing = ingestUdf(cfg)(jsonCol)
+    df.withColumn("_ing", ing)
+      .where(col("_ing").isNotNull)
+      .select(
+        tsCol.cast(TimestampType).as("timestamp"),
+        col("_ing.cluster").as("cluster"),
+        col("_ing.namespace").as("namespace"),
+        col("_ing.app").as("app"),
+        col("_ing.pod_name").as("pod_name"),
+        col("_ing.container_name").as("container_name"),
+        col("_ing.host").as("host"),
+        col("_ing.fields_string").as("fields_string"),
+        col("_ing.fields_number").as("fields_number"),
+        col("_ing.log").as("log"),
+      )
+  }
+
+  // ---------------------------------------------------------------------
+  // Expression-only path for known StructType schemas (the scale path).
+  // ---------------------------------------------------------------------
+
+  /** Plan-time flatten of a struct column with known schema: emits one
+    * `(flatKey, Column, DataType)` triple per leaf, applying the
+    * flatten.go:56-66 key rules. Arrays of known element type are expanded
+    * positionally via `element_at` up to `maxArray` elements (index keys,
+    * flatten.go:42-46); absent tail elements yield nulls which the map
+    * assembly elides — matching the dynamic path on any array up to that
+    * length.
+    */
+  def flattenStructLeaves(
+      c: Column,
+      dt: DataType,
+      top: Boolean,
+      prefix: String,
+      maxArray: Int = 8): Seq[(String, Column, DataType)] = dt match {
+    case st: StructType =>
+      st.fields.toSeq.flatMap { f =>
+        flattenStructLeaves(c.getField(f.name), f.dataType,
+          top = false, enkey(top, prefix, f.name), maxArray)
+      }
+    case ArrayType(et, _) =>
+      (0 until maxArray).flatMap { i =>
+        flattenStructLeaves(element_at(c, i + 1), et,
+          top = false, enkey(top, prefix, i.toString), maxArray)
+      }
+    case MapType(_, _, _) =>
+      // Dynamic keys inside a static schema can't be expanded at plan time;
+      // such sources should use the dynamic [[ingestJson]] path instead.
+      Seq.empty
+    case other => Seq((prefix, c, other))
+  }
+
+  /** Assemble `fields_string` / `fields_number` from a known-schema struct
+    * column with pure built-in expressions (no UDF — whole-stage codegen
+    * keeps this in the scan stage at 100 TB). `try_cast` keeps the
+    * force-number fallback semantics ANSI-safe.
+    */
+  def flattenStruct(structCol: Column, schema: StructType, cfg: IngestConfig = IngestConfig(),
+      maxArray: Int = 8): (Column, Column) = {
+    val leaves = flattenStructLeaves(structCol, schema, top = true, "", maxArray)
+    def fmtKey(k: String): String =
+      if (cfg.forceUnderscores) k.replace(".", "_") else k
+    val numEntries = leaves.collect {
+      case (k, c, dt) if dt.isInstanceOf[NumericType] =>
+        struct(lit(fmtKey(k)).as("key"), c.cast(DoubleType).as("value"))
+      case (k, c, StringType) if cfg.forceNumberFields.contains(k) =>
+        struct(lit(fmtKey(k)).as("key"), c.try_cast(DoubleType).as("value"))
+    }
+    val strEntries = leaves.collect {
+      case (k, c, StringType) if !cfg.forceNumberFields.contains(k) =>
+        struct(lit(fmtKey(k)).as("key"), c.as("value"))
+      case (k, c, BooleanType) =>
+        struct(lit(fmtKey(k)).as("key"), c.cast(StringType).as("value"))
+      case (k, c, StringType) if cfg.forceNumberFields.contains(k) =>
+        // unparsable force-number values fall back to the string map
+        struct(lit(fmtKey(k)).as("key"),
+          when(c.try_cast(DoubleType).isNull, c).as("value"))
+    }
+    def buildMap(entries: Seq[Column], empty: Column): Column =
+      if (entries.isEmpty) empty
+      else map_from_entries(filter(array(entries: _*), e => e.getField("value").isNotNull))
+    (buildMap(strEntries, typedLit(Map.empty[String, String])),
+     buildMap(numEntries, typedLit(Map.empty[String, Double])))
+  }
+}

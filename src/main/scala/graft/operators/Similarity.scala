@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.expressions.VectorExprs
+import graft.functions.{Rounding, VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact cosine top-k, query set broadcast against the
+  *    corpus scan — the correctness baseline. One scan, no corpus shuffle;
+  *    at 100 TB the corpus side stays partition-local and the per-partition
+  *    top-k is reduced via the ranking window on (query, cosine).
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing — queries only score
+  *    corpus vectors whose sketch collides on at least one band, cutting the
+  *    scored set by orders of magnitude at the cost of recall.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` is
+    * expected to be small (it is broadcast); ties break on neighbor id for
+    * determinism.
+    */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    VectorExprs.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .repartition(col("nid"))
+    val scored = c.join(q, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
+
+  /** LSH-bucketed approximate top-k: sketch both sides, join on band
+    * chunks, score only colliding candidates. Recall grows with `bands`
+    * (multi-probe); all joins are hash equi-joins on (band, chunk).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      sketchBits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bitsPerBand = sketchBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          VF.hyperplaneSketch(col(vecCol), sketchBits, dim).as("sk"))
+        .select(col(id), col(v),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => call_function("shiftright", col("sk"), b * bitsPerBand).bitwiseAND(mask)))
+            .as(Seq("band", "chunk")))
+    VectorExprs.register(corpus.sparkSession)
+    val q = broadcast(banded(queries, "qid", "qv"))
+    val c = banded(corpus, "nid", "nv")
+    val candidates = q.join(c, Seq("band", "chunk"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(first("qv").as("qv"), first("nv").as("nv"))
+    val scored = candidates.select(col("qid"), col("nid"),
+      Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
+}

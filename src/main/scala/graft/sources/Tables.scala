@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the shared test tables (TESTDATA.md).
+  *
+  * All tables are plain parquet files at `<sfDir>/<name>.parquet`. The only
+  * wrinkle is `events.ts`: the driver wrote it as parquet TIMESTAMP(NANOS),
+  * which Spark's vectorized reader rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong` is set; we read the raw int64
+  * nanos and truncate to microseconds (same truncation DuckDB applies when
+  * it reads NANOS into its native microsecond timestamp, so oracle queries
+  * see identical values).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // ms-precision timestamps in the testdata carry isAdjustedToUTC=false;
+    // read them as session-TZ (UTC) TimestampType, not TIMESTAMP_NTZ, so
+    // epoch arithmetic (unix_millis etc.) lines up with the DuckDB oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+  }
+
+  /** `events` with `ts` as a proper TimestampType (µs, truncated from ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}
