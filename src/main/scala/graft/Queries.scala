@@ -27,8 +27,10 @@ object Queries {
       build: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.expressions.GraftFunctions.registerAll(s)
     Tables.read(s, dir, name)
+  }
 
   /** Log-shaped view over `events` (see [[LogSchema.logsFromEvents]]); the
     * oracle SQL for log operators is written directly against `events`
@@ -729,7 +731,7 @@ object Queries {
 
   private val dedupEmbeddingCosine = Q(
     (s, dir) => Dedup.embeddingCosinePairsExact(
-        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.9)
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b"),
     Some("""SELECT id_a, id_b, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -740,7 +742,7 @@ object Queries {
              sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
           4) AS cosine
         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-        WHERE cosine >= 0.9 ORDER BY id_a, id_b"""))
+        WHERE cosine >= 0.4 ORDER BY id_a, id_b"""))
 
   private val simSearchTopk = Q(
     (s, dir) => {

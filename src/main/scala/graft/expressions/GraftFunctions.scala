@@ -1,0 +1,38 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.lit
+
+/** Central registry of all graft native expressions. Registration is
+  * idempotent and safe on any session; every query-builder entry point
+  * calls [[registerAll]] so the functions resolve regardless of how the
+  * session was built (production sessions can instead load
+  * [[graft.plans.GraftExtensions]] via `spark.sql.extensions`).
+  */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es.head, es(1))),
+    "graft_cosine" -> (es => CosineSimilarity(es.head, es(1))),
+    "graft_minhash" -> (es => MinHashSignature(es.head, es(1))),
+    "graft_simhash" -> (es => SimHash(es.head)),
+    "graft_tokens" -> (es => Tokenize(es.head)),
+    "graft_shingles" -> (es => WordShingles(es.head, es(1))),
+    "graft_hyperplane" -> (es => HyperplaneSketch(es.head, es(1), es(2))),
+    "graft_round" -> (es => RoundHalfAway(es.head, es(1))),
+  )
+
+  @volatile private var registered: Set[Int] = Set.empty
+
+  def registerAll(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark)
+    if (!registered.contains(key)) {
+      val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      all.foreach { case (name, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      registered += key
+    }
+  }
+}

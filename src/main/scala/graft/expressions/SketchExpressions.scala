@@ -95,18 +95,7 @@ case class SimHash(child: Expression)
 }
 
 object SketchExprs {
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_minhash" -> (es => MinHashSignature(es.head, es(1))),
-    "graft_simhash" -> (es => SimHash(es.head)),
-  )
-
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    functions.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 
   def minhash(shingles: Column, k: Int): Column =
     call_function("graft_minhash", shingles,

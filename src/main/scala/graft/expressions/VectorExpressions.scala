@@ -114,18 +114,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorP
   * `spark.sql.extensions`.
   */
 object VectorExprs {
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (es => DotProduct(es.head, es(1))),
-    "graft_cosine" -> (es => CosineSimilarity(es.head, es(1))),
-  )
-
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    functions.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

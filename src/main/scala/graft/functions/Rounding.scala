@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * bit-for-bit so the oracle SQL can keep using plain `round`.
   */
 object Rounding {
-  def r(c: Column, n: Int): Column = {
-    val p = math.pow(10, n)
-    when(c >= 0, floor(c * p + 0.5)).otherwise(ceil(c * p - 0.5)) / p
-  }
+  /** Native single-eval form ([[graft.expressions.RoundHalfAway]]); the
+    * session must have graft functions registered (all query entry points
+    * do this via `GraftFunctions.registerAll`).
+    */
+  def r(c: Column, n: Int): Column =
+    call_function("graft_round", c.cast("double"), lit(n))
   def r2(c: Column): Column = r(c, 2)
   def r3(c: Column): Column = r(c, 3)
   def r4(c: Column): Column = r(c, 4)

@@ -63,14 +63,12 @@ object TextFunctions {
 
   /** Word n-gram shingles: `n` consecutive tokens joined with a space.
     * Documents shorter than `n` tokens yield a single shingle of the whole
-    * text so they still participate in dedup.
+    * text so they still participate in dedup. Native fused expression
+    * ([[graft.expressions.WordShingles]]) — the higher-order-function
+    * formulation re-tokenizes per window position when interpreted.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
 
   /** Winnowing-style document fingerprint: the minimum of hashes over a
     * sliding character window — stable under small appends, cheap, and

@@ -45,20 +45,8 @@ object VectorFunctions {
     * value in [-1, 1): hash(p, j) scaled — reproducible across runs with no
     * stored model.
     */
-  def hyperplaneSketch(v: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
-    // plane p component j: xxhash64 of (seed, p, j) mapped to [-1, 1)
-    def comp(p: Int, j: Int): Double = {
-      val h = scala.util.hashing.MurmurHash3.productHash((seed, p, j))
-      (h.toDouble / Int.MaxValue.toDouble)
-    }
-    val bitCols = (0 until bits).map { p =>
-      val planeDot = (0 until dim).map { j =>
-        element_at(v, j + 1).cast(DoubleType) * lit(comp(p, j))
-      }.reduce(_ + _)
-      when(planeDot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneSketch(v: Column, bits: Int, dim: Int, seed: Int = 42): Column =
+    call_function("graft_hyperplane", toDouble(v), lit(bits), lit(seed))
 
   /** Hamming distance between two packed-long sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

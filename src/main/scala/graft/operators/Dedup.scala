@@ -178,11 +178,13 @@ object Dedup {
       vecCol: String,
       threshold: Double): DataFrame = {
     VectorExprs.register(emb.sparkSession)
-    // repartition the streamed side so the nested-loop pair scan
-    // parallelizes across all cores instead of one task
-    val l = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    // cast to double ONCE per row (not per pair) and repartition the
+    // streamed side so the nested-loop pair scan parallelizes
+    val l = emb.select(col(idCol).as("id_a"),
+        col(vecCol).cast("array<double>").as("v_a"))
       .repartition(col("id_a"))
-    val r = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val r = emb.select(col(idCol).as("id_b"),
+        col(vecCol).cast("array<double>").as("v_b"))
     l.crossJoin(broadcast(r))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

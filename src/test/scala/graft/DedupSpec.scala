@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection with planted duplicates: each family must find
+  * the planted pair and not drown in false positives.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 40 distinct-ish docs + one near-dup pair (ids 100/101) + one exact dup
+  // pair (ids 200/201)
+  private lazy val docs = {
+    // disjoint per-doc vocabularies → cross-doc jaccard is exactly 0
+    val base = (0 until 40).map { i =>
+      val words = (0 until 30).map(j => s"w${i * 100 + j}")
+      (i.toLong, words.mkString(" "))
+    }
+    val near = {
+      val words = (0 until 30).map(j => s"n$j")
+      Seq((100L, words.mkString(" ")),
+        (101L, (words.dropRight(1) :+ "CHANGED").mkString(" ")))
+    }
+    val exact = {
+      val text = (0 until 30).map(j => s"e$j").mkString(" ")
+      Seq((200L, text), (201L, text))
+    }
+    (base ++ near ++ exact).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the minimum id per text group") {
+    val out = Dedup.exact(
+      docs.withColumn("text_md5", md5(col("text"))).select("text_md5", "doc_id"),
+      Seq("text_md5"), "doc_id")
+    assert(out.count() == 43) // 44 docs, one exact collision
+    val survivors = out.where(col("n_copies") === 2).collect()
+    assert(survivors.length == 1 && survivors(0).getAs[Long]("doc_id") == 200L)
+  }
+
+  test("minhash LSH finds the planted near-dup and the exact dup") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 2, bands = 16, rowsPerBand = 2, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)))
+    assert(pairs.contains((200L, 201L)))
+    assert(pairs.size <= 4) // no false-positive explosion
+  }
+
+  test("simhash: near-dup pair is closer than any unrelated pair; exact dup at distance 0") {
+    // NB on 30-token docs a single-token edit flips ~10-18 of 64 bits (vote
+    // margins are ±sqrt(30)); simhash's sweet spot is long docs. Assert the
+    // ordering property rather than an absolute radius.
+    val fps = docs.select(col("doc_id"),
+        graft.expressions.SketchExprs.simhash(
+          graft.functions.TextFunctions.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(200L, 201L) == 0)
+    val nearDist = ham(100L, 101L)
+    val unrelated = for (i <- 0L until 40L; j <- (i + 1) until 40L) yield ham(i, j)
+    assert(nearDist < unrelated.min,
+      s"near pair at $nearDist not closer than unrelated min ${unrelated.min}")
+    // banding catches the exact dup at radius 0
+    val exactPair = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPair.contains((200L, 201L)))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near-dup high, unrelated low") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.5, maxId = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((200L, 201L)) == 1.0)
+    assert(out((100L, 101L)) > 0.85)
+    assert(out.size == 2)
+  }
+
+  test("embedding cosine: LSH candidate pairs are a subset-with-high-recall of exact pairs") {
+    val emb = sf() + "/embeddings.parquet"
+    val vecs = spark.read.parquet(emb)
+    val exact = Dedup.embeddingCosinePairsExact(vecs, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.4,
+      dim = 64, sketchBits = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.{Rounding, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native expressions vs their Column-formula equivalents, and the
+  * cross-engine rounding contract.
+  */
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_round: half away from zero on doubles (DuckDB round semantics)") {
+    val cases = Seq(2.5 -> 3.0, 3.5 -> 4.0, -2.5 -> -3.0, 2.4 -> 2.0, -2.4 -> -2.0)
+    val out = cases.map(_._1).toDF("x")
+      .select(Rounding.r(col("x"), 0).as("r")).collect().map(_.getDouble(0))
+    assert(out.toSeq == cases.map(_._2))
+    // tie at 2 decimals (the fn_math regression): 46523.715 → .72
+    val tie = Seq(46523.715).toDF("x")
+      .select(Rounding.r2(col("x"))).collect()(0).getDouble(0)
+    assert(tie == 46523.72)
+  }
+
+  test("graft_tokens equals the filter(split(lower)) formulation") {
+    val texts = spark.read.parquet(sf() + "/documents.parquet").select("text")
+    val mismatches = texts.select(
+        call_function("graft_tokens", col("text")).as("fast"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("slow"))
+      .where(not(col("fast") === col("slow")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_shingles equals the transform/slice formulation (incl. short docs)") {
+    val texts = (Seq("one", "a b", "", "x  y\tz  w") ++
+      spark.read.parquet(sf() + "/documents.parquet")
+        .select("text").as[String].take(50)).toDF("text")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val slow = when(size(toks) < 3, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+    val mismatches = texts.select(
+        TF.shingles(col("text"), 3).as("fast"), slow.as("slow"))
+      .where(not(col("fast") === col("slow"))).count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_cosine / graft_dot equal the higher-order-function formulation") {
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet").limit(50)
+    val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).where(col("ia") < col("ib"))
+    val mismatches = pairs.select(
+        graft.expressions.VectorExprs.cosine(col("va"), col("vb")).as("fast"),
+        (VF.dot(col("va"), col("vb")) / (VF.l2Norm(col("va")) * VF.l2Norm(col("vb")))).as("slow"))
+      .where(abs(col("fast") - col("slow")) > 1e-12).count()
+    assert(mismatches == 0)
+  }
+
+  test("minhash signature: jaccard estimate tracks exact jaccard") {
+    // two token sets with known overlap 50/150 = 1/3
+    val x = (0 until 100).map(i => s"t$i")
+    val y = (50 until 150).map(i => s"t$i")
+    val df = Seq((1L, x), (2L, y)).toDF("id", "sh")
+    val k = 256
+    val sigs = df.select(col("id"),
+        call_function("graft_minhash", col("sh"), lit(k)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (p, q) => p == q }.toDouble / k
+    assert(math.abs(est - 1.0 / 3.0) < 0.1, s"estimate $est far from 1/3")
+  }
+
+  test("simhash: identical token sets → identical fingerprint; disjoint → distant") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv uu")).toDF("id", "text")
+    val fps = df.select(col("id"),
+        call_function("graft_simhash", TF.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 8)
+  }
+
+  test("lshTopK recall vs brute-force on the shared embeddings") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+      dim = 64, sketchBits = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH@10 recall $recall vs brute")
+  }
+
+  test("language id: distinctive stopword texts classify; und on no evidence") {
+    val df = Seq(
+      (1L, "the cat and the dog was in the house for it"),
+      (2L, "le chat est dans la maison et je suis pour une"),
+      (3L, "der hund ist nicht in der stadt und ich bin mit"),
+      (4L, "el perro es una de las casas y los gatos en se"),
+      (5L, "qwerty zxcvb asdfgh")).toDF("id", "text")
+    val out = df.select(col("id"), TF.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "de" && out(4L) == "es")
+    assert(out(5L) == "und")
+  }
+
+  test("fingerprint: stable under duplication, changes under edit") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence entirely here")).toDF("id", "text")
+    val fps = df.select(col("id"), TF.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}

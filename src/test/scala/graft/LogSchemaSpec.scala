@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import graft.model.LogSchema
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Physical layout (partitioning/sort/TTL) and the multimodal plumbing. */
+class LogSchemaSpec extends SparkTestBase {
+
+  test("writePartitioned: daily dirs, sort key within partitions, schema round-trip") {
+    val out = Files.createTempDirectory("graft-logs").toString
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf()))
+      .drop("id")
+    LogSchema.writePartitioned(logs, out)
+    val back = LogSchema.readLogs(spark, out)
+    assert(back.count() == logs.count())
+    val fs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("date="))
+    assert(fs.length >= 28) // ~a month of daily partitions in events
+    // partition pruning: a one-day predicate reads one directory
+    val oneDay = back.where(col("date") === "2024-01-05")
+    val scanned = oneDay.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(oneDay.count() > 0)
+  }
+
+  test("expiredPartitions: retention cutoff selects old daily dirs (TTL, schema.sql:19)") {
+    val out = Files.createTempDirectory("graft-ttl").toString
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf()))
+      .drop("id")
+    LogSchema.writePartitioned(logs, out)
+    // all 2024 partitions are older than a 30-day TTL from today
+    val expired = LogSchema.expiredPartitions(spark, out, days = 30)
+    assert(expired.nonEmpty && expired.forall(_.contains("date=2024-")))
+    val kept = LogSchema.expiredPartitions(spark, out, days = 100000)
+    assert(kept.isEmpty)
+  }
+
+  test("multimodal: binary payload + batched stub decode, deterministic features") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.decode(media, new Multimodal.StubDecoder(8), batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.features.length == 8))
+    // deterministic: same input → same checksum
+    val again = Multimodal.decode(media, new Multimodal.StubDecoder(8)).collect()
+    assert(rows.map(r => r.id -> r.checksum).toMap == again.map(r => r.id -> r.checksum).toMap)
+    // checksum is content-sensitive
+    assert(rows.map(_.checksum).distinct.length > rows.length / 2)
+  }
+
+  test("promoted column: map predicate vs promoted predicate agree (README.md:68-84 path)") {
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf()))
+    val promoted = logs.withColumn("event_value",
+      try_element_at(col("fields_number"), lit("event.value")))
+    val a = logs.where(try_element_at(col("fields_number"), lit("event.value")) >= 150).count()
+    val b = promoted.where(col("event_value") >= 150).count()
+    assert(a == b && a > 0)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.model.LogSchema
+import graft.operators.IngestConfig
+import graft.streaming.{IngestStream, StreamMetrics, StreamOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end Structured Streaming ingest: JSON-lines fixtures → ingest →
+  * date-partitioned parquet; windowed aggregations; stateful dedup;
+  * drain-on-stop (mirrors /root/reference/main.go:386-396).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeFixture(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+
+  private def fixtureLines(n: Int, day: Int => Int = _ => 10): Seq[String] =
+    (0 until n).map { i =>
+      s"""{"ts":"2026-01-${f"${day(i)}%02d"}T08:00:${f"${i % 60}%02d"}Z","cluster":"c1","kubernetes":{"namespace_name":"ns${i % 2}","pod_name":"pod-$i","container_name":"main","host":"h1","labels":{"app":"app${i % 3}"}},"log":"line $i","content":{"level":"info","n":$i}}"""
+    }
+
+  test("ingest stream: fixtures → date-partitioned parquet with exactly the log schema") {
+    val in = tmp("graft-in"); val out = tmp("graft-out"); val ckpt = tmp("graft-ckpt")
+    writeFixture(in, "batch1.json", fixtureLines(40, i => if (i < 30) 10 else 11))
+    val metrics = StreamMetrics.attach(spark)
+    val q = IngestStream.start(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    // drain semantics: a second file arriving before stop is flushed
+    writeFixture(in, "batch2.json", fixtureLines(10, _ => 12))
+    q.processAllAvailable()
+    q.stop()
+
+    val logs = LogSchema.readLogs(spark, out)
+    assert(logs.count() == 50)
+    assert(logs.schema.fieldNames.toSet ==
+      (LogSchema.schema.fieldNames.toSet + "date"))
+    // physical layout: one dir per event-time day
+    val dates = logs.select("date").distinct().collect().map(_.get(0).toString).sorted
+    assert(dates.toSeq == Seq("2026-01-10", "2026-01-11", "2026-01-12"))
+    assert(logs.where(col("namespace") === "ns0").count() > 0)
+    val fn = logs.where(col("pod_name") === "pod-7")
+      .select(try_element_at(col("fields_number"), lit("content_n")))
+      .collect()(0).getDouble(0)
+    assert(fn == 7.0)
+    // metrics listener saw the rows (main.go:52-74 mirror)
+    assert(metrics.inputRecordsTotal.get >= 50)
+  }
+
+  test("tumbling window counts over the stream (update-incremental)") {
+    val in = tmp("graft-in2")
+    writeFixture(in, "b.json", fixtureLines(30))
+    val stream = IngestStream.ingested(
+      IngestStream.readJsonLines(spark, in), IngestConfig())
+    val q = StreamOps.tumblingCounts(stream, "1 minute", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT namespace, sum(cnt) n FROM tumbling_out GROUP BY namespace ORDER BY namespace")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("ns0", 15L), ("ns1", 15L)))
+  }
+
+  test("stateful dedup within watermark drops repeated keys") {
+    val in = tmp("graft-in3")
+    // 20 records but only 4 distinct (pod_name, log) pairs
+    val lines = (0 until 20).map { i =>
+      s"""{"ts":"2026-01-10T08:00:00Z","kubernetes":{"pod_name":"pod-${i % 4}"},"log":"dup"}"""
+    }
+    writeFixture(in, "b.json", lines)
+    val stream = IngestStream.ingested(
+      IngestStream.readJsonLines(spark, in), IngestConfig())
+    val q = StreamOps.dedupWithinWatermark(stream, Seq("pod_name", "log"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("SELECT count(*) FROM dedup_out").collect()(0).getLong(0) == 4)
+  }
+
+  test("stream-static enrich join") {
+    import spark.implicits._
+    val in = tmp("graft-in4")
+    writeFixture(in, "b.json", fixtureLines(10))
+    val dim = Seq(("ns0", "team-a"), ("ns1", "team-b")).toDF("ns", "team")
+    val stream = IngestStream.ingested(
+      IngestStream.readJsonLines(spark, in), IngestConfig())
+    val q = StreamOps.enrichWithStatic(stream, dim, "namespace", "ns")
+      .groupBy("team").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val teams = spark.sql("SELECT team, count FROM enrich_out ORDER BY team").collect()
+    assert(teams.map(_.getString(0)).toSeq == Seq("team-a", "team-b"))
+  }
+
+  test("session windows close after gap") {
+    val in = tmp("graft-in5")
+    // two bursts 2h apart for the same pod → two sessions
+    val lines = Seq(
+      """{"ts":"2026-01-10T08:00:00Z","kubernetes":{"pod_name":"p"},"log":"a"}""",
+      """{"ts":"2026-01-10T08:05:00Z","kubernetes":{"pod_name":"p"},"log":"b"}""",
+      """{"ts":"2026-01-10T10:30:00Z","kubernetes":{"pod_name":"p"},"log":"c"}""",
+    )
+    writeFixture(in, "b.json", lines)
+    val stream = IngestStream.ingested(
+      IngestStream.readJsonLines(spark, in), IngestConfig())
+    val q = StreamOps.sessionCounts(stream, gap = "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("session_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.sql("SELECT cnt FROM session_out ORDER BY cnt").collect()
+    assert(sessions.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+}
