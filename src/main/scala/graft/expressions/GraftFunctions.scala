@@ -27,10 +27,15 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     val key = System.identityHashCode(spark)
     if (!registered.contains(key)) {
-      val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.functionRegistry
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       all.foreach { case (name, builder) =>
-        registry.createOrReplaceTempFunction(name, builder, "built-in")
+        classic.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      // the promoted-column rewrite (map subscript → materialized column)
+      if (!classic.experimental.extraOptimizations.contains(graft.plans.PromoteMapKeys)) {
+        classic.experimental.extraOptimizations =
+          classic.experimental.extraOptimizations :+ graft.plans.PromoteMapKeys
       }
       registered += key
     }

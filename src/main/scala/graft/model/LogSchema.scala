@@ -72,6 +72,26 @@ object LogSchema {
     )
   }
 
+  /** Materialize promoted columns from map keys before writing — the Spark
+    * form of the reference's `ADD COLUMN … DEFAULT fields_string[k]` +
+    * `MATERIALIZE COLUMN` (README.md:68-84). Queries keep using the map
+    * subscript; [[graft.plans.PromoteMapKeys]] rewrites them to these
+    * columns so predicates push down to the parquet scan.
+    */
+  def withPromotedColumns(
+      df: DataFrame,
+      stringKeys: Seq[String] = Nil,
+      numberKeys: Seq[String] = Nil): DataFrame = {
+    val s = stringKeys.foldLeft(df) { (d, k) =>
+      d.withColumn(graft.plans.PromoteMapKeys.promotedName(k),
+        try_element_at(col("fields_string"), lit(k)))
+    }
+    numberKeys.foldLeft(s) { (d, k) =>
+      d.withColumn(graft.plans.PromoteMapKeys.promotedName(k),
+        try_element_at(col("fields_number"), lit(k)))
+    }
+  }
+
   /** Physical write layout: daily partitions, reference sort key within each
     * partition, zstd — the Spark equivalent of schema.sql:17-19. Filters on
     * `date` prune directories; filters on the sort-key columns skip row

@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.expressions.GraftFunctions", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => PromoteMapKeys)
   }
 }

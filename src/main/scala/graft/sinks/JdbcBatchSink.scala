@@ -1,0 +1,88 @@
+package graft.sinks
+
+import java.util.Properties
+import java.util.concurrent.{ExecutorService, Executors, Future => JFuture}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
+
+/** The production-shaped relational sink: transactional batched INSERTs
+  * over JDBC, mirroring the reference's ClickHouse client
+  * (/root/reference/pkg/clickhouse/clickhouse.go:59-108 — prepared INSERT,
+  * per-batch transaction, commit-or-rollback) and its knobs
+  * (Batch_Size main.go:37, Async_Insert / Wait_For_Async_Insert
+  * clickhouse.go:65-76).
+  *
+  * Mapping notes:
+  *  - Spark's JDBC writer already does prepared-statement batch inserts
+  *    with per-partition transactions; `batchSize` maps to its `batchsize`.
+  *  - `async=true` reproduces `wait_for_async_insert=0`: the micro-batch
+  *    returns immediately and the INSERT completes in the background
+  *    (at-most-once on crash — exactly the reference's fire-and-forget
+  *    trade-off). `async=false` awaits (at-least-once under retry, the
+  *    reference default).
+  *  - MAP columns have no ANSI-SQL shape: [[mapsAsJson]] serializes them to
+  *    JSON VARCHAR for generic JDBC targets. A ClickHouse JDBC driver with
+  *    native Map support can skip that step.
+  */
+case class JdbcSinkConfig(
+    url: String,
+    table: String,
+    batchSize: Int = 10000,          // reference default, main.go:37
+    async: Boolean = false,
+    user: Option[String] = None,
+    password: Option[String] = None)
+
+object JdbcBatchSink {
+
+  /** Serialize MAP columns to JSON strings (generic-JDBC compatibility). */
+  def mapsAsJson(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: MapType => d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+
+  private lazy val asyncPool: ExecutorService = Executors.newFixedThreadPool(2)
+  @volatile private var pending: List[JFuture[_]] = Nil
+
+  private def props(cfg: JdbcSinkConfig): Properties = {
+    val p = new Properties()
+    p.setProperty("batchsize", cfg.batchSize.toString)
+    cfg.user.foreach(p.setProperty("user", _))
+    cfg.password.foreach(p.setProperty("password", _))
+    p
+  }
+
+  /** Write one batch (transaction per partition, prepared-stmt batches). */
+  def writeBatch(df: DataFrame, cfg: JdbcSinkConfig): Unit =
+    mapsAsJson(df).write.mode("append").jdbc(cfg.url, cfg.table, props(cfg))
+
+  /** `foreachBatch` hook honoring the async flag. */
+  def foreachBatchWriter(cfg: JdbcSinkConfig): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      if (cfg.async) {
+        // fire-and-forget (wait_for_async_insert=0): persist the batch
+        // first so the background write does not depend on the stream's
+        // next trigger recomputing it
+        val frozen = batch.persist()
+        frozen.count()
+        val fut = asyncPool.submit(new Runnable {
+          override def run(): Unit =
+            try writeBatch(frozen, cfg) finally { frozen.unpersist(); () }
+        })
+        pending = fut :: pending.filterNot(_.isDone)
+      } else {
+        writeBatch(batch, cfg)
+      }
+    }
+
+  /** Drain outstanding async writes (graceful shutdown — the reference
+    * flushes its buffer on exit, main.go:386-396).
+    */
+  def drain(): Unit = {
+    pending.foreach(f => try f.get() catch { case _: Exception => })
+    pending = Nil
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.IngestConfig
+import graft.sinks.{JdbcBatchSink, JdbcSinkConfig}
+import graft.streaming.IngestStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end JDBC sink against embedded Derby: the production-shaped
+  * batched-INSERT path actually inserting and reading back.
+  */
+class JdbcSinkSpec extends SparkTestBase {
+
+  private def derbyUrl(name: String): String = {
+    val dir = Files.createTempDirectory("graft-derby").toString
+    s"jdbc:derby:$dir/$name;create=true"
+  }
+
+  private def fixture(n: Int): Seq[String] =
+    (0 until n).map { i =>
+      s"""{"ts":"2026-01-10T08:00:${f"${i % 60}%02d"}Z","kubernetes":{"namespace_name":"ns${i % 2}","pod_name":"pod-$i"},"log":"line $i","content":{"n":$i}}"""
+    }
+
+  test("batched INSERT round-trip: stream → derby → read back") {
+    val url = derbyUrl("logs")
+    val cfg = JdbcSinkConfig(url, "logs_local", batchSize = 50)
+    val in = Files.createTempDirectory("graft-jin").toString
+    Files.write(java.nio.file.Paths.get(in, "b.json"),
+      fixture(120).mkString("\n").getBytes)
+
+    val stream = IngestStream.ingested(
+      IngestStream.readJsonLines(spark, in), IngestConfig())
+    val q = stream.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-jckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch(JdbcBatchSink.foreachBatchWriter(cfg))
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // pushDownPredicate=false: Derby maps strings to CLOB, which rejects
+    // pushed equality predicates — filter Spark-side instead
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "logs_local")
+      .option("pushDownPredicate", "false").load()
+    assert(back.count() == 120)
+    // map columns rode as JSON text and survive a parse
+    val n7 = back.where(col("POD_NAME") === "pod-7")
+      .select(get_json_object(col("FIELDS_NUMBER"), "$['content_n']"))
+      .collect()(0).getString(0)
+    assert(n7.toDouble == 7.0)
+  }
+
+  test("async mode: foreachBatch returns before rows land; drain completes them") {
+    val url = derbyUrl("async")
+    val cfg = JdbcSinkConfig(url, "logs_async", batchSize = 50, async = true)
+    val in = Files.createTempDirectory("graft-jin2").toString
+    Files.write(java.nio.file.Paths.get(in, "b.json"),
+      fixture(60).mkString("\n").getBytes)
+
+    val stream = IngestStream.ingested(
+      IngestStream.readJsonLines(spark, in), IngestConfig())
+    val q = stream.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-jckpt2").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch(JdbcBatchSink.foreachBatchWriter(cfg))
+      .start()
+    q.processAllAvailable(); q.stop()
+    JdbcBatchSink.drain() // graceful shutdown flush (main.go:386-396 mirror)
+
+    val back = spark.read.jdbc(url, "logs_async", new java.util.Properties())
+    assert(back.count() == 60)
+  }
+}
