@@ -697,6 +697,82 @@ object Queries {
         event_type, count(*) AS cnt FROM events
         GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""))
 
+  private val streamSlidingCounts = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"), col("cnt"))
+      .orderBy("bucket_ms"),
+    // each event falls in the window starting at its hour and the one
+    // starting an hour earlier
+    Some("""SELECT epoch_ms(w) AS bucket_ms, count(*) AS cnt FROM (
+        SELECT date_trunc('hour', ts) AS w FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w FROM events)
+        GROUP BY w ORDER BY bucket_ms"""))
+
+  private val streamSessionWindow = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("sess_start_ms"), col("cnt"))
+      .orderBy("user_id", "sess_start_ms"),
+    Some("""WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM g)
+        SELECT user_id, epoch_ms(min(ts)) AS sess_start_ms, count(*) AS cnt
+        FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_ms"""))
+
+  private val sinkPartitionedWrite = Q(
+    (s, dir) => {
+      // write the log view with the reference physical design (daily
+      // partitions + sort key) to a scratch dir, then query the round-trip:
+      // per-day counts via partition-pruned reads
+      val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+      LogSchema.writePartitioned(logs(s, dir).drop("id"), out)
+      LogSchema.readLogs(s, out)
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+        FROM events GROUP BY 1 ORDER BY day"""))
+
+  private val aggQuantiles = Q(
+    (s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        r(expr("percentile(value, 0.5)"), 2).as("p50"),
+        r(expr("percentile(value, 0.9)"), 2).as("p90"),
+        r(expr("percentile(value, 0.99)"), 2).as("p99"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+        round(quantile_cont(value, 0.5), 2) AS p50,
+        round(quantile_cont(value, 0.9), 2) AS p90,
+        round(quantile_cont(value, 0.99), 2) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val joinSkewSalted = Q(
+    (s, dir) => graft.operators.SkewJoin.saltedJoin(
+        t(s, dir, "events"), t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"),
+        "user_id", "c_custkey", saltFactor = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), r(sum("value"), 2).as("sum_v"))
+      .orderBy("c_mktsegment"),
+    // identical to the unsalted join — salting must not change results
+    Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 2) AS sum_v
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   // ------------------------------------------------------------------
   // §2.10 north-star: dedup / similarity / text / multimodal
   // ------------------------------------------------------------------
@@ -895,6 +971,11 @@ object Queries {
     "fn_json" -> fnJson,
     "fn_array" -> fnArray,
     "stream_tumbling_counts" -> streamTumblingCounts,
+    "stream_sliding_counts" -> streamSlidingCounts,
+    "stream_session_window" -> streamSessionWindow,
+    "sink_partitioned_write" -> sinkPartitionedWrite,
+    "agg_quantiles" -> aggQuantiles,
+    "join_skew_salted" -> joinSkewSalted,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
