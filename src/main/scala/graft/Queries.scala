@@ -854,6 +854,31 @@ object Queries {
     },
     None)
 
+  private val textTfidf = Q(
+    (s, dir) => graft.operators.TextAnalysis.tfIdf(
+        t(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id", "term"),
+    Some("""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+          FROM documents WHERE doc_id < 100),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100)
+        SELECT doc_id, term, tf, round(tf * ln(n.n::DOUBLE / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term), n
+        ORDER BY doc_id, term"""))
+
+  private val simSearchIvf = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5)
+        .orderBy("qid", "rank")
+    },
+    None)
+
   private val textAnalyze = Q(
     (s, dir) => t(s, dir, "documents")
       .select(explode(TF.tokens(col("text"))).as("token"))
@@ -982,7 +1007,9 @@ object Queries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_lsh" -> simSearchLsh,
+    "sim_search_ivf" -> simSearchIvf,
     "text_analyze" -> textAnalyze,
+    "text_tfidf" -> textTfidf,
     "token_count" -> tokenCount,
     "quality_score" -> qualityScore,
     "lang_id" -> langId,

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths:
+  * Three paths:
+  *  - [[ivfTopK]]: inverted-file (IVF) bucketing — KMeans centroids
+  *    partition the corpus; each query probes only its `nprobe` nearest
+  *    cells. The classic recall/cost dial for billion-vector corpora.
   *  - [[bruteTopK]]: exact cosine top-k, query set broadcast against the
   *    corpus scan — the correctness baseline. One scan, no corpus shuffle;
   *    at 100 TB the corpus side stays partition-local and the per-partition
@@ -74,6 +77,57 @@ object Similarity {
       Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
+
+  /** IVF (inverted-file) approximate top-k: cluster the corpus into
+    * `numCells` KMeans cells once (a model-build pass — at scale, train on
+    * a sample and assign in one narrow pass), then answer each query by
+    * scoring only the `nprobe` cells nearest to it. Candidate generation
+    * is an equi-join on cell id.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 16,
+      nprobe: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    VectorExprs.register(corpus.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("fv", array_to_vector(col("nv").cast("array<double>")))
+    val model = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(featured)
+    val bucketed = model.transform(featured).select("nid", "nv", "cell")
+
+    // nprobe nearest cells per query via the (tiny, broadcast) centroid set
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        -VectorExprs.dot(col("qv"), col("centroid")) * lit(2.0) +
+          VectorExprs.dot(col("centroid"), col("centroid")))
+      .withColumn("prank", row_number().over(w))
+      .where(col("prank") <= nprobe)
+      .select("qid", "qv", "cell")
+
+    val scored = probes.join(bucketed, "cell")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
+    val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(rw))
       .where(col("rank") <= k)
       .select("qid", "rank", "nid", "cosine")
   }

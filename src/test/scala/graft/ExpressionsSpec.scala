@@ -95,6 +95,18 @@ class ExpressionsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"LSH@10 recall $recall vs brute")
   }
 
+  test("ivfTopK recall vs brute-force on the shared embeddings") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      numCells = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF@10 recall $recall vs brute")
+  }
+
   test("language id: distinctive stopword texts classify; und on no evidence") {
     val df = Seq(
       (1L, "the cat and the dog was in the house for it"),
