@@ -342,6 +342,13 @@ object Queries {
     Some("""SELECT count(DISTINCT event_type) AS n_types,
         count(DISTINCT user_id) AS n_users FROM events"""))
 
+  private val aggApproxDistinct = Q(
+    (s, dir) => t(s, dir, "events").agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"),
+      r(expr("percentile_approx(value, 0.5, 1000)"), 0).as("p50_approx")),
+    None) // sketches are engine-specific; accuracy asserted in ScalaTest
+
   private val aggGroupingSets = Q(
     (s, dir) => t(s, dir, "orders")
       .rollup("o_orderstatus", "o_orderpriority")
@@ -972,6 +979,7 @@ object Queries {
     "agg_time_bucket" -> aggTimeBucket,
     "agg_numeric_field_stats" -> aggNumericFieldStats,
     "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_field_key_histogram" -> aggFieldKeyHistogram,
     "join_broadcast" -> joinBroadcast,

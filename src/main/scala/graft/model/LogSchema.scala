@@ -115,6 +115,18 @@ object LogSchema {
     * /root/reference/schema.sql:19 `TTL ... + INTERVAL 30 DAY`). At scale
     * this is a metadata-only directory drop, not a rewrite.
     */
+  /** Execute retention: delete expired daily partition directories and
+    * return what was dropped. Metadata/directory-level, no data rewrite —
+    * the O(1)-per-partition equivalent of MergeTree TTL part drops.
+    */
+  def dropExpiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val doomed = expiredPartitions(spark, path, days)
+    doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    doomed
+  }
+
   def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {
     val cutoff = java.time.LocalDate.now().minusDays(days.toLong)
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -38,6 +38,31 @@ class LogSchemaSpec extends SparkTestBase {
     assert(kept.isEmpty)
   }
 
+  test("dropExpiredPartitions deletes old daily dirs and keeps the rest readable") {
+    val out = Files.createTempDirectory("graft-ttl2").toString
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf())).drop("id")
+    LogSchema.writePartitioned(logs, out)
+    val before = LogSchema.readLogs(spark, out).count()
+    val dropped = LogSchema.dropExpiredPartitions(spark, out, days = 30)
+    assert(dropped.nonEmpty)
+    // all testdata partitions are 2024 → everything expired
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("date="))
+    assert(dirs.isEmpty && before > 0)
+  }
+
+  test("approximate sketches land within tolerance of exact answers") {
+    val ev = graft.sources.Tables.events(spark, sf())
+    val row = ev.agg(
+      approx_count_distinct(col("user_id")).as("a"),
+      countDistinct(col("user_id")).as("e"),
+      expr("percentile_approx(value, 0.5, 1000)").as("pa"),
+      expr("percentile(value, 0.5)").as("pe")).collect()(0)
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.1, s"HLL $a vs exact $e")
+    assert(math.abs(row.getDouble(2) - row.getDouble(3)) < 10.0)
+  }
+
   test("multimodal: binary payload + batched stub decode, deterministic features") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs)
