@@ -98,8 +98,12 @@ object LogSchema {
     * groups via parquet min/max stats.
     */
   def writePartitioned(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
+    // Repartition by date PLUS the sort-key prefix: hashing on date alone
+    // would serialize each day into a single task (fatal when one day is
+    // the whole ingest volume); including the metadata prefix spreads a day
+    // across the shuffle while keeping co-located, sortable runs per file.
     df.withColumn("date", to_date(col("timestamp")))
-      .repartition(col("date"))
+      .repartition(col("date"), col("cluster"), col("namespace"), col("app"))
       .sortWithinPartitions(sortKey.map(col): _*)
       .write
       .mode(mode)

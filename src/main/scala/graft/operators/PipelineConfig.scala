@@ -1,0 +1,87 @@
+package graft.operators
+
+import scala.concurrent.duration.{Duration, FiniteDuration}
+import scala.concurrent.duration._
+
+/** The full ingest-pipeline configuration surface, mirroring the reference
+  * plugin's config keys and — importantly — its fallback semantics: every
+  * malformed value logs a warning and falls back to the default instead of
+  * failing startup (/root/reference/main.go:121-228).
+  *
+  * | key (reference)       | default        | rule                              |
+  * |-----------------------|----------------|-----------------------------------|
+  * | Batch_Size            | 10000          | int ≥ 0 else default (main.go:37,169-172) |
+  * | Flush_Interval        | 60s            | duration; values < 1s rejected → default (main.go:38,202-205) |
+  * | Force_Number_Fields   | empty          | comma-separated list (main.go:207-208) |
+  * | Force_Underscores     | false          | bool parse, malformed → default (main.go:210-215) |
+  * | Async_Insert          | false          | bool (main.go:181-184)            |
+  * | Wait_For_Async_Insert | false          | bool (main.go:186-191)            |
+  */
+case class PipelineConfig(
+    batchSize: Int = 10000,
+    flushInterval: FiniteDuration = 60.seconds,
+    forceNumberFields: Seq[String] = Nil,
+    forceUnderscores: Boolean = false,
+    asyncInsert: Boolean = false,
+    waitForAsyncInsert: Boolean = false,
+    warnings: Seq[String] = Nil) {
+  def ingest: IngestConfig = IngestConfig(forceNumberFields, forceUnderscores)
+}
+
+object PipelineConfig {
+  val MinFlushInterval: FiniteDuration = 1.second
+
+  /** Parse from a key→value map (case-insensitive keys, like Fluent Bit's
+    * config). Never throws; collects warnings for malformed values.
+    */
+  def fromMap(raw: Map[String, String]): PipelineConfig = {
+    val m = raw.map { case (k, v) => k.toLowerCase -> v.trim }
+    var warnings = Vector.empty[String]
+    def warn(key: String, v: String, default: Any): Unit =
+      warnings :+= s"invalid $key '$v', using default $default"
+
+    def intOr(key: String, default: Int): Int =
+      m.get(key).filter(_.nonEmpty).map { v =>
+        v.toIntOption.filter(_ >= 0).getOrElse { warn(key, v, default); default }
+      }.getOrElse(default)
+
+    def boolOr(key: String, default: Boolean): Boolean =
+      m.get(key).filter(_.nonEmpty).map { v =>
+        v.toLowerCase match {
+          case "true" | "on" | "yes" | "1" => true
+          case "false" | "off" | "no" | "0" => false
+          case other => warn(key, other, default); default
+        }
+      }.getOrElse(default)
+
+    def durationOr(key: String, default: FiniteDuration): FiniteDuration =
+      m.get(key).filter(_.nonEmpty).map { v =>
+        scala.util.Try(Duration(v)).toOption.collect {
+          case d: FiniteDuration => d
+        } match {
+          case Some(d) if d >= MinFlushInterval => d
+          case Some(d) => // reference rejects sub-second intervals, main.go:202-205
+            warn(key, v, default); default
+          case None =>
+            // bare numbers mean seconds in the reference config
+            v.toLongOption.filter(_ >= 1) match {
+              case Some(s) => s.seconds
+              case None => warn(key, v, default); default
+            }
+        }
+      }.getOrElse(default)
+
+    val fields = m.get("force_number_fields").filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+    PipelineConfig(
+      batchSize = intOr("batch_size", 10000),
+      flushInterval = durationOr("flush_interval", 60.seconds),
+      forceNumberFields = fields,
+      forceUnderscores = boolOr("force_underscores", default = false),
+      asyncInsert = boolOr("async_insert", default = false),
+      waitForAsyncInsert = boolOr("wait_for_async_insert", default = false),
+      warnings = warnings.toSeq)
+  }
+}

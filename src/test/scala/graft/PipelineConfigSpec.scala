@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.PipelineConfig
+import org.scalatest.funsuite.AnyFunSuite
+import scala.concurrent.duration._
+
+/** Config parsing with the reference's warn-and-default semantics
+  * (/root/reference/main.go:121-228).
+  */
+class PipelineConfigSpec extends AnyFunSuite {
+
+  test("defaults match the reference (main.go:37-38)") {
+    val c = PipelineConfig.fromMap(Map.empty)
+    assert(c.batchSize == 10000)
+    assert(c.flushInterval == 60.seconds)
+    assert(!c.forceUnderscores && c.forceNumberFields.isEmpty)
+    assert(c.warnings.isEmpty)
+  }
+
+  test("malformed values warn and fall back instead of failing (main.go:169-172)") {
+    val c = PipelineConfig.fromMap(Map(
+      "Batch_Size" -> "not-a-number",
+      "Force_Underscores" -> "maybe"))
+    assert(c.batchSize == 10000 && !c.forceUnderscores)
+    assert(c.warnings.size == 2)
+  }
+
+  test("negative batch size rejected like the reference's < 0 guard") {
+    val c = PipelineConfig.fromMap(Map("batch_size" -> "-5"))
+    assert(c.batchSize == 10000 && c.warnings.nonEmpty)
+  }
+
+  test("sub-second flush interval rejected (main.go:202-205)") {
+    val c = PipelineConfig.fromMap(Map("flush_interval" -> "100ms"))
+    assert(c.flushInterval == 60.seconds && c.warnings.nonEmpty)
+    val ok = PipelineConfig.fromMap(Map("flush_interval" -> "10s"))
+    assert(ok.flushInterval == 10.seconds && ok.warnings.isEmpty)
+    // bare numbers are seconds in the reference config files
+    val bare = PipelineConfig.fromMap(Map("flush_interval" -> "10"))
+    assert(bare.flushInterval == 10.seconds)
+  }
+
+  test("force_number_fields comma list (cluster/fluent-bit.yaml:104 shape)") {
+    val c = PipelineConfig.fromMap(Map(
+      "Force_Number_Fields" -> "content.upstream_service_time, content.duration"))
+    assert(c.forceNumberFields ==
+      Seq("content.upstream_service_time", "content.duration"))
+    assert(c.ingest.forceNumberFields == c.forceNumberFields)
+  }
+
+  test("async insert flags (clickhouse.go:65-76)") {
+    val c = PipelineConfig.fromMap(Map(
+      "Async_Insert" -> "on", "Wait_For_Async_Insert" -> "1"))
+    assert(c.asyncInsert && c.waitForAsyncInsert)
+  }
+}
