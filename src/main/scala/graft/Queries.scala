@@ -443,11 +443,9 @@ object Queries {
     (s, dir) => {
       val ev = t(s, dir, "events")
       val o = t(s, dir, "orders")
-      ev.join(o,
-          col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
-          "left_outer")
-        .groupBy(col("event_id").as("id"))
-        .agg(unix_millis(max(col("o_orderdate"))).as("asof_ms"))
+      graft.operators.AsofJoin.asofBackward(ev, o,
+          "user_id", "o_custkey", "ts", "o_orderdate", rightValueCols = Nil)
+        .select(col("event_id").as("id"), unix_millis(col("asof_ts")).as("asof_ms"))
         .orderBy("id")
     },
     Some("""SELECT e.event_id AS id, epoch_ms(max(o.o_orderdate)) AS asof_ms
@@ -877,6 +875,25 @@ object Queries {
         FROM tf JOIN df USING (term), n
         ORDER BY doc_id, term"""))
 
+  private val aggMinhashGroup = Q(
+    (s, dir) => {
+      // sketch each document SOURCE as one union-signature, then estimate
+      // cross-source similarity from signature agreement — no row data
+      // touched after the one aggregated pass
+      val sigs = t(s, dir, "documents")
+        .select(col("source"), TF.shingles(col("text"), 1).as("sh"))
+        .groupBy("source")
+        .agg(graft.expressions.MinHashAgg.minhashUnion(col("sh"), 64).as("sig"))
+      val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+      a.crossJoin(b).where(col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          r(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            m => m)).cast(DoubleType) / 64.0, 4).as("est_jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    None) // xxhash64 family is engine-specific; accuracy asserted in tests
+
   private val simSearchIvf = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -980,6 +997,7 @@ object Queries {
     "agg_numeric_field_stats" -> aggNumericFieldStats,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_minhash_group" -> aggMinhashGroup,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_field_key_histogram" -> aggFieldKeyHistogram,
     "join_broadcast" -> joinBroadcast,

@@ -71,6 +71,21 @@ class ExpressionsSpec extends SparkTestBase {
     assert(math.abs(est - 1.0 / 3.0) < 0.1, s"estimate $est far from 1/3")
   }
 
+  test("minhash union aggregate: group signature == signature of the union set") {
+    val k = 64
+    val x = (0 until 80).map(i => s"t$i")
+    val y = (40 until 120).map(i => s"t$i")
+    // two rows aggregated vs their union as one row
+    val grouped = Seq(("g", x), ("g", y)).toDF("g", "sh")
+      .groupBy("g")
+      .agg(graft.expressions.MinHashAgg.minhashUnion(col("sh"), k).as("sig"))
+      .collect()(0).getSeq[Long](1)
+    val unioned = Seq((x ++ y).distinct).toDF("sh")
+      .select(call_function("graft_minhash", col("sh"), lit(k)).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(grouped == unioned)
+  }
+
   test("simhash: identical token sets → identical fingerprint; disjoint → distant") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
