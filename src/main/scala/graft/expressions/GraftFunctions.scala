@@ -20,6 +20,7 @@ object GraftFunctions {
     "graft_shingles" -> (es => WordShingles(es.head, es(1))),
     "graft_hyperplane" -> (es => HyperplaneSketch(es.head, es(1), es(2))),
     "graft_round" -> (es => RoundHalfAway(es.head, es(1))),
+    "graft_ingest" -> (es => JsonIngest.fromArgs(es)),
   )
 
   @volatile private var registered: Set[Int] = Set.empty

@@ -194,14 +194,46 @@ object Ingest {
   /** The full ingest pipeline over a DataFrame with a raw JSON column and a
     * timestamp column: one narrow projection — decode, flatten, type, route
     * — exactly the reference's per-record loop (main.go:237-354) as a single
-    * Catalyst-planned map stage.
+    * Catalyst-planned map stage. Uses the native
+    * [[graft.expressions.JsonIngest]] expression (no UDF encoder round
+    * trip); [[ingestJsonUdf]] keeps the UDF form for equivalence testing.
     */
   def ingestJson(
       df: DataFrame,
       jsonCol: Column,
       tsCol: Column,
       cfg: IngestConfig = IngestConfig()): DataFrame = {
+    graft.expressions.GraftFunctions.registerAll(df.sparkSession)
+    val ing = call_function("graft_ingest", jsonCol,
+      typedLit(cfg.forceNumberFields), lit(cfg.forceUnderscores))
+    // inline() is a generator: the ingest expression evaluates exactly ONCE
+    // per row (struct-subfield projection would inline the expression into
+    // every extracted column — nine JSON parses per record); records the
+    // parser rejects yield a null struct, which inline drops — same row set
+    // as the UDF path's isNotNull filter.
+    df.select(tsCol.cast(TimestampType).as("timestamp"), inline(array(ing)))
+      // a rejected record surfaces as an all-null struct row: valid records
+      // always carry a non-null (possibly empty) map
+      .where(col("fields_string").isNotNull)
+      .select(
+        col("timestamp"), col("cluster"), col("namespace"), col("app"),
+        col("pod_name"), col("container_name"), col("host"),
+        col("fields_string"), col("fields_number"), col("log"))
+  }
+
+  /** UDF-based variant of [[ingestJson]] (same semantics, kept for tests
+    * and as the no-registration fallback).
+    */
+  def ingestJsonUdf(
+      df: DataFrame,
+      jsonCol: Column,
+      tsCol: Column,
+      cfg: IngestConfig = IngestConfig()): DataFrame = {
     val ing = ingestUdf(cfg)(jsonCol)
+    selectIngested(df, ing, tsCol)
+  }
+
+  private def selectIngested(df: DataFrame, ing: Column, tsCol: Column): DataFrame = {
     df.withColumn("_ing", ing)
       .where(col("_ing").isNotNull)
       .select(

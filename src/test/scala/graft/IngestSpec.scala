@@ -124,6 +124,25 @@ class IngestSpec extends SparkTestBase {
     assert(fnm("n__2") == 2.5 && fnm("i") == 7.0)
   }
 
+  test("native graft_ingest expression ≡ UDF path on a varied record sample") {
+    import spark.implicits._
+    val recs = Seq(
+      """{"cluster":"c1","kubernetes":{"namespace_name":"ns","labels":{"app":"a","k8s-app":"b"}},"log":"x","m.v":"1.5","deep":{"a":[1,"s",null,{"z":true}]}}""",
+      """{"log":2,"vals":[0.5,-3]}""",
+      """not json at all""",
+      """{"only":"strings","n":null}""",
+    ).toDF("value")
+    val cfg = graft.operators.IngestConfig(
+      forceNumberFields = Seq("m.v"), forceUnderscores = true)
+    val ts = graft.operators.Ingest.coerceTimestamp(lit("2024-01-01 00:00:00"))
+    val native = graft.operators.Ingest.ingestJson(recs, col("value"), ts, cfg)
+      .collect().map(_.toString).sorted
+    val viaUdf = graft.operators.Ingest.ingestJsonUdf(recs, col("value"), ts, cfg)
+      .collect().map(_.toString).sorted
+    assert(native.toSeq == viaUdf.toSeq)
+    assert(native.length == 3) // the malformed record dropped by both
+  }
+
   test("timestamp coercion: iso string, epoch seconds, fallback (main.go:85-103)") {
     import spark.implicits._
     val fb = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
