@@ -100,8 +100,9 @@ case class WordShingles(left: Expression, right: Expression)
 /** graft_hyperplane(vec ARRAY<DOUBLE>, bits INT, seed INT) → BIGINT:
   * random-hyperplane (SimHash) sketch — sign bits of dot products with
   * `bits` deterministic pseudo-random hyperplanes packed into a long.
-  * Plane component (p, j) = murmur3(seed, p, j) scaled to [-1, 1) — no
-  * stored model, reproducible across runs/engines.
+  * Plane component (p, j) = xxhash64 of the packed (seed, p, j) triple
+  * scaled to [-1, 1) — no stored model, reproducible across runs, engines,
+  * and Scala versions (not tied to Scala hash internals).
   */
 case class HyperplaneSketch(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
@@ -120,8 +121,9 @@ case class HyperplaneSketch(first: Expression, second: Expression, third: Expres
     val dim = vec.numElements()
     if (planes == null || planes.length != bits || (planes.length > 0 && planes(0).length < dim)) {
       planes = Array.tabulate(bits, dim) { (p, j) =>
-        scala.util.hashing.MurmurHash3.productHash((seed, p, j)).toDouble /
-          Int.MaxValue.toDouble
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong((seed.toLong << 40) | (p.toLong << 20) | j.toLong, 42L)
+        (h >> 11).toDouble / (1L << 52).toDouble // 52 mantissa-ish bits → [-1, 1)
       }
     }
     var sketch = 0L
