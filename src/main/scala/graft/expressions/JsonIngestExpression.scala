@@ -3,7 +3,7 @@ package graft.expressions
 import graft.operators.{Ingest, IngestConfig, IngestedRecord}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +24,7 @@ case class JsonIngest(
     child: Expression,
     forceNumberFields: Seq[String],
     forceUnderscores: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "graft_ingest"
   override def nullable: Boolean = true
@@ -36,6 +36,23 @@ case class JsonIngest(
   override def nullSafeEval(jsonAny: Any): Any = {
     val rec = Ingest.processRecord(jsonAny.asInstanceOf[UTF8String].toString, cfg)
     if (rec == null) null else JsonIngest.toInternalRow(rec)
+  }
+
+  /** Codegen: one call back into [[nullSafeEval]] via a captured reference.
+    * The parse itself cannot be inlined into Java source, but emitting a
+    * plain method call (instead of mixing in CodegenFallback) keeps the
+    * ingest projection INSIDE whole-stage codegen — the surrounding
+    * operators fuse into one generated function rather than falling back to
+    * interpreted row-at-a-time evaluation for the whole stage.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftIngest", this, classOf[JsonIngest].getName)
+    nullSafeCodeGen(ctx, ev, json => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($json);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -82,14 +82,24 @@ object LogSchema {
       df: DataFrame,
       stringKeys: Seq[String] = Nil,
       numberKeys: Seq[String] = Nil): DataFrame = {
-    val s = stringKeys.foldLeft(df) { (d, k) =>
-      d.withColumn(graft.plans.PromoteMapKeys.promotedName(k),
-        try_element_at(col("fields_string"), lit(k)))
+    // Each promoted column carries (source map, exact key) as column
+    // metadata — the rule resolves by that metadata, never by name, so two
+    // keys sanitizing to the same identifier (`a.b` / `a_b`) stay distinct.
+    // The name itself only needs uniqueness; on a sanitization collision the
+    // later key gets a deterministic hash suffix.
+    def add(d: DataFrame, mapCol: String, k: String): DataFrame = {
+      val base = graft.plans.PromoteMapKeys.promotedName(k)
+      val name =
+        if (!d.columns.contains(base)) base
+        else base + "_" + java.lang.Integer.toHexString(k.hashCode)
+      val md = new MetadataBuilder()
+        .putString(graft.plans.PromoteMapKeys.MetaSourceMap, mapCol)
+        .putString(graft.plans.PromoteMapKeys.MetaSourceKey, k)
+        .build()
+      d.select(col("*"), try_element_at(col(mapCol), lit(k)).as(name, md))
     }
-    numberKeys.foldLeft(s) { (d, k) =>
-      d.withColumn(graft.plans.PromoteMapKeys.promotedName(k),
-        try_element_at(col("fields_number"), lit(k)))
-    }
+    val s = stringKeys.foldLeft(df)((d, k) => add(d, "fields_string", k))
+    numberKeys.foldLeft(s)((d, k) => add(d, "fields_number", k))
   }
 
   /** Physical write layout: daily partitions, reference sort key within each

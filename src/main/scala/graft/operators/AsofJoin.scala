@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * Implementation is the union+window merge, not a range join: both sides
   * are interleaved per key in time order (dimension rows sorting first on
   * ties so a same-instant state applies), and a running `last(..,
-  * ignoreNulls)` window carries the latest dimension values forward onto
-  * every event row.
+  * ignoreNulls)` window carries the latest dimension row forward onto
+  * every event row (as one atomic struct — its NULL cells stay NULL).
   *
   * Scale rationale: a range join (`l.key = r.key AND r.ts <= l.ts`)
   * materializes one intermediate row per (event × qualifying-dimension-row)
@@ -43,15 +43,25 @@ object AsofJoin {
     val w = Window.partitionBy("_k")
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Carry the most-recent dimension row as ONE struct: a per-column
+    // last(ignoreNulls) would skip a NULL cell and backfill it from an older
+    // row, mixing values across right rows. DuckDB ASOF semantics (and any
+    // sane as-of) take the whole latest row, NULLs included — so the window
+    // carries a single struct (non-null exactly on dimension rows) and the
+    // value columns are projected out of it afterwards.
+    val rowStruct = struct(
+      (col("_ts").as("_asof_ts") +:
+        rightValueCols.map(c => col(s"_rv_$c").as(c))): _*)
     val withAsof = unioned
-      .withColumn("asof_ts",
-        last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
+      .withColumn("_asof_row",
+        last(when(col("_side") === 0, rowStruct), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", col("_asof_row._asof_ts"))
     val withVals = rightValueCols.foldLeft(withAsof) { (d, c) =>
-      d.withColumn(s"asof_$c",
-        last(when(col("_side") === 0, col(s"_rv_$c")), ignoreNulls = true).over(w))
+      d.withColumn(s"asof_$c", col("_asof_row")(c))
     }
     withVals
       .where(col("_side") === 1)
-      .drop(("_k" +: "_ts" +: "_side" +: rightValueCols.map(c => s"_rv_$c")): _*)
+      .drop(("_k" +: "_ts" +: "_side" +: "_asof_row" +:
+        rightValueCols.map(c => s"_rv_$c")): _*)
   }
 }

@@ -87,9 +87,12 @@ object Dedup {
   def simhash(textCol: Column): Column =
     SketchExprs.simhash(TF.tokens(textCol))
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into four 16-bit
-    * chunks (pigeonhole: any pair within Hamming distance 3 shares at least
-    * one exact chunk), equi-join per chunk, verify Hamming distance.
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into
+    * `maxHamming + 1` chunks (pigeonhole: a pair differing in ≤ maxHamming
+    * bits cannot differ in every one of maxHamming+1 disjoint chunks, so it
+    * shares at least one exact chunk), equi-join per chunk, verify Hamming
+    * distance. Band count DERIVES from the query threshold — a fixed band
+    * count silently drops pairs beyond its own guarantee.
     */
   def simhashPairs(
       docs: DataFrame,
@@ -98,10 +101,27 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     SketchExprs.register(docs.sparkSession)
     val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    simhashPairsFromFingerprints(withFp, maxHamming)
+  }
+
+  /** Banded candidate generation + verification over precomputed (id, fp)
+    * fingerprints — split out so recall can be property-tested on planted
+    * fingerprints at exact Hamming distances.
+    */
+  def simhashPairsFromFingerprints(withFp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands // first `rem` chunks get one extra bit
+    val chunks = (0 until nBands).map { i =>
+      val width = if (i < rem) base + 1 else base
+      val offset = i * base + math.min(i, rem)
+      call_function("shiftright", col("fp"), lit(offset))
+        .bitwiseAND(lit((1L << width) - 1))
+    }
     val banded = withFp.select(col("id"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL)))
-        .as(Seq("band", "chunk")))
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
     val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, Seq("band", "chunk"))

@@ -180,14 +180,25 @@ object Ingest {
     udf((json: String) => processRecord(json, cfg))
 
   /** Timestamp coercion (/root/reference/main.go:85-103): native timestamp,
-    * else epoch seconds, else the first element of a nested
-    * `[[ts, meta], msg]` v2.1 event array, else the injected fallback
-    * (the reference falls back to `now()`; tests inject a fixed clock).
+    * else epoch seconds (ANY uint64, main.go:90-91 — not just 9-10 digit
+    * values), else recurse on element 0 of the Fluent Bit ≥ v2.1 nested
+    * event form `[[TIMESTAMP, METADATA], MESSAGE]` (main.go:92-99), else the
+    * injected fallback (the reference falls back to `now()`; tests inject a
+    * fixed clock). The v2.1 descent is two `$[0]` hops — the documented
+    * nesting is exactly `[[ts, meta], msg] → [ts, meta] → ts`; ISO strings
+    * are additionally accepted (a superset of the reference, which only ever
+    * sees binary FLBTime/uint64).
     */
   def coerceTimestamp(c: Column, fallback: Column = current_timestamp()): Column = {
-    val fromString = try_to_timestamp(c.cast(StringType))
-    val fromEpoch = when(c.cast(StringType).rlike("^[0-9]{9,10}(\\.[0-9]+)?$"),
-      timestamp_seconds(c.cast(DoubleType)))
+    val s0 = c.cast(StringType)
+    val s1 = when(s0.rlike("^\\s*\\["), get_json_object(s0, "$[0]")).otherwise(s0)
+    val s2 = when(s1.rlike("^\\s*\\["), get_json_object(s1, "$[0]")).otherwise(s1)
+    // double → timestamp casts interpret the value as (fractional) epoch
+    // seconds; try_cast → NULL on overflow so garbage falls through to the
+    // fallback like the reference's default branch
+    val fromEpoch = when(s2.rlike("^[0-9]+(\\.[0-9]+)?$"),
+      s2.try_cast(DoubleType).try_cast(TimestampType))
+    val fromString = try_to_timestamp(s2)
     coalesce(fromEpoch, fromString, fallback)
   }
 

@@ -45,29 +45,33 @@ object PipelineConfig {
         v.toIntOption.filter(_ >= 0).getOrElse { warn(key, v, default); default }
       }.getOrElse(default)
 
+    // Go strconv.ParseBool's exact accepted set (main.go:211-215): no
+    // "on"/"yes"/"off"/"no" — those are malformed and fall back with a
+    // warning, same as the reference.
     def boolOr(key: String, default: Boolean): Boolean =
       m.get(key).filter(_.nonEmpty).map { v =>
-        v.toLowerCase match {
-          case "true" | "on" | "yes" | "1" => true
-          case "false" | "off" | "no" | "0" => false
+        v match {
+          case "1" | "t" | "T" | "true" | "TRUE" | "True" => true
+          case "0" | "f" | "F" | "false" | "FALSE" | "False" => false
           case other => warn(key, other, default); default
         }
       }.getOrElse(default)
 
+    // Go time.ParseDuration semantics (main.go:201-205): a bare number has
+    // no unit and is MALFORMED (→ default + warning), as are values below
+    // one second.
     def durationOr(key: String, default: FiniteDuration): FiniteDuration =
       m.get(key).filter(_.nonEmpty).map { v =>
-        scala.util.Try(Duration(v)).toOption.collect {
-          case d: FiniteDuration => d
-        } match {
+        val parsed =
+          if (v.matches("[+-]?[0-9.]+")) None // unit-less: ParseDuration rejects
+          else scala.util.Try(Duration(v)).toOption.collect {
+            case d: FiniteDuration => d
+          }
+        parsed match {
           case Some(d) if d >= MinFlushInterval => d
-          case Some(d) => // reference rejects sub-second intervals, main.go:202-205
+          case Some(_) => // reference rejects sub-second intervals, main.go:202-205
             warn(key, v, default); default
-          case None =>
-            // bare numbers mean seconds in the reference config
-            v.toLongOption.filter(_ >= 1) match {
-              case Some(s) => s.seconds
-              case None => warn(key, v, default); default
-            }
+          case None => warn(key, v, default); default
         }
       }.getOrElse(default)
 

@@ -25,6 +25,12 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. `queries` is
     * expected to be small (it is broadcast); ties break on neighbor id for
     * determinism.
+    *
+    * Scale note: the `row_number() ≤ k` pattern triggers Catalyst's
+    * rank-limit pushdown — the physical plan carries a PARTIAL
+    * `WindowGroupLimit` before the exchange, so each scan partition emits at
+    * most k rows per query and the per-qid reducer receives ≤ k × partitions
+    * rows, never the full scored corpus (asserted in ExpressionsSpec).
     */
   def bruteTopK(
       corpus: DataFrame,
@@ -70,11 +76,17 @@ object Similarity {
     VectorExprs.register(corpus.sparkSession)
     val q = broadcast(banded(queries, "qid", "qv"))
     val c = banded(corpus, "nid", "nv")
-    val candidates = q.join(c, Seq("band", "chunk"))
+    // Score at collision time, while both vectors are still partition-local
+    // (queries broadcast, corpus never moved) — then dedupe band collisions
+    // on SCALARS: the one shuffle carries (qid, nid, cosine) rows, never the
+    // vectors. A pair colliding on b bands pays ≤ b cosine evaluations, but
+    // map-side partial aggregation collapses them before the exchange —
+    // at 100 TB recomputing a dot product beats shuffling two embeddings.
+    val collided = q.join(c, Seq("band", "chunk"))
       .where(col("qid") =!= col("nid"))
-      .groupBy("qid", "nid").agg(first("qv").as("qv"), first("nv").as("nv"))
-    val scored = candidates.select(col("qid"), col("nid"),
-      Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
+      .select(col("qid"), col("nid"),
+        Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
+    val scored = collided.groupBy("qid", "nid").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -82,10 +94,15 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate top-k: cluster the corpus into
-    * `numCells` KMeans cells once (a model-build pass — at scale, train on
-    * a sample and assign in one narrow pass), then answer each query by
-    * scoring only the `nprobe` cells nearest to it. Candidate generation
-    * is an equi-join on cell id.
+    * `numCells` KMeans cells once, then answer each query by scoring only
+    * the `nprobe` cells nearest to it. Candidate generation is an equi-join
+    * on cell id.
+    *
+    * The KMeans fit runs on a bounded SAMPLE (≤ `trainRows` vectors):
+    * KMeans is iterative — every iteration is a full pass over its input,
+    * so fitting the raw corpus would scan 100 TB per iteration. Centroid
+    * quality converges long before millions of training points; assignment
+    * of the full corpus stays a single narrow `transform` pass.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -95,15 +112,23 @@ object Similarity {
       k: Int,
       numCells: Int = 16,
       nprobe: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      trainRows: Long = 100000L): DataFrame = {
     VectorExprs.register(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("fv", array_to_vector(col("nv").cast("array<double>")))
+    // count() is footer-metadata cheap on parquet; it bounds the sampling
+    // fraction so the iterative fit input never exceeds trainRows
+    val n = featured.count()
+    val trainSet =
+      if (n <= trainRows) featured
+      else featured.sample(withReplacement = false,
+        trainRows.toDouble / n, seed)
     val model = new KMeans().setK(numCells).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(featured)
+      .fit(trainSet)
     val bucketed = model.transform(featured).select("nid", "nv", "cell")
 
     // nprobe nearest cells per query via the (tiny, broadcast) centroid set

@@ -22,6 +22,14 @@ object SkewJoin {
       buildKey: String,
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
+    // The build side is replicated saltFactor×, so any join type that emits
+    // unmatched BUILD rows (right/full outer) would duplicate each of them
+    // saltFactor times. Only probe-side-preserving variants are sound.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left variants only, got '$joinType': " +
+        "right/full outer would emit each unmatched build row saltFactor times")
     // row-varying deterministic-enough salt: the value never affects the
     // result, only the shuffle spread
     val saltedProbe = probe.withColumn("_salt",

@@ -38,4 +38,20 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out(3L).isEmpty)       // u2's only state is later than the event
     assert(out(4L).isEmpty)       // u3 has no dimension rows at all
   }
+
+  test("row atomicity: NULL cells of the latest row stay NULL (no cross-row backfill)") {
+    val events = Seq((1L, "u1", 300L))
+      .toDF("eid", "user", "ets").withColumn("ets", timestamp_seconds(col("ets")))
+    val dim = Seq(
+      ("u1", 100L, Some("old-a"), Some(1.0)),
+      ("u1", 200L, None: Option[String], Some(2.0)), // latest row: a IS NULL
+    ).toDF("duser", "dts", "a", "b").withColumn("dts", timestamp_seconds(col("dts")))
+    val row = AsofJoin.asofBackward(events, dim, "user", "duser", "ets", "dts",
+        Seq("a", "b"))
+      .select(col("asof_a"), col("asof_b")).head()
+    // per-column last(ignoreNulls) would resurrect "old-a" from the older
+    // row — the whole most-recent row must be carried atomically
+    assert(row.isNullAt(0), s"asof_a backfilled across rows: $row")
+    assert(row.getDouble(1) == 2.0)
+  }
 }

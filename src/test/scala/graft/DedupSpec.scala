@@ -67,6 +67,31 @@ class DedupSpec extends SparkTestBase {
     assert(exactPair.contains((200L, 201L)))
   }
 
+  test("simhash banding guarantees recall up to maxHamming: planted pairs at Hamming 1-12 all surface") {
+    // plant pairs (base, base^flipped) at every Hamming distance 1..12,
+    // spreading the flipped bits across the whole 64-bit word — the exact
+    // pattern a fixed 4×16-bit banding dropped for distances ≥ 4
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 12).flatMap { d =>
+      val base = rnd.nextLong()
+      val flipped = rnd.shuffle((0 until 64).toList).take(d)
+        .foldLeft(base)((v, b) => v ^ (1L << b))
+      Seq((d * 10L, base), (d * 10L + 1, flipped))
+    }
+    val fps = rows.toDF("id", "fp")
+    val found = Dedup.simhashPairsFromFingerprints(fps, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1 to 12).foreach { d =>
+      assert(found.contains((d * 10L, d * 10L + 1)),
+        s"planted pair at Hamming $d not found")
+    }
+    // precision: verification keeps only pairs actually within the radius
+    val dist = rows.toMap
+    found.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(dist(a) ^ dist(b)) <= 12)
+    }
+  }
+
   test("ngram jaccard: exact dup scores 1.0, near-dup high, unrelated low") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 2, threshold = 0.5, maxId = 1000)

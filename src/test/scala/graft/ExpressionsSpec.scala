@@ -122,6 +122,24 @@ class ExpressionsSpec extends SparkTestBase {
     assert(recall >= 0.4, s"IVF@10 recall $recall vs brute")
   }
 
+  test("ANN plans: partial top-k precedes the shuffle; no single-partition exchange of scored rows") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val plans = Seq(
+      "brute" -> Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10),
+      "lsh" -> Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        dim = 64, sketchBits = 8, bands = 4),
+      "ivf" -> Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        numCells = 8, nprobe = 3))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: rank-limit pushdown did not fire — full scored set would shuffle:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"$name: a single-partition exchange remains:\n$plan")
+    }
+  }
+
   test("language id: distinctive stopword texts classify; und on no evidence") {
     val df = Seq(
       (1L, "the cat and the dog was in the house for it"),

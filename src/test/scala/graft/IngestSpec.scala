@@ -153,4 +153,23 @@ class IngestSpec extends SparkTestBase {
     assert(out(1) == "2024-01-01 00:00:00.0") // epoch 1704067200 UTC
     assert(out(2) == "2020-01-01 00:00:00.0") // fallback
   }
+
+  test("timestamp coercion: v2.1 nested array form and wide epoch range (main.go:85-103)") {
+    import spark.implicits._
+    val fb = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val df = Seq(
+      """[[1704067200, {"source": "fb"}], "the log line"]""", // v2.1 nested
+      """[1704067260, "flat pair"]""",                        // single-level array
+      "123",                  // small uint64: epoch 123s (old 9-10 digit regex dropped it)
+      "99999999999999999999", // overflows: falls through to the fallback
+      """[["nope", {}], "m"]""",
+    ).toDF("raw")
+    val out = df.select(Ingest.coerceTimestamp(col("raw"), lit(fb)).as("ts"))
+      .collect().map(_.getTimestamp(0).toInstant.toString)
+    assert(out(0) == "2024-01-01T00:00:00Z")
+    assert(out(1) == "2024-01-01T00:01:00Z")
+    assert(out(2) == "1970-01-01T00:02:03Z")
+    assert(out(3) == "2020-01-01T00:00:00Z")
+    assert(out(4) == "2020-01-01T00:00:00Z")
+  }
 }

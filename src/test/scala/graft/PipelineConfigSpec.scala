@@ -35,9 +35,20 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.flushInterval == 60.seconds && c.warnings.nonEmpty)
     val ok = PipelineConfig.fromMap(Map("flush_interval" -> "10s"))
     assert(ok.flushInterval == 10.seconds && ok.warnings.isEmpty)
-    // bare numbers are seconds in the reference config files
+    // unit-less values are malformed to time.ParseDuration → default + warn
     val bare = PipelineConfig.fromMap(Map("flush_interval" -> "10"))
-    assert(bare.flushInterval == 10.seconds)
+    assert(bare.flushInterval == 60.seconds && bare.warnings.nonEmpty)
+  }
+
+  test("bool parsing matches strconv.ParseBool exactly (main.go:211-215)") {
+    // Go accepts only 1/t/T/TRUE/true/True and the false equivalents
+    assert(PipelineConfig.fromMap(Map("Force_Underscores" -> "True")).forceUnderscores)
+    assert(PipelineConfig.fromMap(Map("Force_Underscores" -> "t")).forceUnderscores)
+    // "on"/"yes" are NOT valid Go bools: fall back with a warning
+    val on = PipelineConfig.fromMap(Map("Force_Underscores" -> "on"))
+    assert(!on.forceUnderscores && on.warnings.nonEmpty)
+    val yes = PipelineConfig.fromMap(Map("Async_Insert" -> "yes"))
+    assert(!yes.asyncInsert && yes.warnings.nonEmpty)
   }
 
   test("force_number_fields comma list (cluster/fluent-bit.yaml:104 shape)") {
@@ -50,7 +61,7 @@ class PipelineConfigSpec extends AnyFunSuite {
 
   test("async insert flags (clickhouse.go:65-76)") {
     val c = PipelineConfig.fromMap(Map(
-      "Async_Insert" -> "on", "Wait_For_Async_Insert" -> "1"))
+      "Async_Insert" -> "true", "Wait_For_Async_Insert" -> "1"))
     assert(c.asyncInsert && c.waitForAsyncInsert)
   }
 }

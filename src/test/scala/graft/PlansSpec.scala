@@ -41,6 +41,59 @@ class PlansSpec extends SparkTestBase {
         col("namespace") === "error")
       .count()
     assert(q.count() == expected && expected > 0)
+
+    // with a slim projection, the scan must not read the map column at all:
+    // the inferred isnotnull(fields_number) is redundant next to the
+    // promoted comparison and is dropped, so ReadSchema excludes the map
+    val slim = back
+      .where(try_element_at(col("fields_number"), lit("event.value")) >= 150.0)
+      .select(col("timestamp"))
+    val slimPhys = slim.queryExecution.executedPlan.toString
+    assert(!slimPhys.contains("fields_number"),
+      s"map column still read for a promoted-only predicate:\n$slimPhys")
+    val expectedSlim = LogSchema.logsFromEvents(
+        graft.sources.Tables.events(spark, sf()))
+      .where(try_element_at(col("fields_number"), lit("event.value")) >= 150.0)
+      .count()
+    assert(slim.count() == expectedSlim && expectedSlim > 0)
+  }
+
+  test("colliding keys a.b / a_b each resolve to their OWN promoted column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Map("a.b" -> "dot1", "a_b" -> "und1")),
+      (2L, Map("a.b" -> "dot2", "a_b" -> "und2")),
+    ).toDF("id", "fields_string")
+    // parquet round-trip: a purely local relation would be constant-folded
+    // before the rule could fire
+    val out = Files.createTempDirectory("graft-promo-collide").toString
+    LogSchema.withPromotedColumns(df, stringKeys = Seq("a.b", "a_b"))
+      .write.mode("overwrite").parquet(out)
+    val promoted = spark.read.parquet(out)
+    // both sanitize to promoted_a_b; metadata-based resolution must keep
+    // them apart (the round-1 name-based rule returned one key's values for
+    // both subscripts)
+    val q = promoted.select(
+      col("id"),
+      try_element_at(col("fields_string"), lit("a.b")).as("dot"),
+      try_element_at(col("fields_string"), lit("a_b")).as("und"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("promoted_a_b"),
+      "subscripts were not rewritten at all")
+    val rows = q.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "dot1", "und1"), (2L, "dot2", "und2")))
+  }
+
+  test("promoted metadata survives the parquet round-trip") {
+    val out = Files.createTempDirectory("graft-promo-md").toString
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf())).drop("id")
+    LogSchema.writePartitioned(
+      LogSchema.withPromotedColumns(logs, numberKeys = Seq("event.value")), out)
+    val back = LogSchema.readLogs(spark, out)
+    val f = back.schema("promoted_event_value")
+    assert(f.metadata.getString(graft.plans.PromoteMapKeys.MetaSourceKey) == "event.value")
+    assert(f.metadata.getString(graft.plans.PromoteMapKeys.MetaSourceMap) == "fields_number")
   }
 
   test("no promoted column in scope → plan unchanged") {
