@@ -889,8 +889,11 @@ object Queries {
     None)
 
   private val dedupSimhash = Q(
-    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 12)
+    // radius 12 needs the 128-bit fingerprint: banding 64 bits into 13
+    // chunks leaves ~5-bit buckets that collide for 1/32 of all pairs per
+    // band (see Dedup.simhashPairsWide scaladoc)
+    (s, dir) => Dedup.simhashPairsWide(t(s, dir, "documents"), "doc_id",
+        "text", maxHamming = 12, words = 2)
       .orderBy("id_a", "id_b"),
     None)
 

@@ -16,6 +16,7 @@ object GraftFunctions {
     "graft_cosine" -> (es => CosineSimilarity(es.head, es(1))),
     "graft_minhash" -> (es => MinHashSignature(es.head, es(1))),
     "graft_simhash" -> (es => SimHash(es.head)),
+    "graft_simhash_wide" -> (es => SimHashWide(es.head, es(1))),
     "graft_tokens" -> (es => Tokenize(es.head)),
     "graft_shingles" -> (es => WordShingles(es.head, es(1))),
     "graft_hyperplane" -> (es => HyperplaneSketch(es.head, es(1), es(2))),

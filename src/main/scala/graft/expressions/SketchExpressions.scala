@@ -94,6 +94,65 @@ case class SimHash(child: Expression)
     copy(child = newChild)
 }
 
+/** graft_simhash_wide(tokens ARRAY<STRING>, words INT) → ARRAY<BIGINT>:
+  * a words×64-bit SimHash; word w votes with xxhash64 seed 42+w, so word 0
+  * equals [[SimHash]]. Wider fingerprints are what keep banded LSH
+  * selective at larger Hamming radii: with nBands = maxHamming+1 disjoint
+  * chunks, chunk width is 64·words/(maxHamming+1) bits and the expected
+  * band-collision rate falls ~2^64/words per added word. Radius 12 over 64
+  * bits needs ~5-bit chunks (1/32 of all pairs collide per band); over 128
+  * bits it gets ~10-bit chunks (1/1024).
+  */
+case class SimHashWide(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def prettyName: String = "graft_simhash_wide"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(tokensAny: Any, wordsAny: Any): Any = {
+    val tokens = tokensAny.asInstanceOf[ArrayData]
+    val words = wordsAny.asInstanceOf[Int]
+    val counters = new Array[Int](words * 64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val t = tokens.getUTF8String(j)
+      if (t != null) {
+        var w = 0
+        while (w < words) {
+          val h = XxHash64Function.hash(t, StringType, 42L + w)
+          val off = w * 64
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counters(off + b) += 1
+            else counters(off + b) -= 1
+            b += 1
+          }
+          w += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Long](words)
+    var w = 0
+    while (w < words) {
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (counters(w * 64 + b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      out(w) = fp
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchExprs {
   def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 
@@ -102,4 +161,8 @@ object SketchExprs {
       org.apache.spark.sql.functions.lit(k))
 
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+
+  def simhashWide(tokens: Column, words: Int): Column =
+    call_function("graft_simhash_wide", tokens,
+      org.apache.spark.sql.functions.lit(words))
 }

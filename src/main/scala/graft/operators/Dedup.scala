@@ -131,6 +131,70 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dup pairs over a WIDE (words×64-bit) fingerprint — the
+    * scale path for radii beyond a few bits. Banding needs maxHamming+1
+    * disjoint chunks; over a single 64-bit word a radius-12 query leaves
+    * ~5-bit chunks whose buckets collide for 1/32 of ALL pairs per band
+    * (quadratic candidate blowup). Doubling the fingerprint to 128 bits
+    * doubles chunk width to ~10 bits — 32× fewer spurious candidates — at
+    * the cost of one extra hash per token at sketch time. Precision is
+    * unaffected either way: candidates are verified against the exact
+    * Hamming distance of the full fingerprint.
+    */
+  def simhashPairsWide(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      words: Int = 2): DataFrame = {
+    SketchExprs.register(docs.sparkSession)
+    val withFp = docs.select(col(idCol).as("id"),
+      SketchExprs.simhashWide(TF.tokens(col(textCol)), words).as("fp"))
+    simhashPairsFromWideFingerprints(withFp, maxHamming, words)
+  }
+
+  /** Banded candidates + exact verification over precomputed wide
+    * fingerprints (`fp ARRAY<BIGINT>` of length `words`). The maxHamming+1
+    * chunks are distributed across the words; disjointness alone gives the
+    * pigeonhole recall guarantee (a pair within radius maxHamming cannot
+    * differ in every one of maxHamming+1 disjoint chunks).
+    */
+  def simhashPairsFromWideFingerprints(
+      withFp: DataFrame, maxHamming: Int, words: Int): DataFrame = {
+    require(words >= 1, s"words must be >= 1, got $words")
+    require(maxHamming >= 0 && maxHamming < 64 * words,
+      s"maxHamming must be in [0, ${64 * words}), got $maxHamming")
+    val nBands = maxHamming + 1
+    val perWord = {
+      val base = nBands / words
+      val rem = nBands % words
+      (0 until words).map(w => base + (if (w < rem) 1 else 0))
+    }
+    val chunks: Seq[Column] = perWord.zipWithIndex.flatMap { case (c, w) =>
+      val word = element_at(col("fp"), w + 1)
+      val base = if (c > 0) 64 / c else 0
+      val rem = if (c > 0) 64 % c else 0
+      (0 until c).map { i =>
+        val width = if (i < rem) base + 1 else base
+        val offset = i * base + math.min(i, rem)
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        call_function("shiftright", word, lit(offset)).bitwiseAND(lit(mask))
+      }
+    }
+    val banded = withFp.select(col("id"), col("fp"),
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    val ham = (0 until words).map(w =>
+        VF.hamming(element_at(col("fp_a"), w + 1), element_at(col("fp_b"), w + 1)))
+      .reduce(_ + _)
+    l.join(r, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs produced by a
     * bounded self-join (`idFilter` bounds the verified set — at scale the
     * candidates come from [[minhashPairs]]/[[simhashPairs]] instead of a

@@ -92,6 +92,49 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("wide simhash banding: planted 128-bit pairs at Hamming 1-12 all surface") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 12).flatMap { d =>
+      val base = Array(rnd.nextLong(), rnd.nextLong())
+      val flipped = base.clone()
+      rnd.shuffle((0 until 128).toList).take(d)
+        .foreach(b => flipped(b / 64) ^= (1L << (b % 64)))
+      Seq((d * 10L, base.toSeq), (d * 10L + 1, flipped.toSeq))
+    }
+    val fps = rows.toDF("id", "fp")
+    val found = Dedup.simhashPairsFromWideFingerprints(fps, maxHamming = 12, words = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1 to 12).foreach { d =>
+      assert(found.contains((d * 10L, d * 10L + 1)),
+        s"planted wide pair at Hamming $d not found")
+    }
+    val byId = rows.toMap
+    found.foreach { case (a, b) =>
+      val ham = byId(a).zip(byId(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(ham <= 12)
+    }
+  }
+
+  test("wide simhash agrees with 64-bit simhash on word 0; near pair stays closer than unrelated") {
+    val wide = docs.select(col("doc_id"),
+        graft.expressions.SketchExprs.simhashWide(
+          graft.functions.TextFunctions.tokens(col("text")), 2).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val narrow = docs.select(col("doc_id"),
+        graft.expressions.SketchExprs.simhash(
+          graft.functions.TextFunctions.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    wide.foreach { case (id, fp) => assert(fp.length == 2 && fp.head == narrow(id)) }
+    def ham(a: Long, b: Long) =
+      wide(a).zip(wide(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham(200L, 201L) == 0)
+    val nearDist = ham(100L, 101L)
+    val unrelatedMin =
+      (for (i <- 0L until 40L; j <- (i + 1) until 40L) yield ham(i, j)).min
+    assert(nearDist < unrelatedMin)
+  }
+
   test("ngram jaccard: exact dup scores 1.0, near-dup high, unrelated low") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 2, threshold = 0.5, maxId = 1000)
