@@ -127,8 +127,8 @@ object Dedup {
     l.join(r, Seq("band", "chunk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), VF.hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming) // map-side, before the dedup shuffle
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
-      .where(col("hamming") <= maxHamming)
   }
 
   /** SimHash near-dup pairs over a WIDE (words×64-bit) fingerprint — the
@@ -188,11 +188,16 @@ object Dedup {
     val ham = (0 until words).map(w =>
         VF.hamming(element_at(col("fp_a"), w + 1), element_at(col("fp_b"), w + 1)))
       .reduce(_ + _)
+    // verify BEFORE the dedup shuffle: the Hamming check is a map-side
+    // xor/bit_count over the joined pair, so only QUALIFYING collisions
+    // (≤ bands copies of each true pair) reach the exchange — correlated
+    // fingerprints make buckets skewed, and shuffling every spurious
+    // collision through the groupBy would dominate the query
     l.join(r, Seq("band", "chunk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), ham.as("hamming"))
-      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by a
