@@ -93,27 +93,32 @@ object Similarity {
       .select("qid", "rank", "nid", "cosine")
   }
 
-  /** IVF (inverted-file) approximate top-k: cluster the corpus into
-    * `numCells` KMeans cells once, then answer each query by scoring only
-    * the `nprobe` cells nearest to it. Candidate generation is an equi-join
-    * on cell id.
+  /** A prebuilt IVF index: the (tiny) centroid set plus the corpus bucketed
+    * by its nearest cell. Building is the expensive, AMORTIZABLE step —
+    * production deployments build once, persist, and serve many query
+    * batches against it; [[ivfQuery]] touches only `nprobe` cells per
+    * query.
+    */
+  final case class IvfIndex(
+      centroids: DataFrame, bucketed: DataFrame, numCells: Int)
+
+  /** Build an IVF index over the corpus.
     *
     * The KMeans fit runs on a bounded SAMPLE (≤ `trainRows` vectors):
     * KMeans is iterative — every iteration is a full pass over its input,
     * so fitting the raw corpus would scan 100 TB per iteration. Centroid
     * quality converges long before millions of training points; assignment
-    * of the full corpus stays a single narrow `transform` pass.
+    * of the full corpus stays a single narrow `transform` pass (at scale,
+    * write `bucketed` partitioned by cell so queries prune to their probed
+    * cells' files).
     */
-  def ivfTopK(
+  def buildIvfIndex(
       corpus: DataFrame,
-      queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
       numCells: Int = 16,
-      nprobe: Int = 3,
       seed: Long = 42L,
-      trainRows: Long = 100000L): DataFrame = {
+      trainRows: Long = 100000L): IvfIndex = {
     VectorExprs.register(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -130,16 +135,29 @@ object Similarity {
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSet)
     val bucketed = model.transform(featured).select("nid", "nv", "cell")
-
-    // nprobe nearest cells per query via the (tiny, broadcast) centroid set
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
+    IvfIndex(centroids, bucketed, numCells)
+  }
+
+  /** Answer a query batch against a prebuilt index: pick each query's
+    * `nprobe` nearest cells via the broadcast centroid set, score only
+    * those cells' vectors, rank top-k.
+    */
+  def ivfQuery(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 3): DataFrame = {
+    VectorExprs.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("dist",
         -VectorExprs.dot(col("qv"), col("centroid")) * lit(2.0) +
           VectorExprs.dot(col("centroid"), col("centroid")))
@@ -147,7 +165,7 @@ object Similarity {
       .where(col("prank") <= nprobe)
       .select("qid", "qv", "cell")
 
-    val scored = probes.join(bucketed, "cell")
+    val scored = probes.join(index.bucketed, "cell")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
@@ -156,4 +174,22 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "rank", "nid", "cosine")
   }
+
+  /** IVF (inverted-file) approximate top-k: [[buildIvfIndex]] +
+    * [[ivfQuery]] in one call, for one-shot use; amortize the build via the
+    * two-step API when serving repeated query batches.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 16,
+      nprobe: Int = 3,
+      seed: Long = 42L,
+      trainRows: Long = 100000L): DataFrame =
+    ivfQuery(
+      buildIvfIndex(corpus, idCol, vecCol, numCells, seed, trainRows),
+      queries, idCol, vecCol, k, nprobe)
 }

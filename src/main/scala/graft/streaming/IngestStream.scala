@@ -76,4 +76,24 @@ object IngestStream {
     sinkPartitionedParquet(
       ingested(readJsonLines(spark, inPath), cfg),
       outPath, checkpoint, trigger).start()
+
+  /** [[start]] plus the ops surface the reference runs alongside the
+    * pipeline (/root/reference/main.go:230-235: metrics server started at
+    * plugin init): a [[StreamMetrics]] listener attached to the session and
+    * a [[MetricsServer]] serving /health + /metrics on `metricsPort`
+    * (0 = ephemeral). Caller stops both: `query.stop(); server.stop()`.
+    */
+  def startWithMetrics(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      checkpoint: String,
+      cfg: IngestConfig = IngestConfig(),
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      metricsPort: Int = 2021): (StreamingQuery, MetricsServer) = {
+    val metrics = StreamMetrics.attach(spark)
+    val server = new MetricsServer(metrics, metricsPort)
+    server.start()
+    (start(spark, inPath, outPath, checkpoint, cfg, trigger), server)
+  }
 }

@@ -30,6 +30,13 @@ class MetricsServer(metrics: StreamMetrics, port: Int = 2021) {
     s.getAddress.getPort
   }
 
+  /** The actually-bound port (differs from the constructor arg when
+    * started with port 0); -1 before start.
+    */
+  def boundPort: Int = synchronized {
+    server.map(_.getAddress.getPort).getOrElse(-1)
+  }
+
   /** Graceful stop, like the reference's 10s-bounded Shutdown
     * (metrics.go:36-46) — delay 0 here since handlers are instantaneous.
     */

@@ -53,6 +53,27 @@ class StreamingSpec extends SparkTestBase {
     assert(metrics.inputRecordsTotal.get >= 50)
   }
 
+  test("startWithMetrics serves live pipeline counters over HTTP while streaming") {
+    val in = tmp("graft-min"); val out = tmp("graft-mout"); val ckpt = tmp("graft-mckpt")
+    writeFixture(in, "batch1.json", fixtureLines(25))
+    val (q, srv) = IngestStream.startWithMetrics(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime(0), metricsPort = 0)
+    try {
+      q.processAllAvailable()
+      // scrape via HTTP: counters must reflect the processed batch
+      val bound = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      val body = {
+        val is = bound.openStream()
+        try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+      }
+      assert(body.contains("graft_input_records_total"))
+      val total = body.linesIterator
+        .find(_.startsWith("graft_input_records_total"))
+        .map(_.split(" ")(1).toDouble).getOrElse(0.0)
+      assert(total >= 25.0, s"expected >=25 records counted, got $total\n$body")
+    } finally { q.stop(); srv.stop() }
+  }
+
   test("tumbling window counts over the stream (update-incremental)") {
     val in = tmp("graft-in2")
     writeFixture(in, "b.json", fixtureLines(30))
