@@ -30,7 +30,8 @@ object Bench {
     // land inside the same stall; interleaving whole passes puts each
     // query's repetitions ~a minute apart, so the per-query minimum across
     // passes is a steady-state estimate robust to transient host noise.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to reps).foreach { _ =>

@@ -46,7 +46,26 @@ object Queries {
     */
   private object Fixtures {
     private val logTables = scala.collection.concurrent.TrieMap.empty[String, String]
-    private val nestedIngest = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    private val nestedIngest =
+      scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
+
+    /** Session-scoped cache entry: DataFrames/indexes are bound to their
+      * session, so validate by OBJECT IDENTITY and rebuild on mismatch —
+      * keying by identityHashCode alone could hand a later session (hash
+      * reuse after GC) a value whose SparkContext is already stopped.
+      */
+    private def sessionScoped[T](
+        cache: scala.collection.concurrent.TrieMap[String, (SparkSession, T)],
+        s: SparkSession, dir: String)(build: => T): T = {
+      val key = System.identityHashCode(s) + ":" + dir
+      cache.get(key) match {
+        case Some((owner, v)) if owner eq s => v
+        case _ =>
+          val v = build
+          cache.put(key, (s, v))
+          v
+      }
+    }
 
     private def deleteOnExit(dir: String): Unit =
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -81,26 +100,26 @@ object Queries {
       * map_build_split consume the identical result.
       */
     def nestedIngested(s: SparkSession, dir: String): DataFrame =
-      nestedIngest.getOrElseUpdate(System.identityHashCode(s) + ":" + dir, {
+      sessionScoped(nestedIngest, s, dir) {
         val ev = t(s, dir, "events").withColumn("j", nestedJson)
         Ingest.ingestJson(ev, col("j"), col("ts"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+      }
 
     private val ivfIndexes =
-      scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+      scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Similarity.IvfIndex)]
 
     /** One IVF index per (process, sf dir) — the index build (sampled
       * KMeans + full assignment pass) is the amortizable step a production
       * deployment persists; queries probe the cached bucketed corpus.
       */
     def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex =
-      ivfIndexes.getOrElseUpdate(System.identityHashCode(s) + ":" + dir, {
+      sessionScoped(ivfIndexes, s, dir) {
         val idx = Similarity.buildIvfIndex(
           t(s, dir, "embeddings"), "vec_id", "embedding", numCells = 16)
         idx.copy(bucketed =
           idx.bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      })
+      }
   }
 
   private val msEv = "epoch_ms(ts)" // DuckDB: events.ts truncated ns→µs→ms

@@ -112,6 +112,13 @@ case class SimHashWide(left: Expression, right: Expression)
   override def nullSafeEval(tokensAny: Any, wordsAny: Any): Any = {
     val tokens = tokensAny.asInstanceOf[ArrayData]
     val words = wordsAny.asInstanceOf[Int]
+    // guard SQL callers: registered as graft_simhash_wide, so words is not
+    // validated at analysis time — a negative value would otherwise throw
+    // NegativeArraySizeException per row, and 0 a silently-empty fingerprint
+    if (words < 1 || words > 16) {
+      throw new IllegalArgumentException(
+        s"graft_simhash_wide: words must be in [1, 16], got $words")
+    }
     val counters = new Array[Int](words * 64)
     val n = tokens.numElements()
     var j = 0

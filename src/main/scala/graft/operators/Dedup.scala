@@ -117,8 +117,11 @@ object Dedup {
     val chunks = (0 until nBands).map { i =>
       val width = if (i < rem) base + 1 else base
       val offset = i * base + math.min(i, rem)
+      // Java shifts are mod 64: (1L << 64) - 1 would be 0, collapsing every
+      // chunk to one bucket (an all-pairs cross join) at maxHamming = 0
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       call_function("shiftright", col("fp"), lit(offset))
-        .bitwiseAND(lit((1L << width) - 1))
+        .bitwiseAND(lit(mask))
     }
     val banded = withFp.select(col("id"), col("fp"),
       posexplode(array(chunks: _*)).as(Seq("band", "chunk")))

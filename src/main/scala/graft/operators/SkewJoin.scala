@@ -26,7 +26,7 @@ object SkewJoin {
     // unmatched BUILD rows (right/full outer) would duplicate each of them
     // saltFactor times. Only probe-side-preserving variants are sound.
     val allowed = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti")
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
     require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left variants only, got '$joinType': " +
         "right/full outer would emit each unmatched build row saltFactor times")

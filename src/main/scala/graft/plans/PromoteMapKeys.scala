@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BinaryComparison, ElementAt, EqualNullSafe, Expression, GetMapValue, IsNotNull, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer rule implementing the reference's "promoted column" fast path
@@ -47,72 +47,86 @@ object PromoteMapKeys extends Rule[LogicalPlan] with PredicateHelper {
 
   private val mapColumns = Set("fields_string", "fields_number")
 
-  private def rewrite(e: Expression, inScope: Seq[Attribute]): Expression = {
-    def promoted(mapAttr: AttributeReference, key: String): Option[Attribute] =
-      inScope.find(a =>
-        a.metadata.contains(MetaSourceKey) &&
+  /** Resolve the promoted twin of (map attribute, key) WITHIN THE SUBTREE
+    * that produced the map attribute. Resolution descends from `node` into
+    * the child chain whose output carries the map attr's exprId and accepts
+    * a metadata-matching promoted column only from single-child (or leaf)
+    * nodes on that chain — never at a Join/Union, whose output mixes
+    * relations. Without this restriction, a join of a promoted table A with
+    * any other frame B carrying a same-named map would let A's promoted
+    * column capture B's subscript (different data, silent wrong answers).
+    */
+  private def resolvePromoted(
+      node: LogicalPlan,
+      m: AttributeReference,
+      key: String,
+      dt: DataType): Option[Attribute] = {
+    def matches(a: Attribute): Boolean =
+      a.metadata.contains(MetaSourceKey) &&
         a.metadata.contains(MetaSourceMap) &&
         a.metadata.getString(MetaSourceKey) == key &&
-        a.metadata.getString(MetaSourceMap) == mapAttr.name &&
-        a.dataType == e.dataType)
+        a.metadata.getString(MetaSourceMap) == m.name &&
+        a.dataType == dt
+    def search(p: LogicalPlan): Option[Attribute] =
+      if (!p.output.exists(_.exprId == m.exprId)) None
+      else {
+        val deeper = p.children
+          .find(_.output.exists(_.exprId == m.exprId)).flatMap(search)
+        deeper.orElse(
+          if (p.children.length <= 1) p.output.find(matches) else None)
+      }
+    node.children.find(_.output.exists(_.exprId == m.exprId)).flatMap(search)
+  }
 
-    e match {
+  /** Subscript shapes this rule rewrites: `element_at`/`try_element_at` and
+    * the `map[key]` accessor, with a literal string key on one of the log
+    * map columns.
+    */
+  private object MapSubscript {
+    def unapply(e: Expression): Option[(AttributeReference, String)] = e match {
       case ElementAt(m: AttributeReference, Literal(k: UTF8String, StringType), _, _)
-          if mapColumns.contains(m.name) =>
-        promoted(m, k.toString).getOrElse(e)
+          if mapColumns.contains(m.name) => Some((m, k.toString))
       case GetMapValue(m: AttributeReference, Literal(k: UTF8String, StringType))
-          if mapColumns.contains(m.name) =>
-        promoted(m, k.toString).getOrElse(e)
-      case _ => e
+          if mapColumns.contains(m.name) => Some((m, k.toString))
+      case _ => None
     }
   }
 
-  /** Drop `IsNotNull(map)` conjuncts made redundant by the rewrite.
-    *
-    * The main optimizer batches run BEFORE this rule, so constraint
-    * inference has already added `isnotnull(fields_number)` next to the
-    * subscript predicate. After the subscript rewrites to the promoted
-    * column that conjunct is the only remaining reference to the map —
-    * and it alone forces the scan to read the entire map column, which is
-    * exactly the IO the promotion exists to avoid. It is safe to drop when
-    * a null-intolerant comparison on a column promoted FROM that map sits
-    * in the same conjunction: the promoted value is `element_at(map, k)`
-    * materialized at write time, so a null map implies a null promoted
-    * value, which the comparison already rejects. (EqualNullSafe is the one
-    * comparison that passes NULLs — excluded.)
+  /** Map attrs (by exprId) whose subscript sits inside a null-intolerant
+    * comparison conjunct AND resolves to a promoted column. For those, the
+    * inferred `isnotnull(map)` conjunct is redundant after the rewrite —
+    * the promoted value is `element_at(map, k)` materialized at write time,
+    * so a null map implies a null promoted value, which the comparison
+    * already rejects — and dropping it is what lets the scan skip the map
+    * column entirely. (EqualNullSafe passes NULLs — excluded.)
     */
-  private def dropRedundantMapNullChecks(plan: LogicalPlan): LogicalPlan =
-    plan.transformUp {
-      case f @ Filter(cond, child) =>
-        val conjuncts = splitConjunctivePredicates(cond)
-        val mapsImpliedNonNull: Set[String] = conjuncts.collect {
-          case c: BinaryComparison if !c.isInstanceOf[EqualNullSafe] =>
-            c.references.toSeq.collect {
-              case a: AttributeReference if a.metadata.contains(MetaSourceMap) =>
-                a.metadata.getString(MetaSourceMap)
-            }
-        }.flatten.toSet
-        val kept = conjuncts.filterNot {
-          case IsNotNull(m: AttributeReference) =>
-            mapColumns.contains(m.name) && mapsImpliedNonNull.contains(m.name) &&
-              // name-based provenance: require the name to be unambiguous in
-              // scope (a self-join would carry two same-named map columns)
-              child.output.count(_.name == m.name) == 1
-          case _ => false
+  private def impliedMapIds(node: Filter): Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+    splitConjunctivePredicates(node.condition).collect {
+      case c: BinaryComparison if !c.isInstanceOf[EqualNullSafe] =>
+        c.collect {
+          case e @ MapSubscript(m, key)
+              if resolvePromoted(node, m, key, e.dataType).isDefined => m.exprId
         }
-        if (kept.length == conjuncts.length) f
-        else if (kept.isEmpty) child
-        else Filter(kept.reduce(And), child)
-    }
+    }.flatten.toSet
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val rewritten = plan.transformUp {
-      case node if node.children.nonEmpty =>
-        val inScope = node.children.flatMap(_.output)
-        node.transformExpressionsUp {
-          case e => rewrite(e, inScope)
-        }
-    }
-    dropRedundantMapNullChecks(rewritten)
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case node if node.children.nonEmpty =>
+      val dropIds = node match {
+        case f: Filter => impliedMapIds(f)
+        case _ => Set.empty[org.apache.spark.sql.catalyst.expressions.ExprId]
+      }
+      val rewritten = node.transformExpressionsUp {
+        case e @ MapSubscript(m, key) =>
+          resolvePromoted(node, m, key, e.dataType).getOrElse(e)
+      }
+      rewritten match {
+        case f @ Filter(cond, child) if dropIds.nonEmpty =>
+          val kept = splitConjunctivePredicates(cond).filterNot {
+            case IsNotNull(a: AttributeReference) => dropIds.contains(a.exprId)
+            case _ => false
+          }
+          if (kept.isEmpty) child else Filter(kept.reduce(And), child)
+        case other => other
+      }
   }
 }

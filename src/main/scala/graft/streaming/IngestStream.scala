@@ -94,6 +94,14 @@ object IngestStream {
     val metrics = StreamMetrics.attach(spark)
     val server = new MetricsServer(metrics, metricsPort)
     server.start()
-    (start(spark, inPath, outPath, checkpoint, cfg, trigger), server)
+    // if the query fails to start the caller never gets the server handle —
+    // release the port (and the listener) instead of leaking them
+    try (start(spark, inPath, outPath, checkpoint, cfg, trigger), server)
+    catch {
+      case e: Throwable =>
+        server.stop()
+        spark.streams.removeListener(metrics)
+        throw e
+    }
   }
 }

@@ -96,6 +96,34 @@ class PlansSpec extends SparkTestBase {
     assert(f.metadata.getString(graft.plans.PromoteMapKeys.MetaSourceMap) == "fields_number")
   }
 
+  test("join: one table's promoted column must not capture another table's subscript") {
+    import spark.implicits._
+    // A: promoted log table (from the shared fixture write below); B: a
+    // different table with a same-named map whose values are all -1
+    val aDir = Files.createTempDirectory("graft-promo-a").toString
+    LogSchema.writePartitioned(
+      LogSchema.withPromotedColumns(
+        LogSchema.logsFromEvents(graft.sources.Tables.events(spark, sf())),
+        numberKeys = Seq("event.value")),
+      aDir)
+    val a = LogSchema.readLogs(spark, aDir)
+      .select(col("id"), col("promoted_event_value"))
+    val bDir = Files.createTempDirectory("graft-promo-b").toString
+    LogSchema.logsFromEvents(graft.sources.Tables.events(spark, sf()))
+      .select(col("id"),
+        map(lit("event.value"), lit(-1.0)).as("fields_number"))
+      .write.mode("overwrite").parquet(bDir)
+    val b = spark.read.parquet(bDir)
+
+    // the subscript targets B's map; A's promoted_event_value is in scope
+    // and metadata-matches, but lives in a different relation — a rewrite
+    // to it would filter on A's values instead of B's constant -1
+    val q = a.join(b, "id")
+      .where(try_element_at(col("fields_number"), lit("event.value")) >= 150.0)
+    assert(q.count() == 0,
+      "cross-relation promoted capture: B's subscript read A's values")
+  }
+
   test("no promoted column in scope → plan unchanged") {
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf()))
