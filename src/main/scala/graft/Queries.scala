@@ -57,7 +57,7 @@ object Queries {
     private def sessionScoped[T](
         cache: scala.collection.concurrent.TrieMap[String, (SparkSession, T)],
         s: SparkSession, dir: String)(build: => T): T = {
-      val key = System.identityHashCode(s) + ":" + dir
+      val key = s"${System.identityHashCode(s)}:$dir"
       cache.get(key) match {
         case Some((owner, v)) if owner eq s => v
         case _ =>
