@@ -1107,6 +1107,32 @@ object Queries {
     Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_len,
         md5(text) AS blob_md5 FROM documents ORDER BY doc_id"""))
 
+  private val multimodalFrameSample = Q(
+    (s, dir) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        t(s, dir, "documents"))
+      graft.operators.Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+        .toDF()
+        .groupBy("mediaId")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("payload"))).as("sampled_bytes"))
+        .select(col("mediaId").as("doc_id"), col("n_frames"), col("sampled_bytes"))
+        .orderBy("doc_id")
+    },
+    // the oracle recomputes the slicing arithmetic over UTF-8 byte lengths
+    Some("""WITH d AS (
+          SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+          WHERE octet_length(encode(text)) > 0),
+        f AS (
+          SELECT doc_id, blen,
+            list_filter(range(0, CAST(ceil(blen / 64.0) AS INT)),
+              i -> i % 2 = 0) AS idxs
+          FROM d)
+        SELECT doc_id, len(idxs)::BIGINT AS n_frames,
+          list_sum(list_transform(idxs,
+            i -> least(64, blen - i * 64)))::BIGINT AS sampled_bytes
+        FROM f ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -1179,5 +1205,6 @@ object Queries {
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "multimodal_columns" -> multimodalColumns,
+    "multimodal_frame_sample" -> multimodalFrameSample,
   )
 }

@@ -98,4 +98,77 @@ object Multimodal {
       it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b.toSeq))
     }
   }
+
+  /** Batched record→record transform (resize, re-encode, augment): same
+    * partition-local batch shape as [[decode]].
+    */
+  trait MediaTransform extends Serializable {
+    def transformBatch(batch: Seq[MediaRecord]): Seq[MediaRecord]
+  }
+
+  /** Deterministic resize stand-in: keeps every `stride`-th payload byte
+    * (output size tracks the area ratio the way a real resampler's would)
+    * and stamps the target dimensions. Swap for a codec-backed
+    * [[MediaTransform]] to go live — the plumbing and metadata contract
+    * stay identical.
+    */
+  class StubResizer(targetW: Int, targetH: Int, stride: Int) extends MediaTransform {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    override def transformBatch(batch: Seq[MediaRecord]): Seq[MediaRecord] =
+      batch.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+        r.copy(media = out, width = targetW, height = targetH)
+      }
+  }
+
+  /** Apply a batched transform partition-locally — narrow stage, bounded
+    * batch memory, no shuffle.
+    */
+  def transform(
+      media: Dataset[MediaRecord],
+      t: MediaTransform,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => t.transformBatch(b.toSeq))
+    }
+  }
+
+  /** One sampled frame: a fixed-size payload slice, the unit a vision
+    * model consumes.
+    */
+  case class MediaFrame(mediaId: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** Frame sampling: slice each payload into `frameBytes`-sized frames and
+    * keep every `stride`-th, starting at frame 0 — the video
+    * frame-sampling shape (a real implementation seeks keyframes through
+    * the codec; the slicing stub keeps the flatMap-per-partition plumbing
+    * and output contract real). Narrow stage; output volume ≈ input bytes
+    * / stride, independent of row boundaries — at 100 TB the stage
+    * parallelism is the input split count and nothing shuffles.
+    */
+  def frameSample(
+      media: Dataset[MediaRecord],
+      frameBytes: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    require(frameBytes >= 1 && stride >= 1,
+      s"frameBytes and stride must be >= 1, got $frameBytes/$stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
+          MediaFrame(r.id, i,
+            java.util.Arrays.copyOfRange(bytes, i * frameBytes,
+              math.min(bytes.length, (i + 1) * frameBytes)))
+        }
+      }
+    }
+  }
 }

@@ -77,6 +77,39 @@ class LogSchemaSpec extends SparkTestBase {
     assert(rows.map(_.checksum).distinct.length > rows.length / 2)
   }
 
+  test("multimodal: resize transform keeps stride-th bytes and stamps target dims") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val resized = Multimodal.transform(
+      media, new Multimodal.StubResizer(64, 64, stride = 4), batchSize = 16)
+    val byId = resized.collect().map(r => r.id -> r).toMap
+    media.collect().foreach { orig =>
+      val r = byId(orig.id)
+      assert(r.width == 64 && r.height == 64)
+      assert(r.media.length == (orig.media.length + 3) / 4)
+      // deterministic downsample: element i is source element i*stride
+      assert(r.media.zipWithIndex.forall { case (b, i) => b == orig.media(i * 4) })
+    }
+  }
+
+  test("multimodal: frame sampling slices payloads and keeps every stride-th frame") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+      .collect().groupBy(_.mediaId)
+    media.collect().foreach { orig =>
+      val n = orig.media.length
+      val expectedIdx = (0 until (n + 63) / 64).filter(_ % 2 == 0)
+      val got = frames.getOrElse(orig.id, Array.empty)
+      assert(got.map(_.frameIdx).sorted.toSeq == expectedIdx,
+        s"doc ${orig.id}: wrong frame indices")
+      got.foreach { f =>
+        val expected = orig.media.slice(f.frameIdx * 64, math.min(n, (f.frameIdx + 1) * 64))
+        assert(java.util.Arrays.equals(f.payload, expected))
+      }
+    }
+  }
+
   test("promoted column: map predicate vs promoted predicate agree (README.md:68-84 path)") {
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf()))
