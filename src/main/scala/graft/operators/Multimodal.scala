@@ -94,10 +94,16 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b.toSeq))
-    }
+    mapBatched(media, batchSize)(decoder.decodeBatch)
   }
+
+  /** Shared partition-local batching plumbing for [[decode]]/[[transform]]. */
+  private def mapBatched[U: org.apache.spark.sql.Encoder](
+      media: Dataset[MediaRecord],
+      batchSize: Int)(f: Seq[MediaRecord] => Seq[U]): Dataset[U] =
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => f(b.toSeq))
+    }
 
   /** Batched record→record transform (resize, re-encode, augment): same
     * partition-local batch shape as [[decode]].
@@ -117,7 +123,10 @@ object Multimodal {
     override def transformBatch(batch: Seq[MediaRecord]): Seq[MediaRecord] =
       batch.map { r =>
         val bytes = if (r.media == null) Array.empty[Byte] else r.media
-        val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+        // Long ceil-division: len + stride - 1 overflows Int for stride
+        // near Int.MaxValue
+        val out = new Array[Byte](
+          ((bytes.length.toLong + stride - 1) / stride).toInt)
         var i = 0
         while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
         r.copy(media = out, width = targetW, height = targetH)
@@ -133,9 +142,7 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(b => t.transformBatch(b.toSeq))
-    }
+    mapBatched(media, batchSize)(t.transformBatch)
   }
 
   /** One sampled frame: a fixed-size payload slice, the unit a vision
@@ -162,8 +169,11 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = if (r.media == null) Array.empty[Byte] else r.media
-        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-        Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
+        // Long ceil-division: len + frameBytes - 1 overflows Int for
+        // frameBytes near Int.MaxValue (nFrames would go negative and the
+        // record would silently vanish)
+        val nFrames = ((bytes.length.toLong + frameBytes - 1) / frameBytes).toInt
+        Iterator.range(0, nFrames, stride).map { i =>
           MediaFrame(r.id, i,
             java.util.Arrays.copyOfRange(bytes, i * frameBytes,
               math.min(bytes.length, (i + 1) * frameBytes)))
