@@ -66,7 +66,7 @@ object LogSchema {
       )).as("fields_string"),
       elideNulls(map(
         lit("event.value"), col("value"),
-        lit("props.k"), get_json_object(col("props"), "$.k").cast(DoubleType),
+        lit("props.k"), get_json_object(col("props"), "$.k").try_cast(DoubleType),
       )).as("fields_number"),
       concat_ws(" ", col("event_type"), col("props")).as("log"),
     )
@@ -134,8 +134,11 @@ object LogSchema {
     * the O(1)-per-partition equivalent of MergeTree TTL part drops.
     */
   def dropExpiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the path — FileSystem.get(conf) returns
+    // the default FS, which breaks (or silently no-ops) when the log table
+    // lives on a different store (s3a:// table with hdfs:// defaultFS)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val doomed = expiredPartitions(spark, path, days)
     doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
     doomed
@@ -143,9 +146,8 @@ object LogSchema {
 
   def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {
     val cutoff = java.time.LocalDate.now().minusDays(days.toLong)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq
       .map(_.getPath)

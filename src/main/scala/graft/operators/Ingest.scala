@@ -297,34 +297,65 @@ object Ingest {
   }
 
   /** Assemble `fields_string` / `fields_number` from a known-schema struct
-    * column with pure built-in expressions (no UDF — whole-stage codegen
-    * keeps this in the scan stage at 100 TB). `try_cast` keeps the
-    * force-number fallback semantics ANSI-safe.
+    * column with pure built-in expressions (no UDF, no higher-order
+    * functions — `when`/`map`/`map_concat` all participate in whole-stage
+    * codegen, keeping this in the scan stage at 100 TB; the earlier
+    * `filter`-over-array form was CodegenFallback and re-evaluated every
+    * entry per element). `try_cast` keeps the force-number fallback
+    * semantics ANSI-safe.
+    *
+    * Collision semantics match the dynamic path: flat-key collisions
+    * (e.g. struct `a.b` vs field `a_b`) resolve LAST-WINS at plan time —
+    * the dynamic path's LinkedHashMap overwrite — instead of tripping
+    * Spark's DUPLICATE_MAP_KEY runtime error. Timestamp/date and any other
+    * atomic leaf renders into the string map via cast-to-string (the JSON
+    * path would have carried them as strings).
     */
   def flattenStruct(structCol: Column, schema: StructType, cfg: IngestConfig = IngestConfig(),
       maxArray: Int = 8): (Column, Column) = {
-    val leaves = flattenStructLeaves(structCol, schema, top = true, "", maxArray)
+    val rawLeaves = flattenStructLeaves(structCol, schema, top = true, "", maxArray)
+    // flatten-level last-wins on the composed key (flatten.go overwrite via
+    // Go map assignment; our dynamic path's LinkedHashMap does the same)
+    val lastIdxByKey = rawLeaves.zipWithIndex
+      .map { case ((k, _, _), i) => k -> i }.toMap // toMap keeps the last index
+    val leaves = rawLeaves.zipWithIndex
+      .collect { case (l, i) if lastIdxByKey(l._1) == i => l }
     def fmtKey(k: String): String =
       if (cfg.forceUnderscores) k.replace(".", "_") else k
-    val numEntries = leaves.collect {
+    val numEntries: Seq[(String, Column)] = leaves.collect {
       case (k, c, dt) if dt.isInstanceOf[NumericType] =>
-        struct(lit(fmtKey(k)).as("key"), c.cast(DoubleType).as("value"))
+        fmtKey(k) -> c.cast(DoubleType)
       case (k, c, StringType) if cfg.forceNumberFields.contains(k) =>
-        struct(lit(fmtKey(k)).as("key"), c.try_cast(DoubleType).as("value"))
+        fmtKey(k) -> c.try_cast(DoubleType)
     }
-    val strEntries = leaves.collect {
+    val strEntries: Seq[(String, Column)] = leaves.collect {
       case (k, c, StringType) if !cfg.forceNumberFields.contains(k) =>
-        struct(lit(fmtKey(k)).as("key"), c.as("value"))
+        fmtKey(k) -> c
       case (k, c, BooleanType) =>
-        struct(lit(fmtKey(k)).as("key"), c.cast(StringType).as("value"))
+        fmtKey(k) -> c.cast(StringType)
       case (k, c, StringType) if cfg.forceNumberFields.contains(k) =>
         // unparsable force-number values fall back to the string map
-        struct(lit(fmtKey(k)).as("key"),
-          when(c.try_cast(DoubleType).isNull, c).as("value"))
+        fmtKey(k) -> when(c.try_cast(DoubleType).isNull, c)
+      case (k, c, dt) if !dt.isInstanceOf[NumericType] &&
+          dt != StringType && dt != BooleanType =>
+        // remaining leaf types (timestamp/date/binary/...) — flattenStructLeaves
+        // never emits struct/array/map, so string rendering is always defined
+        fmtKey(k) -> c.cast(StringType)
     }
-    def buildMap(entries: Seq[Column], empty: Column): Column =
-      if (entries.isEmpty) empty
-      else map_from_entries(filter(array(entries: _*), e => e.getField("value").isNotNull))
+    // per-map last-wins on the FORMATTED key (underscore rewrites can
+    // collide post-formatting; the dynamic path overwrites per map)
+    def dedupe(entries: Seq[(String, Column)]): Seq[(String, Column)] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+      entries.foreach { case (k, v) => m(k) = v }
+      m.toSeq
+    }
+    // null elision without a higher-order function: each entry becomes a
+    // conditional singleton map; map_concat fuses them (keys are distinct
+    // after the plan-time dedupe, so the dedup policy never fires)
+    def buildMap(entries: Seq[(String, Column)], empty: Column): Column =
+      dedupe(entries)
+        .map { case (k, v) => when(v.isNotNull, map(lit(k), v)).otherwise(empty) }
+        .foldLeft(empty)((acc, m) => map_concat(acc, m))
     (buildMap(strEntries, typedLit(Map.empty[String, String])),
      buildMap(numEntries, typedLit(Map.empty[String, Double])))
   }

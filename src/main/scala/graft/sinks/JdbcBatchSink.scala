@@ -44,8 +44,16 @@ object JdbcBatchSink {
       }
     }
 
-  private lazy val asyncPool: ExecutorService = Executors.newFixedThreadPool(2)
-  @volatile private var pending: List[JFuture[_]] = Nil
+  // daemon threads: a fire-and-forget pool must never keep the driver JVM
+  // alive after main returns (non-daemon executors hang client-mode exits)
+  private lazy val asyncPool: ExecutorService = Executors.newFixedThreadPool(2,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-jdbc-async")
+      t.setDaemon(true)
+      t
+    })
+  private val pendingLock = new Object
+  private var pending: List[JFuture[_]] = Nil
 
   private def props(cfg: JdbcSinkConfig): Properties = {
     val p = new Properties()
@@ -72,7 +80,11 @@ object JdbcBatchSink {
           override def run(): Unit =
             try writeBatch(frozen, cfg) finally { frozen.unpersist(); () }
         })
-        pending = fut :: pending.filterNot(_.isDone)
+        // synchronized: a lost update against a concurrent drain() would
+        // untrack an in-flight write and shutdown could return mid-INSERT
+        pendingLock.synchronized {
+          pending = fut :: pending.filterNot(_.isDone)
+        }
       } else {
         writeBatch(batch, cfg)
       }
@@ -82,7 +94,12 @@ object JdbcBatchSink {
     * flushes its buffer on exit, main.go:386-396).
     */
   def drain(): Unit = {
-    pending.foreach(f => try f.get() catch { case _: Exception => })
-    pending = Nil
+    // loop: a trigger racing with shutdown can submit after we snapshot —
+    // keep draining until a snapshot comes back empty
+    var batch = pendingLock.synchronized { val p = pending; pending = Nil; p }
+    while (batch.nonEmpty) {
+      batch.foreach(f => try f.get() catch { case _: Exception => })
+      batch = pendingLock.synchronized { val p = pending; pending = Nil; p }
+    }
   }
 }

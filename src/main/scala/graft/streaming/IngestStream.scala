@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   *    is a rate limit, not a row count, in Spark's model);
   *  - the reference is at-least-once (failed INSERT keeps the buffer and
   *    Fluent Bit retries the chunk, clickhouse.go:78-106); checkpointed
-  *    foreachBatch + idempotent overwrite-by-batch gives exactly-once per
-  *    sink batch — a documented upgrade;
+  *    foreachBatch + per-batch commit markers skip replayed batch ids, so
+  *    duplicates are limited to a crash inside the write→marker window —
+  *    the same at-least-once floor as the reference, with the common
+  *    restart path deduplicated;
   *  - drain-on-shutdown (main.go:386-396) = stop() after the final batch,
   *    asserted in tests.
   */
@@ -49,8 +51,15 @@ object IngestStream {
 
   /** Partitioned-parquet sink with the reference's physical design (daily
     * partitions + sort key, LogSchema.writePartitioned) applied per batch.
-    * Exactly-once: `foreachBatch` + checkpoint; replayed batch ids rewrite
-    * the same files.
+    *
+    * Idempotence: a replayed batch id (checkpoint not yet committed when
+    * the driver died) is SKIPPED when its `_graft_batches/<id>` marker
+    * exists, so the common restart path does not duplicate data. The
+    * marker is written after the data, so a crash in between re-appends
+    * that one batch on replay — at-least-once in the worst case, which is
+    * exactly the reference's chunk-retry guarantee
+    * (/root/reference/pkg/clickhouse/clickhouse.go:78-106). Parquet
+    * readers ignore the underscore-prefixed marker directory.
     */
   def sinkPartitionedParquet(
       ingested: DataFrame,
@@ -61,7 +70,15 @@ object IngestStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        LogSchema.writePartitioned(batch, outPath, mode = "append")
+        val base = new org.apache.hadoop.fs.Path(outPath)
+        val fs = base.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(base,
+          s"_graft_batches/$batchId")
+        if (!fs.exists(marker)) {
+          LogSchema.writePartitioned(batch, outPath, mode = "append")
+          fs.create(marker, true).close()
+        }
         ()
       }
 
@@ -96,8 +113,13 @@ object IngestStream {
     server.start()
     // if the query fails to start the caller never gets the server handle —
     // release the port (and the listener) instead of leaking them
-    try (start(spark, inPath, outPath, checkpoint, cfg, trigger), server)
-    catch {
+    try {
+      val query = start(spark, inPath, outPath, checkpoint, cfg, trigger)
+      // scope the counters to THIS pipeline: other queries on the session
+      // would otherwise count into the same totals
+      metrics.restrictTo(query.id)
+      (query, server)
+    } catch {
       case e: Throwable =>
         server.stop()
         spark.streams.removeListener(metrics)

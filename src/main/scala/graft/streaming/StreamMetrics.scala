@@ -18,15 +18,25 @@ class StreamMetrics extends StreamingQueryListener {
   val lastBatchSize = new AtomicLong(0)
   val lastFlushSeconds = new AtomicReference[Double](0.0)
 
+  // Spark delivers every query's events to every listener on the session;
+  // unscoped, two pipelines would double-count into each other's metrics.
+  // None = count all queries (the generic attach()); set via restrictTo.
+  private val only = new AtomicReference[Option[java.util.UUID]](None)
+
+  /** Count only the given streaming query's progress (its `query.id`). */
+  def restrictTo(queryId: java.util.UUID): Unit = only.set(Some(queryId))
+
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
-    inputRecordsTotal.addAndGet(p.numInputRows)
-    batchesTotal.incrementAndGet()
-    lastBatchSize.set(p.numInputRows)
-    Option(p.durationMs.get("triggerExecution"))
-      .foreach(ms => lastFlushSeconds.set(ms.toDouble / 1000.0))
+    if (only.get.forall(_ == p.id)) {
+      inputRecordsTotal.addAndGet(p.numInputRows)
+      batchesTotal.incrementAndGet()
+      lastBatchSize.set(p.numInputRows)
+      Option(p.durationMs.get("triggerExecution"))
+        .foreach(ms => lastFlushSeconds.set(ms.toDouble / 1000.0))
+    }
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()

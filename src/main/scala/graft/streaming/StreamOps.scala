@@ -63,5 +63,8 @@ object StreamOps {
       dim: DataFrame,
       streamKey: String,
       dimKey: String): DataFrame =
-    logStream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+    // dataset-qualified keys: unqualified col() is AMBIGUOUS_REFERENCE when
+    // both sides share the key column name (the natural enrich call)
+    logStream.join(broadcast(dim),
+      logStream(streamKey) === dim(dimKey), "left_outer")
 }

@@ -124,6 +124,27 @@ class IngestSpec extends SparkTestBase {
     assert(fnm("n__2") == 2.5 && fnm("i") == 7.0)
   }
 
+  test("flattenStruct: flat-key collisions resolve last-wins; timestamp/date leaves render as strings") {
+    import spark.implicits._
+    // struct a.b and field a_b both flatten to key "a_b" — the dynamic
+    // path's LinkedHashMap overwrites (last wins); the plan-time path must
+    // not trip DUPLICATE_MAP_KEY
+    val df = Seq((Tuple1(1L), 2L, "2026-02-03 04:05:06"))
+      .toDF("a", "a_b", "ts_s")
+      .select(struct(
+        struct(col("a._1").as("b")).as("a"),
+        col("a_b"),
+        to_timestamp(col("ts_s")).as("created_at")).as("rec"))
+    val schema = df.schema("rec").dataType.asInstanceOf[StructType]
+    val (fs, fn) = Ingest.flattenStruct(col("rec"), schema)
+    val row = df.select(fs.as("fs"), fn.as("fn")).collect()(0)
+    val fnm = row.getAs[Map[String, Double]]("fn")
+    val fsm = row.getAs[Map[String, String]]("fs")
+    assert(fnm("a_b") == 2.0, s"expected last-wins 2.0, got $fnm")
+    // non-string/number/bool atomic leaves land in the string map
+    assert(fsm("created_at").startsWith("2026-02-03 04:05:06"))
+  }
+
   test("native graft_ingest expression ≡ UDF path on a varied record sample") {
     import spark.implicits._
     val recs = Seq(
