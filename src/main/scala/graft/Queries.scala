@@ -1133,6 +1133,105 @@ object Queries {
             i -> least(64, blen - i * 64)))::BIGINT AS sampled_bytes
         FROM f ORDER BY doc_id"""))
 
+  // --- training-pipeline operators (TrainPipeline.scala) -------------
+
+  private val textChunk = Q(
+    (s, dir) => graft.operators.TrainPipeline.chunk(
+        t(s, dir, "documents"), "doc_id", "text", size = 80, stride = 60)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH exploded AS (
+        SELECT doc_id,
+          unnest(generate_series(0, cast((length(text)-1)//60 AS BIGINT))) AS i,
+          text
+        FROM documents WHERE length(text) > 0)
+        SELECT doc_id, i AS chunk_idx,
+          substr(text, cast(i*60+1 AS INT), 80) AS chunk
+        FROM exploded ORDER BY doc_id, chunk_idx"""))
+
+  private val sampleStratified = Q(
+    (s, dir) => graft.operators.TrainPipeline.sampleStratified(
+        t(s, dir, "documents"), "doc_id",
+        when(col("lang") === "en", 50).otherwise(10))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source FROM documents
+        WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)),1,8))::BIGINT % 100 <
+          CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        ORDER BY doc_id"""))
+
+  private val piiRedact = Q(
+    (s, dir) => {
+      // plant deterministic PII shapes so the scrub has work to do; the
+      // oracle builds the identical input string
+      val planted = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast(StringType),
+        lit("@ex.org ip 10.1.2."), (col("doc_id") % 200).cast(StringType),
+        lit(" acct 1234567"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TrainPipeline.redactPii(planted).as("clean"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+          text || ' contact u' || doc_id || '@ex.org ip 10.1.2.' ||
+            (doc_id % 200) || ' acct 1234567',
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          '\b[0-9]{7,}\b', '<NUM>', 'g') AS clean
+        FROM documents ORDER BY doc_id"""))
+
+  private val packSequences = Q(
+    (s, dir) => {
+      val withW = t(s, dir, "documents").select(
+        col("source"), col("doc_id"),
+        TF.tokenCountWs(col("text")).cast(LongType).as("w"))
+      graft.operators.TrainPipeline.packGreedy(
+          withW, "source", "doc_id", "w", budget = 256L)
+        .orderBy("id")
+    },
+    Some("""WITH RECURSIVE seq AS (
+          SELECT source AS grp, doc_id AS id,
+            len(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> x <> ''))::BIGINT AS w,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents),
+        pack(grp, rn, id, w, bin, fill) AS (
+          SELECT grp, rn, id, w, 0::BIGINT, w FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.grp, s.rn, s.id, s.w,
+            CASE WHEN p.fill + s.w <= 256 THEN p.bin ELSE p.bin + 1 END,
+            CASE WHEN p.fill + s.w <= 256 THEN p.fill + s.w ELSE s.w END
+          FROM pack p JOIN seq s ON s.grp = p.grp AND s.rn = p.rn + 1)
+        SELECT grp, id, w, bin FROM pack ORDER BY id"""))
+
+  private val dedupCluster = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.8, maxId = 60)
+      graft.operators.TrainPipeline.connectedComponents(
+          docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b")
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE d AS (
+          SELECT doc_id, list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh
+          FROM documents WHERE doc_id < 60),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM d a, d b WHERE a.doc_id < b.doc_id
+            AND round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node, min(label) AS cluster FROM reach GROUP BY node
+        ORDER BY node"""))
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -1206,5 +1305,10 @@ object Queries {
     "doc_fingerprint" -> docFingerprint,
     "multimodal_columns" -> multimodalColumns,
     "multimodal_frame_sample" -> multimodalFrameSample,
+    "text_chunk" -> textChunk,
+    "sample_stratified" -> sampleStratified,
+    "pii_redact" -> piiRedact,
+    "pack_sequences" -> packSequences,
+    "dedup_cluster" -> dedupCluster,
   )
 }

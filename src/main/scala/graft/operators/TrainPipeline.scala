@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators beyond the reference surface: context-
+  * window chunking, deterministic stratified sampling, PII redaction,
+  * token-budget sequence packing, and near-duplicate clustering
+  * (connected components over candidate pairs). These are the steps an
+  * LLM-corpus build runs after the klogs-style ingest/filter layer
+  * (SURVEY.md §2.10 extension policy).
+  *
+  * Scale posture (100 TB):
+  *  - chunk / sample / redact are narrow, per-row column expressions — no
+  *    shuffle, pruned scans, whole-stage codegen;
+  *  - packGreedy is one hash-partition shuffle on the group key plus an
+  *    in-partition sorted streaming pass (O(1) state per partition);
+  *  - connectedComponents is the standard iterative min-label propagation:
+  *    one shuffle join per round, rounds bounded by cluster diameter —
+  *    near-dup clusters are shallow (a dup of a dup of X is near X), so
+  *    convergence is a handful of rounds in practice, with `maxIter` as
+  *    the hard stop.
+  */
+object TrainPipeline {
+
+  /** Explode each document into fixed-size character windows starting every
+    * `stride` characters (the training context-window shape; `size` >
+    * `stride` yields overlap). Empty texts produce no chunks. Narrow
+    * operation: `explode(sequence(...))` then a substring per chunk — the
+    * scan never shuffles and chunking parallelism equals scan parallelism.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L),
+          floor((length(col(textCol)) - 1) / lit(stride)).cast(LongType)))
+          .as("chunk_idx"),
+        col(textCol))
+      .select(col(idCol), col("chunk_idx"),
+        col(textCol).substr(
+          (col("chunk_idx") * stride + 1).cast(IntegerType),
+          lit(size)).as("chunk"))
+  }
+
+  /** Deterministic hash bucket in [0, 100) for stratified sampling: the
+    * first 8 hex digits of md5(id) — stable across engines, runs, and
+    * partitionings (unlike `rand()`), so a sample is reproducible and a
+    * re-run adds/removes nothing. md5 is cross-engine canonical (DuckDB:
+    * `('0x' || substr(md5(id::VARCHAR),1,8))::BIGINT % 100`).
+    */
+  def hashBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % 100
+
+  /** Keep each row iff its hash bucket falls under the row's percent rate
+    * (0-100), e.g. `when(col("lang") === "en", 50).otherwise(10)` for
+    * 50% English / 10% other. Pure per-row filter — no shuffle, and the
+    * sample of a stratum is a fixed subset regardless of cluster layout.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, ratePercent: Column): DataFrame =
+    df.where(hashBucket(col(idCol)) < ratePercent)
+
+  /** Scrub common PII shapes from free text: emails, IPv4 addresses, and
+    * long digit runs (phone/account numbers). Patterns are intentionally
+    * RE2-compatible (no backreferences/lookaround) so the same regexes run
+    * in DuckDB/Go-style engines for cross-checking.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val digits = "\\b[0-9]{7,}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      digits, "<NUM>")
+  }
+
+  /** Greedy sequence packing: within each group, walk items in `idCol`
+    * order and assign consecutive bin ids, opening a new bin whenever
+    * adding the item would exceed `budget` (items above `budget` get a bin
+    * of their own). This is the first-fit-in-order packing training
+    * pipelines use to fill context windows without reordering documents.
+    *
+    * Implementation is ONE hash shuffle on the group key followed by a
+    * sorted streaming pass per partition: `repartition(group)` co-locates
+    * each group, `sortWithinPartitions(group, id)` orders it, and the
+    * `mapPartitions` walker keeps O(1) state (current group, bin, fill) —
+    * no per-group materialization, so a group larger than memory still
+    * packs. Output: group, id, weight, bin.
+    */
+  def packGreedy(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val in = df.select(
+      col(groupCol).cast(StringType).as("grp"),
+      col(idCol).cast(LongType).as("id"),
+      col(weightCol).cast(LongType).as("w"))
+    val outSchema = StructType(Seq(
+      StructField("grp", StringType), StructField("id", LongType),
+      StructField("w", LongType), StructField("bin", LongType)))
+    val packed = in.repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("id"))
+      .mapPartitions { rows =>
+        var grp: String = null
+        var bin = 0L
+        var fill = 0L
+        rows.map { r =>
+          val g = r.getString(0); val id = r.getLong(1); val w = r.getLong(2)
+          if (g != grp) { grp = g; bin = 0L; fill = w }
+          else if (fill + w <= budget) { fill += w }
+          else { bin += 1L; fill = w }
+          Row(g, id, w, bin)
+        }
+      }(Encoders.row(outSchema))
+    packed.toDF("grp", "id", "w", "bin")
+  }
+
+  /** Connected components over an undirected candidate-pair graph (the
+    * dedup step after minhash/simhash banding: pairs → clusters → keep one
+    * doc per cluster). Returns (node, cluster) where cluster is the
+    * minimum node id reachable from the node — the unique, deterministic
+    * fixpoint of min-label propagation.
+    *
+    * Each round propagates labels across edges (one shuffle join + one
+    * map-side-combined min aggregate) and stops when no label changed.
+    * Rounds are bounded by component diameter; near-dup components are
+    * shallow in practice. For adversarially long chains at extreme scale,
+    * the alternating large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) converges in
+    * O(log n) rounds with the same per-round plan shape — this
+    * implementation keeps the simpler variant and caps work at `maxIter`.
+    */
+  def connectedComponents(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // undirected: propagate both ways
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = nodes.select(col(nodeCol).as("node"), col(nodeCol).as("label"))
+      .persist()
+    labels.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = labels.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist()
+      // convergence probe: any node whose label still shrinks this round?
+      val changed = prop.as("p")
+        .join(labels.as("l"), col("p.node") === col("l.node"))
+        .where(col("p.label") =!= col("l.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = prop
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist()
+    val out = labels.select(col("node"), col("label").as("cluster"))
+    labels.unpersist()
+    out
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.TrainPipeline
+import org.apache.spark.sql.functions._
+
+class TrainPipelineSpec extends SparkTestBase {
+
+  test("chunk: covers the text with stride windows, last chunk short, empty text dropped") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 150), (2L, "xyz"), (3L, "")).toDF("id", "text")
+    val out = TrainPipeline.chunk(df, "id", "text", size = 80, stride = 60)
+      .orderBy("id", "chunk_idx").collect()
+    // 150 chars, stride 60 → starts 0,60,120 → 3 chunks (last 30 chars)
+    val one = out.filter(_.getLong(0) == 1L)
+    assert(one.length == 3)
+    assert(one(0).getString(2).length == 80)
+    assert(one(2).getString(2).length == 30)
+    // overlap: chunk k starts at k*60 inside the source
+    assert(one(1).getString(2) == "a" * 80)
+    val two = out.filter(_.getLong(0) == 2L)
+    assert(two.length == 1 && two(0).getString(2) == "xyz")
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
+
+  test("sampleStratified: deterministic across runs and honors per-stratum rates") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val rate = when(col("lang") === "en", 50).otherwise(10)
+    val a = TrainPipeline.sampleStratified(df, "id", rate).collect().map(_.getLong(0)).toSet
+    val b = TrainPipeline.sampleStratified(df, "id", rate).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same input must sample the same rows")
+    val en = df.where(col("lang") === "en").count().toDouble
+    val enKept = TrainPipeline.sampleStratified(df, "id", rate)
+      .where(col("lang") === "en").count().toDouble
+    val de = df.where(col("lang") === "de").count().toDouble
+    val deKept = TrainPipeline.sampleStratified(df, "id", rate)
+      .where(col("lang") === "de").count().toDouble
+    assert(math.abs(enKept / en - 0.5) < 0.08, s"en rate ${enKept / en}")
+    assert(math.abs(deKept / de - 0.1) < 0.05, s"de rate ${deKept / de}")
+  }
+
+  test("redactPii: emails, IPv4s, and long digit runs are scrubbed; short numbers survive") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at jane.doe+spam@corp.example.co and 10.22.0.255 acct 12345678 room 42"
+    ).toDF("t")
+    val out = df.select(TrainPipeline.redactPii(col("t")).as("c")).head().getString(0)
+    assert(out == "mail me at <EMAIL> and <IP> acct <NUM> room 42", out)
+  }
+
+  test("packGreedy: budget respected in id order, oversize item gets its own bin, groups independent") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 40L), ("a", 2L, 50L), ("a", 3L, 30L), ("a", 4L, 900L), ("a", 5L, 10L),
+      ("b", 6L, 10L)).toDF("g", "id", "w")
+    val out = TrainPipeline.packGreedy(df, "g", "id", "w", budget = 100L)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // a: 40+50=90 fits bin0; 30 opens bin1; 900 > budget alone in bin2; 10 in bin3
+    assert(out.toSeq == Seq(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 2L), ("a", 5L, 3L),
+      ("b", 6L, 0L)))
+    // bins never exceed budget except singleton-oversize bins
+    val weights = Map(1L -> 40L, 2L -> 50L, 3L -> 30L, 4L -> 900L, 5L -> 10L, 6L -> 10L)
+    out.groupBy(r => (r._1, r._3)).foreach { case (_, rs) =>
+      val s = rs.map(r => weights(r._2)).sum
+      assert(s <= 100L || rs.length == 1, s"bin over budget: ${rs.toSeq}")
+    }
+  }
+
+  test("connectedComponents: chain needs multiple rounds; isolated node keeps own label") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus isolated 9: min-label must travel 4 hops
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("n")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val got = TrainPipeline.connectedComponents(nodes, "n", edges, "s", "d")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (9L, 9L)))
+  }
+
+  test("connectedComponents: maxIter caps propagation depth") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("n")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val capped = TrainPipeline.connectedComponents(nodes, "n", edges, "s", "d", maxIter = 1)
+      .orderBy("node").collect().map(_.getLong(1)).toSeq
+    // one round: each node only sees direct neighbors' original labels
+    assert(capped == Seq(1L, 1L, 2L, 3L, 4L))
+  }
+}
