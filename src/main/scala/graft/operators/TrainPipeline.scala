@@ -144,7 +144,14 @@ object TrainPipeline {
       .persist()
     var labels = nodes.select(col(nodeCol).as("node"), col(nodeCol).as("label"))
       .persist()
-    labels.count()
+    // convergence probe: per-node labels only ever decrease, so the label
+    // sum is strictly monotone until the fixpoint — one map-side-combined
+    // aggregate per round instead of a join-diff. Decimal dodges overflow
+    // on billions of wide ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -153,19 +160,21 @@ object TrainPipeline {
         .union(labels)
         .groupBy("node").agg(min("label").as("label"))
         .persist()
-      // convergence probe: any node whose label still shrinks this round?
-      val changed = prop.as("p")
-        .join(labels.as("l"), col("p.node") === col("l.node"))
-        .where(col("p.label") =!= col("l.label"))
-        .limit(1).count()
+      val s = labelSum(prop)
       labels.unpersist()
       labels = prop
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
-    e.unpersist()
+    // truncate lineage before releasing the cached rounds — otherwise
+    // consuming the result re-runs the whole iteration chain from source
+    // (at real scale, swap localCheckpoint for checkpoint() on a
+    // fault-tolerant dir)
     val out = labels.select(col("node"), col("label").as("cluster"))
+      .localCheckpoint()
     labels.unpersist()
+    e.unpersist()
     out
   }
 }
