@@ -53,6 +53,34 @@ class StreamingSpec extends SparkTestBase {
     assert(metrics.inputRecordsTotal.get >= 50)
   }
 
+  test("replayed batch ids are skipped: checkpoint loss does not duplicate committed batches") {
+    val in = tmp("graft-rin"); val out = tmp("graft-rout"); val ckpt = tmp("graft-rckpt")
+    writeFixture(in, "batch1.json", fixtureLines(20))
+    val q1 = IngestStream.start(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    q1.processAllAvailable(); q1.stop()
+    assert(LogSchema.readLogs(spark, out).count() == 20)
+    // simulate a driver crash that lost the checkpoint AFTER the sink
+    // committed: the source replays batch 0, the _graft_batches marker
+    // must swallow the re-append (clickhouse.go:78-106 retry semantics,
+    // deduplicated)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(ckpt))
+    val q2 = IngestStream.start(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    q2.processAllAvailable(); q2.stop()
+    assert(LogSchema.readLogs(spark, out).count() == 20,
+      "replayed batch 0 must not re-append")
+    // new data after the replay still lands
+    writeFixture(in, "batch2.json", fixtureLines(5, _ => 11))
+    val q3 = IngestStream.start(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    q3.processAllAvailable(); q3.stop()
+    assert(LogSchema.readLogs(spark, out).count() == 25)
+  }
+
   test("startWithMetrics serves live pipeline counters over HTTP while streaming") {
     val in = tmp("graft-min"); val out = tmp("graft-mout"); val ckpt = tmp("graft-mckpt")
     writeFixture(in, "batch1.json", fixtureLines(25))
