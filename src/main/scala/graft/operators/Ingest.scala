@@ -350,12 +350,17 @@ object Ingest {
       m.toSeq
     }
     // null elision without a higher-order function: each entry becomes a
-    // conditional singleton map; map_concat fuses them (keys are distinct
-    // after the plan-time dedupe, so the dedup policy never fires)
-    def buildMap(entries: Seq[(String, Column)], empty: Column): Column =
-      dedupe(entries)
-        .map { case (k, v) => when(v.isNotNull, map(lit(k), v)).otherwise(empty) }
-        .foldLeft(empty)((acc, m) => map_concat(acc, m))
+    // conditional singleton map; ONE variadic map_concat fuses them (keys
+    // are distinct after the plan-time dedupe, so the dedup policy never
+    // fires). A fold of binary map_concats would copy accumulated entries
+    // at every level — O(n²) per row — and nest the expression tree
+    // n deep; the flat call is a single O(n) merge.
+    def buildMap(entries: Seq[(String, Column)], empty: Column): Column = {
+      val singletons = dedupe(entries).map { case (k, v) =>
+        when(v.isNotNull, map(lit(k), v)).otherwise(empty)
+      }
+      if (singletons.isEmpty) empty else map_concat(singletons: _*)
+    }
     (buildMap(strEntries, typedLit(Map.empty[String, String])),
      buildMap(numEntries, typedLit(Map.empty[String, Double])))
   }

@@ -95,10 +95,14 @@ object TrainPipeline {
   def packGreedy(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    // null id/weight rows are dropped rather than crashing the partition
+    // walker (getLong on null throws an opaque NPE mid-stage); a null
+    // GROUP is a legitimate stratum and packs normally
     val in = df.select(
-      col(groupCol).cast(StringType).as("grp"),
-      col(idCol).cast(LongType).as("id"),
-      col(weightCol).cast(LongType).as("w"))
+        col(groupCol).cast(StringType).as("grp"),
+        col(idCol).cast(LongType).as("id"),
+        col(weightCol).cast(LongType).as("w"))
+      .where(col("id").isNotNull && col("w").isNotNull)
     val outSchema = StructType(Seq(
       StructField("grp", StringType), StructField("id", LongType),
       StructField("w", LongType), StructField("bin", LongType)))
@@ -137,13 +141,29 @@ object TrainPipeline {
   def connectedComponents(nodes: DataFrame, nodeCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    // undirected: propagate both ways
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodeSet = nodes.select(col(nodeCol).as("node")).distinct()
+    // undirected: propagate both ways. Edges touching an endpoint OUTSIDE
+    // the node universe are dropped up front — the label-sum convergence
+    // probe below relies on a fixed node population (a foreign endpoint
+    // appearing in round 1 would make the sum non-monotone, and components
+    // are defined over `nodes` anyway).
+    val bidir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .persist()
+    // Lineage is TRUNCATED every round (eager localCheckpoint): with plain
+    // persist, round N's logical plan nests rounds 1..N-1 and Catalyst
+    // re-analysis cost explodes with depth — a diameter-10 chain took
+    // minutes in plan time while executing milliseconds of work. Constant
+    // plan depth keeps each round O(data), and the returned frame never
+    // re-runs the iteration chain. At multi-node scale swap localCheckpoint
+    // for checkpoint() on a fault-tolerant dir (executor loss invalidates
+    // local checkpoints); the round structure is unchanged.
+    val e = bidir
+      .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .localCheckpoint()
     var labels = nodes.select(col(nodeCol).as("node"), col(nodeCol).as("label"))
-      .persist()
+      .localCheckpoint()
     // convergence probe: per-node labels only ever decrease, so the label
     // sum is strictly monotone until the fixpoint — one map-side-combined
     // aggregate per round instead of a join-diff. Decimal dodges overflow
@@ -159,22 +179,13 @@ object TrainPipeline {
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy("node").agg(min("label").as("label"))
-        .persist()
+        .localCheckpoint()
       val s = labelSum(prop)
-      labels.unpersist()
       labels = prop
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
-    // truncate lineage before releasing the cached rounds — otherwise
-    // consuming the result re-runs the whole iteration chain from source
-    // (at real scale, swap localCheckpoint for checkpoint() on a
-    // fault-tolerant dir)
-    val out = labels.select(col("node"), col("label").as("cluster"))
-      .localCheckpoint()
-    labels.unpersist()
-    e.unpersist()
-    out
+    labels.select(col("node"), col("label").as("cluster"))
   }
 }

@@ -76,13 +76,14 @@ object JdbcBatchSink {
         // next trigger recomputing it
         val frozen = batch.persist()
         frozen.count()
-        val fut = asyncPool.submit(new Runnable {
-          override def run(): Unit =
-            try writeBatch(frozen, cfg) finally { frozen.unpersist(); () }
-        })
-        // synchronized: a lost update against a concurrent drain() would
-        // untrack an in-flight write and shutdown could return mid-INSERT
+        // submit AND track under one lock: a drain() between submit and
+        // tracking would snapshot an empty list and return while the
+        // just-submitted INSERT is in flight
         pendingLock.synchronized {
+          val fut = asyncPool.submit(new Runnable {
+            override def run(): Unit =
+              try writeBatch(frozen, cfg) finally { frozen.unpersist(); () }
+          })
           pending = fut :: pending.filterNot(_.isDone)
         }
       } else {

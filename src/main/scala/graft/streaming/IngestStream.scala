@@ -53,34 +53,79 @@ object IngestStream {
     * partitions + sort key, LogSchema.writePartitioned) applied per batch.
     *
     * Idempotence: a replayed batch id (checkpoint not yet committed when
-    * the driver died) is SKIPPED when its `_graft_batches/<id>` marker
-    * exists, so the common restart path does not duplicate data. The
-    * marker is written after the data, so a crash in between re-appends
-    * that one batch on replay — at-least-once in the worst case, which is
-    * exactly the reference's chunk-retry guarantee
+    * the driver died) is SKIPPED when its commit marker exists, so the
+    * common restart path does not duplicate data. Markers live under
+    * `_graft_batches/<checkpoint-generation-id>/<batchId>`, where the
+    * generation id is the streaming query id persisted in the checkpoint's
+    * own `metadata` file: batch ids are only meaningful WITHIN one
+    * checkpoint generation (a rebuilt checkpoint restarts at batch 0 with
+    * re-listed inputs — matching those against stale markers would
+    * silently drop new data), and two pipelines sharing an outPath get
+    * disjoint namespaces. The marker is written after the data, so a crash
+    * in between re-appends that one batch on replay — at-least-once in the
+    * worst case, which is exactly the reference's chunk-retry guarantee
     * (/root/reference/pkg/clickhouse/clickhouse.go:78-106). Parquet
-    * readers ignore the underscore-prefixed marker directory.
+    * readers ignore the underscore-prefixed marker directory. Markers
+    * older than [[MarkerRetention]] batches are pruned as newer ones
+    * commit (replay only ever revisits the tail of the batch log), so the
+    * marker directory stays bounded for long-lived streams.
     */
   def sinkPartitionedParquet(
       ingested: DataFrame,
       outPath: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
-    ingested.writeStream
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      queryName: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // resolved once per writer, on the driver (foreachBatch runs there):
+    // the checkpoint metadata file exists before the first batch fires
+    var generationId: String = null
+    val w = ingested.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        if (generationId == null)
+          generationId = checkpointGenerationId(checkpoint, conf)
         val base = new org.apache.hadoop.fs.Path(outPath)
-        val fs = base.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(base,
-          s"_graft_batches/$batchId")
+        val fs = base.getFileSystem(conf)
+        val ns = new org.apache.hadoop.fs.Path(base,
+          s"_graft_batches/$generationId")
+        val marker = new org.apache.hadoop.fs.Path(ns, batchId.toString)
         if (!fs.exists(marker)) {
           LogSchema.writePartitioned(batch, outPath, mode = "append")
           fs.create(marker, true).close()
+          if (batchId >= MarkerRetention) {
+            val old = new org.apache.hadoop.fs.Path(ns,
+              (batchId - MarkerRetention).toString)
+            try { fs.delete(old, false); () } catch { case _: Exception => }
+          }
         }
         ()
       }
+    queryName.fold(w)(w.queryName)
+  }
+
+  /** Commit markers kept per checkpoint generation; streaming replay only
+    * revisits the last uncommitted batches, so a deep tail is never
+    * consulted again.
+    */
+  val MarkerRetention = 128L
+
+  /** The streaming query id persisted in `<checkpoint>/metadata` — stable
+    * across restarts of the same checkpoint, fresh when the checkpoint is
+    * rebuilt. Falls back to "default" if unreadable (pre-start callers).
+    */
+  private[streaming] def checkpointGenerationId(
+      checkpoint: String, conf: org.apache.hadoop.conf.Configuration): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("default")
+    } catch { case _: Exception => "default" }
 
   /** End-to-end convenience: JSON-lines dir → ingest → partitioned parquet. */
   def start(
@@ -89,10 +134,11 @@ object IngestStream {
       outPath: String,
       checkpoint: String,
       cfg: IngestConfig = IngestConfig(),
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      queryName: Option[String] = None): StreamingQuery =
     sinkPartitionedParquet(
       ingested(readJsonLines(spark, inPath), cfg),
-      outPath, checkpoint, trigger).start()
+      outPath, checkpoint, trigger, queryName).start()
 
   /** [[start]] plus the ops surface the reference runs alongside the
     * pipeline (/root/reference/main.go:230-235: metrics server started at
@@ -114,10 +160,14 @@ object IngestStream {
     // if the query fails to start the caller never gets the server handle —
     // release the port (and the listener) instead of leaking them
     try {
-      val query = start(spark, inPath, outPath, checkpoint, cfg, trigger)
-      // scope the counters to THIS pipeline: other queries on the session
-      // would otherwise count into the same totals
-      metrics.restrictTo(query.id)
+      // scope the counters to THIS pipeline BEFORE it starts: restricting
+      // after start leaves a window where another query's progress events
+      // still count. The query name is ours to choose, so it can be fixed
+      // up front (the query id only exists post-start).
+      val name = s"graft-ingest-${java.util.UUID.randomUUID()}"
+      metrics.restrictToName(name)
+      val query = start(spark, inPath, outPath, checkpoint, cfg, trigger,
+        queryName = Some(name))
       (query, server)
     } catch {
       case e: Throwable =>

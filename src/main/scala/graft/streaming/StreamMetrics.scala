@@ -20,17 +20,20 @@ class StreamMetrics extends StreamingQueryListener {
 
   // Spark delivers every query's events to every listener on the session;
   // unscoped, two pipelines would double-count into each other's metrics.
-  // None = count all queries (the generic attach()); set via restrictTo.
-  private val only = new AtomicReference[Option[java.util.UUID]](None)
+  // None = count all queries (the generic attach()); set via restrictToName.
+  // Name-based (not query-id) so the restriction can be installed BEFORE
+  // the query starts — the id only exists post-start, leaving a window
+  // where foreign events would still count.
+  private val only = new AtomicReference[Option[String]](None)
 
-  /** Count only the given streaming query's progress (its `query.id`). */
-  def restrictTo(queryId: java.util.UUID): Unit = only.set(Some(queryId))
+  /** Count only the streaming query carrying this `queryName`. */
+  def restrictToName(queryName: String): Unit = only.set(Some(queryName))
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
-    if (only.get.forall(_ == p.id)) {
+    if (only.get.forall(n => n == p.name)) {
       inputRecordsTotal.addAndGet(p.numInputRows)
       batchesTotal.incrementAndGet()
       lastBatchSize.set(p.numInputRows)

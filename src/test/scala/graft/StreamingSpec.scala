@@ -53,32 +53,44 @@ class StreamingSpec extends SparkTestBase {
     assert(metrics.inputRecordsTotal.get >= 50)
   }
 
-  test("replayed batch ids are skipped: checkpoint loss does not duplicate committed batches") {
+  test("same-generation replay is idempotent; a rebuilt checkpoint re-appends (at-least-once floor)") {
     val in = tmp("graft-rin"); val out = tmp("graft-rout"); val ckpt = tmp("graft-rckpt")
     writeFixture(in, "batch1.json", fixtureLines(20))
     val q1 = IngestStream.start(spark, in, out, ckpt,
       trigger = Trigger.ProcessingTime(0))
     q1.processAllAvailable(); q1.stop()
     assert(LogSchema.readLogs(spark, out).count() == 20)
-    // simulate a driver crash that lost the checkpoint AFTER the sink
-    // committed: the source replays batch 0, the _graft_batches marker
-    // must swallow the re-append (clickhouse.go:78-106 retry semantics,
-    // deduplicated)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(ckpt))
+    // crash AFTER the sink committed but BEFORE the checkpoint recorded
+    // batch 0: same generation id, so on restart the source replays batch
+    // 0 and the commit marker must swallow the re-append
+    // (clickhouse.go:78-106 retry semantics, deduplicated)
+    assert(new java.io.File(ckpt, "commits/0").delete())
+    // the local checkpoint FS is checksummed: the .crc sidecar must go too
+    // or the replayed commit's rename trips the concurrent-query guard
+    new java.io.File(ckpt, "commits/.0.crc").delete()
     val q2 = IngestStream.start(spark, in, out, ckpt,
       trigger = Trigger.ProcessingTime(0))
     q2.processAllAvailable(); q2.stop()
     assert(LogSchema.readLogs(spark, out).count() == 20,
-      "replayed batch 0 must not re-append")
-    // new data after the replay still lands
+      "same-generation replay of batch 0 must not re-append")
+    // new data under the intact checkpoint still lands
     writeFixture(in, "batch2.json", fixtureLines(5, _ => 11))
     val q3 = IngestStream.start(spark, in, out, ckpt,
       trigger = Trigger.ProcessingTime(0))
     q3.processAllAvailable(); q3.stop()
     assert(LogSchema.readLogs(spark, out).count() == 25)
+    // a WIPED checkpoint is a new generation: batch ids restart and the
+    // re-listed input legitimately re-appends — duplicates (at-least-once),
+    // never silent data loss against stale markers
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(ckpt))
+    val q4 = IngestStream.start(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    q4.processAllAvailable(); q4.stop()
+    assert(LogSchema.readLogs(spark, out).count() == 50,
+      "new generation must re-append rather than match stale markers")
   }
 
   test("startWithMetrics serves live pipeline counters over HTTP while streaming") {

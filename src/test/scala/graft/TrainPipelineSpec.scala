@@ -79,6 +79,30 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (9L, 9L)))
   }
 
+  test("connectedComponents: edges to nodes outside the universe are ignored, not miscounted") {
+    import spark.implicits._
+    // chain 101..111 shrinking the sum by 10/round, plus edge (10, 999)
+    // with BOTH endpoints foreign: a naive label-sum probe would see the
+    // +10 from node 999 cancel the -10 and stop a round early
+    val nodes = (101L to 111L).toDF("n")
+    val edges = ((101L to 110L).map(i => (i, i + 1)) :+ (10L, 999L)).toDF("s", "d")
+    val got = TrainPipeline.connectedComponents(nodes, "n", edges, "s", "d")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._2 == 101L), s"whole chain must label 101: ${got.toSeq}")
+    assert(!got.exists(r => r._1 == 999L || r._1 == 10L),
+      "foreign endpoints must not enter the result")
+  }
+
+  test("packGreedy: null id/weight rows are dropped instead of crashing the walker") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1L), Some(40L)), ("a", None, Some(50L)), ("a", Some(3L), None),
+      ("a", Some(4L), Some(70L))).toDF("g", "id", "w")
+    val out = TrainPipeline.packGreedy(df, "g", "id", "w", budget = 100L)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L), (4L, 1L)))
+  }
+
   test("connectedComponents: maxIter caps propagation depth") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("n")
