@@ -44,7 +44,7 @@ object Queries {
     * driver's Verify once more — a write inside a builder would otherwise
     * run each time and leak a scratch directory per build.
     */
-  private object Fixtures {
+  private[graft] object Fixtures {
     private val logTables = scala.collection.concurrent.TrieMap.empty[String, String]
     private val nestedIngest =
       scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.TrainPipeline
+import org.apache.spark.sql.functions._
+
+/** Plan-shape invariants for the scale-critical operators: these assert the
+  * PHYSICAL properties the 100 TB design depends on (pruned scans, pushed
+  * predicates, shuffle counts), so a refactor that silently de-optimizes a
+  * plan fails CI rather than only showing up as a bench regression.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countExchanges(plan: String): Int =
+    "(?m)^.*Exchange ".r.findAllIn(plan).size
+
+  test("text_chunk: pruned two-column scan, no shuffle before the presentation sort") {
+    val df = TrainPipeline.chunk(
+      spark.read.parquet(sf("sf0.01") + "/documents.parquet"),
+      "doc_id", "text", size = 80, stride = 60)
+    val plan = executed(df)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id+text:\n$plan")
+    assert(countExchanges(plan) == 0, s"chunking itself must not shuffle:\n$plan")
+  }
+
+  test("sample_stratified: filter evaluates at the scan stage, zero shuffles") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val df = TrainPipeline.sampleStratified(docs, "doc_id",
+      when(col("lang") === "en", 50).otherwise(10))
+    val plan = executed(df)
+    assert(countExchanges(plan) == 0, s"sampling is a pure filter:\n$plan")
+    assert(plan.contains("Scan parquet"), plan)
+  }
+
+  test("pack_sequences: exactly one exchange (the group co-location)") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("source"), col("doc_id"), length(col("text")).cast("long").as("w"))
+    val df = TrainPipeline.packGreedy(docs, "source", "doc_id", "w", 256L)
+    val plan = executed(df)
+    assert(countExchanges(plan) == 1,
+      s"packing needs exactly one hash shuffle on the group key:\n$plan")
+  }
+
+  test("promoted-column path: the map-number predicate reaches the parquet scan as a pushed filter") {
+    val dir = graft.Queries.Fixtures.logTableDir(spark, sf("sf0.01"))
+    val df = graft.model.LogSchema.readLogs(spark, dir)
+      .where(try_element_at(col("fields_number"), lit("event.value")) >= 150.0)
+      .select(col("id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(promoted_event_value), " +
+        "GreaterThanOrEqual(promoted_event_value,150.0)]") ||
+      plan.contains("GreaterThanOrEqual(promoted_event_value,150.0)"),
+      s"PromoteMapKeys must turn the subscript into a pushed scan predicate:\n$plan")
+  }
+}
