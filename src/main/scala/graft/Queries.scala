@@ -1232,6 +1232,63 @@ object Queries {
         SELECT node, min(label) AS cluster FROM reach GROUP BY node
         ORDER BY node"""))
 
+  private val interleaveMix = Q(
+    (s, dir) => {
+      // domain weighting: 2.5× src0, 0.4× src1, 1× the rest
+      val w = when(col("source") === "src0", 250L)
+        .when(col("source") === "src1", 40L).otherwise(100L)
+      graft.operators.TrainPipeline.interleaveMix(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", w)
+        .select(col("doc_id"), col("copy"))
+        .orderBy("doc_id", "copy")
+    },
+    Some("""WITH b AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(cast(doc_id AS VARCHAR)),1,8))::BIGINT % 100
+              AS bucket,
+            CASE WHEN source = 'src0' THEN 250
+                 WHEN source = 'src1' THEN 40 ELSE 100 END AS w
+          FROM documents)
+        SELECT doc_id, unnest(generate_series(0,
+            w//100 + CASE WHEN bucket < w%100 THEN 1 ELSE 0 END - 1)) AS copy
+        FROM b ORDER BY doc_id, copy"""))
+
+  private val dedupSurvivors = Q(
+    (s, dir) => {
+      // the full near-dup pipeline step: candidate pairs → clusters →
+      // one canonical doc (the min id) per cluster, with its cluster size
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.8, maxId = 60)
+      graft.operators.TrainPipeline.connectedComponents(
+          docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+        .select(col("cluster").as("doc_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE d AS (
+          SELECT doc_id, list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh
+          FROM documents WHERE doc_id < 60),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM d a, d b WHERE a.doc_id < b.doc_id
+            AND round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        labels AS (
+          SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+        SELECT cluster AS doc_id, count(*)::BIGINT AS cluster_size
+        FROM labels GROUP BY cluster ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -1310,5 +1367,7 @@ object Queries {
     "pii_redact" -> piiRedact,
     "pack_sequences" -> packSequences,
     "dedup_cluster" -> dedupCluster,
+    "interleave_mix" -> interleaveMix,
+    "dedup_survivors" -> dedupSurvivors,
   )
 }

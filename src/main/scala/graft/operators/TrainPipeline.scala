@@ -123,6 +123,25 @@ object TrainPipeline {
     packed.toDF("grp", "id", "w", "bin")
   }
 
+  /** Weighted corpus mixing: each row is emitted `floor(weight/100)` times
+    * plus one more when its deterministic [[hashBucket]] falls under
+    * `weight % 100` — so weight 250 ≈ 2.5× upsampling, weight 40 ≈ 0.4×
+    * downsampling, per row, reproducibly (same id → same copy count on
+    * every run and partitioning). This is the domain-weighting step of a
+    * training mix (e.g. upsample wiki, downsample crawl). Narrow:
+    * `explode(sequence(...))` at scan parallelism, no shuffle. Output adds
+    * a `copy` index (0-based) so downstream shuffles can spread replicas.
+    */
+  def interleaveMix(df: DataFrame, idCol: String, weightPercent: Column): DataFrame = {
+    val copies = (weightPercent.cast(LongType) / 100L).cast(LongType) +
+      when(hashBucket(col(idCol)) < weightPercent.cast(LongType) % 100L, 1L)
+        .otherwise(0L)
+    df.withColumn("graft_copies", copies)
+      .where(col("graft_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("graft_copies") - 1)))
+      .drop("graft_copies")
+  }
+
   /** Connected components over an undirected candidate-pair graph (the
     * dedup step after minhash/simhash banding: pairs → clusters → keep one
     * doc per cluster). Returns (node, cluster) where cluster is the

@@ -69,6 +69,28 @@ class TrainPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("interleaveMix: weight buckets up- and down-sample deterministically") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "up" else "down"))
+      .toDF("id", "src")
+    val w = when(col("src") === "up", 250L).otherwise(40L)
+    val out = TrainPipeline.interleaveMix(df, "id", w)
+    val again = TrainPipeline.interleaveMix(df, "id", w)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ==
+      again.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq,
+      "mix must be reproducible")
+    val perRow = out.groupBy("id", "src").count().collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // weight 250 → 2 or 3 copies each; weight 40 → the row appears 0 or 1
+    // times (absent rows don't show up here)
+    assert(perRow.filter(_._1 == "up").forall(c => c._2 == 2 || c._2 == 3))
+    assert(perRow.filter(_._1 == "down").forall(_._2 == 1))
+    val upMean = out.where(col("src") === "up").count().toDouble / 500.0
+    val downMean = out.where(col("src") === "down").count().toDouble / 500.0
+    assert(math.abs(upMean - 2.5) < 0.15, s"up mean $upMean")
+    assert(math.abs(downMean - 0.4) < 0.12, s"down mean $downMean")
+  }
+
   test("connectedComponents: chain needs multiple rounds; isolated node keeps own label") {
     import spark.implicits._
     // chain 1-2-3-4-5 plus isolated 9: min-label must travel 4 hops
