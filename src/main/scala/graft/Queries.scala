@@ -1232,6 +1232,25 @@ object Queries {
         SELECT node, min(label) AS cluster FROM reach GROUP BY node
         ORDER BY node"""))
 
+  private val textChunkTokens = Q(
+    (s, dir) => graft.operators.TrainPipeline.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text",
+        sizeTokens = 32, strideTokens = 24)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+            x -> x <> '') AS tk
+          FROM documents),
+        e AS (
+          SELECT doc_id, tk,
+            unnest(generate_series(0, cast((len(tk)-1)//24 AS BIGINT))) AS i
+          FROM toks WHERE len(tk) > 0)
+        SELECT doc_id, i AS chunk_idx,
+          array_to_string(list_slice(tk, cast(i*24+1 AS INT),
+            cast(i*24+32 AS INT)), ' ') AS chunk,
+          least(32, len(tk) - i*24)::BIGINT AS n_tokens
+        FROM e ORDER BY doc_id, chunk_idx"""))
+
   private val interleaveMix = Q(
     (s, dir) => {
       // domain weighting: 2.5× src0, 0.4× src1, 1× the rest
@@ -1369,5 +1388,6 @@ object Queries {
     "dedup_cluster" -> dedupCluster,
     "interleave_mix" -> interleaveMix,
     "dedup_survivors" -> dedupSurvivors,
+    "text_chunk_tokens" -> textChunkTokens,
   )
 }

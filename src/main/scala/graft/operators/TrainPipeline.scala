@@ -45,6 +45,35 @@ object TrainPipeline {
           lit(size)).as("chunk"))
   }
 
+  /** Token-bounded variant of [[chunk]]: windows of `sizeTokens`
+    * whitespace tokens starting every `strideTokens` (what a real training
+    * chunker counts — the char variant is the byte-budget fallback).
+    * Tokenization preserves case; the per-row `filter` HOF is interpreted
+    * but evaluates once per document (not per window), so it stays off the
+    * per-pair hot path. Narrow, shuffle-free. Output: id, chunk_idx,
+    * chunk (space-rejoined), n_tokens.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      sizeTokens: Int, strideTokens: Int): DataFrame = {
+    require(sizeTokens > 0 && strideTokens > 0,
+      s"size/stride must be positive: $sizeTokens/$strideTokens")
+    df.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), x => x =!= "").as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L),
+          floor((size(col("tk")) - 1) / lit(strideTokens)).cast(LongType)))
+          .as("chunk_idx"),
+        col("tk"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("tk"),
+          (col("chunk_idx") * strideTokens + 1).cast(IntegerType),
+          lit(sizeTokens))).as("chunk"),
+        least(lit(sizeTokens.toLong),
+          size(col("tk")) - col("chunk_idx") * strideTokens)
+          .cast(LongType).as("n_tokens"))
+  }
+
   /** Deterministic hash bucket in [0, 100) for stratified sampling: the
     * first 8 hex digits of md5(id) — stable across engines, runs, and
     * partitionings (unlike `rand()`), so a sample is reproducible and a

@@ -22,6 +22,21 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(!out.exists(_.getLong(0) == 3L))
   }
 
+  test("chunkTokens: token windows with overlap; final short window counts its real tokens") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, " "))
+      .toDF("id", "text")
+    val out = TrainPipeline.chunkTokens(df, "id", "text", sizeTokens = 32, strideTokens = 24)
+      .orderBy("id", "chunk_idx").collect()
+    val one = out.filter(_.getLong(0) == 1L)
+    // 50 tokens, stride 24 → starts 0, 24, 48 → 3 chunks of 32/26/2 tokens
+    assert(one.map(_.getLong(3)).toSeq == Seq(32L, 26L, 2L))
+    assert(one(1).getString(2).startsWith("t25 "), "second window starts at token 25")
+    assert(one(2).getString(2) == "t49 t50")
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(!out.exists(_.getLong(0) == 3L), "whitespace-only text yields no chunks")
+  }
+
   test("sampleStratified: deterministic across runs and honors per-stratum rates") {
     import spark.implicits._
     val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
