@@ -47,14 +47,32 @@ class MetricsServer(metrics: StreamMetrics, port: Int = 2021) {
 
   /** Prometheus text exposition (format 0.0.4): TYPE header + value line
     * per metric, `graft_` namespace (the reference uses `clickhouse_`,
-    * main.go:53).
+    * main.go:53). batch_size and flush_time_seconds are SUMMARIES with the
+    * reference's quantile objectives (p50/p90/p95/p99, main.go:56-73) plus
+    * `_sum`/`_count`.
     */
-  private[streaming] def exposition: String =
-    metrics.snapshot.toSeq.sortBy(_._1).map { case (name, v) =>
+  private[streaming] def exposition: String = {
+    val simple = metrics.snapshot.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        name == "batch_size" || name == "flush_time_seconds" }
+      .map { case (name, v) =>
+        val full = s"graft_$name"
+        val typ = if (name.endsWith("_total")) "counter" else "gauge"
+        s"# TYPE $full $typ\n$full $v"
+      }
+    val summaries = Seq(
+      "batch_size" -> metrics.batchSizeWindow,
+      "flush_time_seconds" -> metrics.flushSecondsWindow,
+    ).map { case (name, w) =>
       val full = s"graft_$name"
-      val typ = if (name.endsWith("_total")) "counter" else "gauge"
-      s"# TYPE $full $typ\n$full $v"
-    }.mkString("", "\n", "\n")
+      val qLines = StreamMetrics.SummaryQuantiles.map(q =>
+        s"""$full{quantile="$q"} ${w.quantile(q)}""")
+      (s"# TYPE $full summary" +: qLines :+
+        s"${full}_sum ${w.sum}" :+ s"${full}_count ${w.count}")
+        .mkString("\n")
+    }
+    (simple ++ summaries).mkString("", "\n", "\n")
+  }
 
   private def handler(body: HttpExchange => String): HttpHandler =
     (exchange: HttpExchange) => {

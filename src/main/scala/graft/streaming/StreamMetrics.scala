@@ -18,6 +18,14 @@ class StreamMetrics extends StreamingQueryListener {
   val lastBatchSize = new AtomicLong(0)
   val lastFlushSeconds = new AtomicReference[Double](0.0)
 
+  /** Sliding-window quantile estimators matching the reference's summary
+    * objectives (main.go:56-73: batch_size and flush_time_seconds at
+    * p50/p90/p95/p99). A bounded ring of recent observations — the
+    * reference's client_golang summary likewise decays old samples.
+    */
+  val batchSizeWindow = new StreamMetrics.QuantileWindow(1024)
+  val flushSecondsWindow = new StreamMetrics.QuantileWindow(1024)
+
   // Spark delivers every query's events to every listener on the session;
   // unscoped, two pipelines would double-count into each other's metrics.
   // None = count all queries (the generic attach()); set via restrictToName.
@@ -37,8 +45,11 @@ class StreamMetrics extends StreamingQueryListener {
       inputRecordsTotal.addAndGet(p.numInputRows)
       batchesTotal.incrementAndGet()
       lastBatchSize.set(p.numInputRows)
-      Option(p.durationMs.get("triggerExecution"))
-        .foreach(ms => lastFlushSeconds.set(ms.toDouble / 1000.0))
+      batchSizeWindow.observe(p.numInputRows.toDouble)
+      Option(p.durationMs.get("triggerExecution")).foreach { ms =>
+        lastFlushSeconds.set(ms.toDouble / 1000.0)
+        flushSecondsWindow.observe(ms.toDouble / 1000.0)
+      }
     }
   }
 
@@ -58,5 +69,38 @@ object StreamMetrics {
     val m = new StreamMetrics
     spark.streams.addListener(m)
     m
+  }
+
+  /** Quantiles the reference's summaries publish (main.go:56-73). */
+  val SummaryQuantiles: Seq[Double] = Seq(0.5, 0.9, 0.95, 0.99)
+
+  /** Bounded ring of recent observations with nearest-rank quantiles.
+    * Thread-safe; O(capacity) memory, O(n log n) per quantile read (reads
+    * are scrape-rate, writes are batch-rate — both tiny).
+    */
+  final class QuantileWindow(capacity: Int) {
+    private val buf = new Array[Double](capacity)
+    private var n = 0L // total observations ever; ring index = n % capacity
+    private var totalSum = 0.0
+
+    def observe(v: Double): Unit = synchronized {
+      buf(((n % capacity).toInt + capacity) % capacity) = v
+      n += 1
+      totalSum += v
+    }
+
+    def count: Long = synchronized(n)
+    def sum: Double = synchronized(totalSum)
+
+    /** Nearest-rank quantile over the retained window; 0 when empty. */
+    def quantile(q: Double): Double = synchronized {
+      val len = math.min(n, capacity.toLong).toInt
+      if (len == 0) 0.0
+      else {
+        val sorted = buf.take(len).sorted
+        val rank = math.min(len - 1, math.max(0, math.ceil(q * len).toInt - 1))
+        sorted(rank)
+      }
+    }
   }
 }

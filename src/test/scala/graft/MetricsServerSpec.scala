@@ -23,8 +23,39 @@ class MetricsServerSpec extends AnyFunSuite {
       val body = get("/metrics")
       assert(body.contains("# TYPE graft_input_records_total counter"))
       assert(body.contains("graft_input_records_total 42.0"))
-      assert(body.contains("# TYPE graft_batch_size gauge"))
+      assert(body.contains("# TYPE graft_batch_size summary"))
       assert(body.contains("graft_batches_total 3.0"))
     } finally srv.stop()
+  }
+
+  test("summaries expose the reference's quantile objectives with sum and count") {
+    val m = new StreamMetrics
+    (1 to 100).foreach(i => m.batchSizeWindow.observe(i.toDouble))
+    val srv = new MetricsServer(m, port = 0)
+    val port = srv.start()
+    def get(path: String): String = {
+      val in = new java.net.URL(s"http://127.0.0.1:$port$path").openStream()
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    try {
+      val body = get("/metrics")
+      // nearest-rank over 1..100: p50=50, p90=90, p95=95, p99=99
+      assert(body.contains("graft_batch_size{quantile=\"0.5\"} 50.0"), body)
+      assert(body.contains("graft_batch_size{quantile=\"0.99\"} 99.0"), body)
+      assert(body.contains("graft_batch_size_sum 5050.0"))
+      assert(body.contains("graft_batch_size_count 100"))
+      // flush summary present even when empty (0-valued quantiles)
+      assert(body.contains("# TYPE graft_flush_time_seconds summary"))
+      assert(body.contains("graft_flush_time_seconds_count 0"))
+    } finally srv.stop()
+  }
+
+  test("quantile window: ring bounded at capacity, quantiles track the retained tail") {
+    val w = new StreamMetrics.QuantileWindow(8)
+    (1 to 100).foreach(i => w.observe(i.toDouble))
+    assert(w.count == 100 && w.sum == 5050.0)
+    // only 93..100 retained
+    assert(w.quantile(0.5) == 96.0)
+    assert(w.quantile(0.99) == 100.0)
   }
 }
