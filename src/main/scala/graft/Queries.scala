@@ -133,14 +133,21 @@ object Queries {
       * connectedComponents), so caching it costs no recompute risk.
       */
     def clusters(s: SparkSession, dir: String): DataFrame =
-      sessionScoped(clusterFrames, s, dir) {
-        val docs = t(s, dir, "documents")
-        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 1, threshold = 0.8, maxId = 60)
-        graft.operators.TrainPipeline.connectedComponents(
-          docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
-          pairs, "id_a", "id_b")
-      }
+      sessionScoped(clusterFrames, s, dir)(clusterPipeline(s, dir))
+
+    /** pairs → min-label clusters over the bounded verification set. ONE
+      * definition shared by `dedup_cluster` (times it live) and [[clusters]]
+      * (caches it for `dedup_survivors`) so the two queries can never
+      * silently diverge on threshold/maxId.
+      */
+    def clusterPipeline(s: SparkSession, dir: String): DataFrame = {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.8, maxId = 60)
+      graft.operators.TrainPipeline.connectedComponents(
+        docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+    }
   }
 
   private val msEv = "epoch_ms(ts)" // DuckDB: events.ts truncated ns→µs→ms
@@ -1227,15 +1234,7 @@ object Queries {
         SELECT grp, id, w, bin FROM pack ORDER BY id"""))
 
   private val dedupCluster = Q(
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 1, threshold = 0.8, maxId = 60)
-      graft.operators.TrainPipeline.connectedComponents(
-          docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
-          pairs, "id_a", "id_b")
-        .orderBy("node")
-    },
+    (s, dir) => Fixtures.clusterPipeline(s, dir).orderBy("node"),
     Some("""WITH RECURSIVE d AS (
           SELECT doc_id, list_distinct(list_filter(
             string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh

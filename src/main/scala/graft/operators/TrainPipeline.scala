@@ -162,6 +162,12 @@ object TrainPipeline {
     * a `copy` index (0-based) so downstream shuffles can spread replicas.
     */
   def interleaveMix(df: DataFrame, idCol: String, weightPercent: Column): DataFrame = {
+    // withColumn REPLACES same-named columns — a pre-existing `copy` (a
+    // plausible provenance field name) would be silently lost. Fail fast.
+    Seq("copy", "graft_copies").foreach { reserved =>
+      require(!df.columns.contains(reserved),
+        s"interleaveMix adds a `$reserved` column; input already has one — rename it first")
+    }
     val copies = (weightPercent.cast(LongType) / 100L).cast(LongType) +
       when(hashBucket(col(idCol)) < weightPercent.cast(LongType) % 100L, 1L)
         .otherwise(0L)

@@ -65,10 +65,13 @@ class MetricsServer(metrics: StreamMetrics, port: Int = 2021) {
       "flush_time_seconds" -> metrics.flushSecondsWindow,
     ).map { case (name, w) =>
       val full = s"graft_$name"
+      // one snapshot per window per scrape: quantile lines are mutually
+      // consistent and the O(n log n) sort happens once, not per quantile
+      val (count, sum, sorted) = w.summarySnapshot
       val qLines = StreamMetrics.SummaryQuantiles.map(q =>
-        s"""$full{quantile="$q"} ${w.quantile(q)}""")
+        s"""$full{quantile="$q"} ${w.quantileOf(sorted, q)}""")
       (s"# TYPE $full summary" +: qLines :+
-        s"${full}_sum ${w.sum}" :+ s"${full}_count ${w.count}")
+        s"${full}_sum $sum" :+ s"${full}_count $count")
         .mkString("\n")
     }
     (simple ++ summaries).mkString("", "\n", "\n")

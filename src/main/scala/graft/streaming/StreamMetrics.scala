@@ -79,12 +79,13 @@ object StreamMetrics {
     * are scrape-rate, writes are batch-rate — both tiny).
     */
   final class QuantileWindow(capacity: Int) {
+    require(capacity > 0, s"QuantileWindow capacity must be positive, got $capacity")
     private val buf = new Array[Double](capacity)
     private var n = 0L // total observations ever; ring index = n % capacity
     private var totalSum = 0.0
 
     def observe(v: Double): Unit = synchronized {
-      buf(((n % capacity).toInt + capacity) % capacity) = v
+      buf((n % capacity).toInt) = v
       n += 1
       totalSum += v
     }
@@ -92,15 +93,30 @@ object StreamMetrics {
     def count: Long = synchronized(n)
     def sum: Double = synchronized(totalSum)
 
-    /** Nearest-rank quantile over the retained window; 0 when empty. */
-    def quantile(q: Double): Double = synchronized {
+    /** One consistent view for a scrape: (count, sum, retained window
+      * sorted ascending). Taken under a single lock so quantiles derived
+      * from it can never be mutually torn (p50 > p99) by a concurrent
+      * observe, and the sort happens once per scrape instead of once per
+      * quantile.
+      */
+    def summarySnapshot: (Long, Double, Array[Double]) = synchronized {
       val len = math.min(n, capacity.toLong).toInt
-      if (len == 0) 0.0
+      (n, totalSum, buf.take(len).sorted)
+    }
+
+    /** Nearest-rank quantile over a [[summarySnapshot]] window; NaN when
+      * empty — the reference's client_golang summaries likewise emit NaN
+      * for quantiles with no observations.
+      */
+    def quantileOf(sorted: Array[Double], q: Double): Double =
+      if (sorted.isEmpty) Double.NaN
       else {
-        val sorted = buf.take(len).sorted
+        val len = sorted.length
         val rank = math.min(len - 1, math.max(0, math.ceil(q * len).toInt - 1))
         sorted(rank)
       }
-    }
+
+    /** Convenience single-quantile read (tests); see [[quantileOf]]. */
+    def quantile(q: Double): Double = quantileOf(summarySnapshot._3, q)
   }
 }

@@ -44,8 +44,10 @@ class MetricsServerSpec extends AnyFunSuite {
       assert(body.contains("graft_batch_size{quantile=\"0.99\"} 99.0"), body)
       assert(body.contains("graft_batch_size_sum 5050.0"))
       assert(body.contains("graft_batch_size_count 100"))
-      // flush summary present even when empty (0-valued quantiles)
+      // flush summary present even when empty: NaN quantiles (client_golang
+      // convention — "no data yet" must not read as "p99 = 0s")
       assert(body.contains("# TYPE graft_flush_time_seconds summary"))
+      assert(body.contains("graft_flush_time_seconds{quantile=\"0.99\"} NaN"), body)
       assert(body.contains("graft_flush_time_seconds_count 0"))
     } finally srv.stop()
   }
@@ -57,5 +59,11 @@ class MetricsServerSpec extends AnyFunSuite {
     // only 93..100 retained
     assert(w.quantile(0.5) == 96.0)
     assert(w.quantile(0.99) == 100.0)
+  }
+
+  test("quantile window: empty reads NaN; zero capacity rejected at construction") {
+    val w = new StreamMetrics.QuantileWindow(4)
+    assert(w.quantile(0.5).isNaN)
+    intercept[IllegalArgumentException](new StreamMetrics.QuantileWindow(0))
   }
 }
