@@ -64,8 +64,11 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
           v => v.cast(StringType)), ","), b)))
         .as(Seq("band", "bandhash")))
-    val candidates = banded.as("l")
-      .join(banded.as("r"), Seq("band", "bandhash"))
+    // shuffle hint: the build side is the whole banded corpus — Spark's
+    // stats-based broadcast pick at small SF cannot survive scale, and
+    // with both sides shuffled AQE reuses the (identical) sketch stage
+    val candidates = banded.as("l").hint("shuffle_merge")
+      .join(banded.as("r").hint("shuffle_merge"), Seq("band", "bandhash"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
@@ -125,11 +128,16 @@ object Dedup {
     }
     val banded = withFp.select(col("id"), col("fp"),
       posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), VF.hamming(col("fp_a"), col("fp_b")).as("hamming"))
+    // aliased SELF-join (not two renamed projections) + an explicit
+    // shuffle hint: the build side is the ENTIRE banded corpus, so
+    // broadcasting it (Spark's stats-based pick at small SF) cannot
+    // survive scale; with both sides shuffled the branches canonicalize
+    // identically and ReuseExchange computes the fingerprint scan once
+    banded.as("l").hint("shuffle_merge")
+      .join(banded.as("r").hint("shuffle_merge"), Seq("band", "chunk"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        VF.hamming(col("l.fp"), col("r.fp")).as("hamming"))
       .where(col("hamming") <= maxHamming) // map-side, before the dedup shuffle
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
@@ -186,19 +194,25 @@ object Dedup {
     }
     val banded = withFp.select(col("id"), col("fp"),
       posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
     val ham = (0 until words).map(w =>
-        VF.hamming(element_at(col("fp_a"), w + 1), element_at(col("fp_b"), w + 1)))
+        VF.hamming(element_at(col("l.fp"), w + 1), element_at(col("r.fp"), w + 1)))
       .reduce(_ + _)
-    // verify BEFORE the dedup shuffle: the Hamming check is a map-side
-    // xor/bit_count over the joined pair, so only QUALIFYING collisions
-    // (≤ bands copies of each true pair) reach the exchange — correlated
-    // fingerprints make buckets skewed, and shuffling every spurious
-    // collision through the groupBy would dominate the query
-    l.join(r, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+    // Aliased SELF-join + explicit shuffle hint: broadcasting the build
+    // side would ship the ENTIRE banded corpus to every executor (Spark's
+    // stats-based pick at small SF — impossible at 100 TB), and with both
+    // sides shuffled the branches canonicalize identically so
+    // ReuseExchange computes the fingerprint scan + shuffle once (two
+    // renamed projections would canonicalize differently and sketch the
+    // corpus twice). Verify BEFORE the dedup shuffle: the Hamming check
+    // is a map-side xor/bit_count over the joined pair, so only
+    // QUALIFYING collisions (≤ bands copies of each true pair) reach the
+    // exchange — correlated fingerprints make buckets skewed, and
+    // shuffling every spurious collision through the groupBy would
+    // dominate the query
+    banded.as("l").hint("shuffle_merge")
+      .join(banded.as("r").hint("shuffle_merge"), Seq("band", "chunk"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), ham.as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
@@ -251,13 +265,18 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("sk"), b * bitsPerBand).bitwiseAND(mask)))
         .as(Seq("band", "chunk")))
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("v").as("v_b"))
     VectorExprs.register(emb.sparkSession)
-    l.join(r, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
+    // aliased self-join + shuffle hint (corpus-sized build side must not
+    // broadcast; identical branches let AQE reuse the sketch stage); the
+    // cosine is computed map-side so only the scalar rides the dedup
+    // shuffle, not the vectors
+    banded.as("l").hint("shuffle_merge")
+      .join(banded.as("r").hint("shuffle_merge"), Seq("band", "chunk"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Rounding.r4(VectorExprs.cosine(col("l.v"), col("r.v"))).as("cosine"))
       .groupBy("id_a", "id_b")
-      .agg(first(Rounding.r4(VectorExprs.cosine(col("v_a"), col("v_b")))).as("cosine"))
+      .agg(first(col("cosine")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
