@@ -47,6 +47,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"packing needs exactly one hash shuffle on the group key:\n$plan")
   }
 
+  test("dedup LSH banding: corpus self-joins shuffle — the banded corpus is never a broadcast build side") {
+    // simhash is a pure self-join: nothing in the plan may broadcast.
+    // minhash's candidate self-join must be SMJ, but its VERIFICATION
+    // joins (small candidate set back to shingle sets) may legitimately
+    // broadcast — that's the correct adaptive pick at any scale.
+    val simhash = executed(Queries.registry("dedup_simhash").build(spark, sf("sf0.01")))
+    assert(!simhash.contains("BroadcastHashJoin"),
+      s"dedup_simhash must not broadcast the banded corpus (shuffle_merge hint lost?):\n$simhash")
+    assert(simhash.contains("SortMergeJoin"), s"candidate join should be SMJ:\n$simhash")
+    val minhash = executed(Queries.registry("dedup_minhash").build(spark, sf("sf0.01")))
+    assert(minhash.contains("SortMergeJoin"),
+      s"dedup_minhash banded self-join should be SMJ:\n$minhash")
+  }
+
   test("promoted-column path: the map-number predicate reaches the parquet scan as a pushed filter") {
     val dir = graft.Queries.Fixtures.logTableDir(spark, sf("sf0.01"))
     val df = graft.model.LogSchema.readLogs(spark, dir)
