@@ -33,20 +33,26 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // MIN is taken over SUCCESSFUL reps only: a throwing query typically
+    // fails fast, and min()-ing its time-to-fail would score a broken query
+    // better than a working one. A query with zero successful reps reports
+    // the sentinel -1 so the driver sees the failure instead of a time.
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to reps).foreach { _ =>
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
       }
     }
-    val results = names.map(n => n -> best(n))
+    val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // sentinels excluded: a failed query must not subtract from the total
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

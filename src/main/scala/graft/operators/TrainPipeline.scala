@@ -191,10 +191,17 @@ object TrainPipeline {
     * "Connected Components in MapReduce and Beyond", SoCC'14) converges in
     * O(log n) rounds with the same per-round plan shape — this
     * implementation keeps the simpler variant and caps work at `maxIter`.
+    *
+    * Hitting `maxIter` before the fixpoint means labels are only partially
+    * propagated — a component with diameter > maxIter comes back as split
+    * clusters, which for dedup means surviving duplicates. That never
+    * happens silently: the non-converged exit logs a warning, and
+    * `requireConvergence = true` turns it into an IllegalStateException for
+    * pipelines where split clusters are unacceptable.
     */
   def connectedComponents(nodes: DataFrame, nodeCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, requireConvergence: Boolean = false): DataFrame = {
     val nodeSet = nodes.select(col(nodeCol).as("node")).distinct()
     // undirected: propagate both ways. Edges touching an endpoint OUTSIDE
     // the node universe are dropped up front — the label-sum convergence
@@ -239,6 +246,14 @@ object TrainPipeline {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponents exited at maxIter=$maxIter before the " +
+        "fixpoint: labels are partially propagated and components with " +
+        s"diameter > $maxIter are split into multiple clusters (for dedup: " +
+        "duplicates survive). Raise maxIter or shrink component diameter."
+      if (requireConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("node"), col("label").as("cluster"))
   }

@@ -92,22 +92,38 @@ object PromoteMapKeys extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Map attrs (by exprId) whose subscript sits inside a null-intolerant
+  /** Map attrs (by exprId) whose subscript sits inside a null-REJECTING
     * comparison conjunct AND resolves to a promoted column. For those, the
     * inferred `isnotnull(map)` conjunct is redundant after the rewrite —
     * the promoted value is `element_at(map, k)` materialized at write time,
     * so a null map implies a null promoted value, which the comparison
     * already rejects — and dropping it is what lets the scan skip the map
-    * column entirely. (EqualNullSafe passes NULLs — excluded.)
+    * column entirely.
+    *
+    * "Null-rejecting" is checked structurally, not by mere containment: the
+    * subscript must be reachable from the comparison through NULL-INTOLERANT
+    * nodes only (`Expression.nullIntolerant` — null child ⇒ null result),
+    * so a null map provably nulls the comparison and the row is filtered.
+    * A null-tolerant wrapper (`coalesce(element_at(m,k), 0) > -1`,
+    * `isnull(element_at(m,k)) = true`) stops the walk: such a conjunct says
+    * nothing about null maps, and dropping an explicit `isnotnull(map)`
+    * beside it would let null-map rows through — silent wrong results.
+    * (EqualNullSafe passes NULL operands — excluded for the same reason.)
     */
-  private def impliedMapIds(node: Filter): Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+  private def impliedMapIds(node: Filter): Set[org.apache.spark.sql.catalyst.expressions.ExprId] = {
+    def nullPropagating(e: Expression): Seq[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      e match {
+        case sub @ MapSubscript(m, key)
+            if resolvePromoted(node, m, key, sub.dataType).isDefined =>
+          Seq(m.exprId)
+        case _ if e.nullIntolerant => e.children.flatMap(nullPropagating)
+        case _ => Seq.empty
+      }
     splitConjunctivePredicates(node.condition).collect {
       case c: BinaryComparison if !c.isInstanceOf[EqualNullSafe] =>
-        c.collect {
-          case e @ MapSubscript(m, key)
-              if resolvePromoted(node, m, key, e.dataType).isDefined => m.exprId
-        }
+        c.children.flatMap(nullPropagating)
     }.flatten.toSet
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case node if node.children.nonEmpty =>

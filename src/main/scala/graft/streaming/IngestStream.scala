@@ -113,19 +113,46 @@ object IngestStream {
 
   /** The streaming query id persisted in `<checkpoint>/metadata` — stable
     * across restarts of the same checkpoint, fresh when the checkpoint is
-    * rebuilt. Falls back to "default" if unreadable (pre-start callers).
+    * rebuilt.
+    *
+    * This is only called from inside foreachBatch, i.e. AFTER the query has
+    * started, when Spark has already written the metadata file — so an
+    * unreadable file is an error, never a state to degrade through.
+    * Degrading to a shared constant namespace (the old "default" fallback)
+    * is exactly the data-loss case the generation id exists to prevent: two
+    * generations sharing one marker namespace let a rebuilt checkpoint's
+    * replayed batch 0 match a stale marker and be silently skipped.
+    * Transient FS reads are retried briefly; persistent failure throws and
+    * fails the batch (Spark retries the batch, not the silent skip).
     */
-  private[streaming] def checkpointGenerationId(
-      checkpoint: String, conf: org.apache.hadoop.conf.Configuration): String =
-    try {
-      val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
-      val fs = p.getFileSystem(conf)
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(body)
-        .map(_.group(1)).getOrElse("default")
-    } catch { case _: Exception => "default" }
+  private[graft] def checkpointGenerationId(
+      checkpoint: String, conf: org.apache.hadoop.conf.Configuration,
+      attempts: Int = 3): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    var lastErr: Exception = null
+    (1 to attempts.max(1)).foreach { attempt =>
+      try {
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(body) match {
+          case Some(m) => return m.group(1)
+          case None => throw new IllegalStateException(
+            s"no query id found in checkpoint metadata $p: $body")
+        }
+      } catch {
+        case e: Exception =>
+          lastErr = e
+          if (attempt < attempts) Thread.sleep(100L * attempt)
+      }
+    }
+    throw new IllegalStateException(
+      s"cannot read checkpoint metadata $p after $attempts attempts; " +
+        "refusing to fall back to a shared marker namespace (stale markers " +
+        "from another generation could silently skip replayed batches)",
+      lastErr)
+  }
 
   /** End-to-end convenience: JSON-lines dir → ingest → partitioned parquet. */
   def start(

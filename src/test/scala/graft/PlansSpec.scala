@@ -124,6 +124,40 @@ class PlansSpec extends SparkTestBase {
       "cross-relation promoted capture: B's subscript read A's values")
   }
 
+  test("null-tolerant wrapper keeps the explicit isnotnull(map) conjunct") {
+    import spark.implicits._
+    // coalesce(subscript, 0) > -1 accepts null-map rows, so the comparison
+    // implies nothing about the map; only the explicit isnotnull(map)
+    // excludes row 2. The old containment-based check dropped it — null-map
+    // rows leaked through after the rewrite.
+    val df = Seq(
+      (1L, Some(Map("k" -> 10.0))),
+      (2L, Option.empty[Map[String, Double]]),
+    ).toDF("id", "fields_number")
+    val out = Files.createTempDirectory("graft-promo-tolerant").toString
+    LogSchema.withPromotedColumns(df, numberKeys = Seq("k"))
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+
+    val q = back.where(
+      coalesce(try_element_at(col("fields_number"), lit("k")), lit(0.0)) > -1.0 &&
+        col("fields_number").isNotNull)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("isnotnull(fields_number"),
+      s"explicit isnotnull(map) was dropped beside a null-tolerant comparison:\n$optimized")
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "null-map row leaked through the filter")
+
+    // control: a bare (null-intolerant) promoted comparison still sheds the
+    // map conjunct so the scan can skip the map column
+    val strict = back.where(
+      try_element_at(col("fields_number"), lit("k")) > -1.0 &&
+        col("fields_number").isNotNull)
+    assert(!strict.queryExecution.optimizedPlan.toString.contains("isnotnull(fields_number"),
+      "redundant isnotnull(map) survived a null-rejecting promoted comparison")
+    assert(strict.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("no promoted column in scope → plan unchanged") {
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf()))

@@ -93,6 +93,22 @@ class StreamingSpec extends SparkTestBase {
       "new generation must re-append rather than match stale markers")
   }
 
+  test("generation id: reads the checkpoint query id; unreadable metadata fails fast") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ckpt = tmp("graft-genid")
+    Files.write(Paths.get(ckpt, "metadata"),
+      """{"id":"abc-123"}""".getBytes("UTF-8"))
+    assert(IngestStream.checkpointGenerationId(ckpt, conf) == "abc-123")
+    // a started query always has a metadata file; an unreadable one must
+    // throw — degrading to a shared "default" namespace is the silent
+    // batch-skip path the generation id exists to close
+    val missing = tmp("graft-genid-missing")
+    val ex = intercept[IllegalStateException] {
+      IngestStream.checkpointGenerationId(missing, conf, attempts = 1)
+    }
+    assert(ex.getMessage.contains("marker namespace"))
+  }
+
   test("startWithMetrics serves live pipeline counters over HTTP while streaming") {
     val in = tmp("graft-min"); val out = tmp("graft-mout"); val ckpt = tmp("graft-mckpt")
     writeFixture(in, "batch1.json", fixtureLines(25))

@@ -148,5 +148,16 @@ class TrainPipelineSpec extends SparkTestBase {
       .orderBy("node").collect().map(_.getLong(1)).toSeq
     // one round: each node only sees direct neighbors' original labels
     assert(capped == Seq(1L, 1L, 2L, 3L, 4L))
+    // the partial exit is never silent: strict mode refuses split clusters
+    val ex = intercept[IllegalStateException] {
+      TrainPipeline.connectedComponents(nodes, "n", edges, "s", "d",
+        maxIter = 1, requireConvergence = true)
+    }
+    assert(ex.getMessage.contains("maxIter=1"))
+    // a converged run passes strict mode untouched
+    val strict = TrainPipeline.connectedComponents(nodes, "n", edges, "s", "d",
+        requireConvergence = true)
+      .orderBy("node").collect().map(_.getLong(1)).toSeq
+    assert(strict == Seq(1L, 1L, 1L, 1L, 1L))
   }
 }
