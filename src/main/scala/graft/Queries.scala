@@ -1115,7 +1115,29 @@ object Queries {
     (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), TF.langId(col("text")).as("pred_lang"), col("lang"))
       .orderBy("doc_id"),
-    None)
+    Some {
+      // mirrors TF.langId exactly: per-language stopword hit counts over the
+      // same tokenization, argmax with Spark's struct-max tie-break (equal
+      // scores → lexicographically greatest language), zero evidence → 'und'.
+      // Generated from LangProfiles so the two sides cannot drift.
+      val langsDesc = TF.LangProfiles.keys.toSeq.sorted.reverse
+      val scoreExprs = TF.LangProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"len(list_filter(toks, t -> list_contains(" +
+          ws.map("'" + _ + "'").mkString("[", ",", "]") + s", t))) AS s_$l"
+      }.mkString(", ")
+      val g = langsDesc.map("s_" + _).mkString("greatest(", ", ", ")")
+      val cases = langsDesc.init
+        .map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang, $scoreExprs
+          FROM (SELECT doc_id, lang,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents))
+          SELECT doc_id,
+            CASE WHEN $g = 0 THEN 'und' $cases
+                 ELSE '${langsDesc.last}' END AS pred_lang,
+            lang
+          FROM s ORDER BY doc_id"""
+    })
 
   private val docFingerprint = Q(
     (s, dir) => t(s, dir, "documents").select(
