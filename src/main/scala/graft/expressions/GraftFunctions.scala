@@ -22,6 +22,7 @@ object GraftFunctions {
     "graft_hyperplane" -> (es => HyperplaneSketch(es.head, es(1), es(2))),
     "graft_round" -> (es => RoundHalfAway(es.head, es(1))),
     "graft_ingest" -> (es => JsonIngest.fromArgs(es)),
+    "graft_fb_records" -> (es => FbRecords(es.head)),
   )
 
   @volatile private var registered: Set[Int] = Set.empty
