@@ -135,6 +135,45 @@ object Queries {
     def clusters(s: SparkSession, dir: String): DataFrame =
       sessionScoped(clusterFrames, s, dir)(clusterPipeline(s, dir))
 
+    private val fbChunkDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+    /** Fluent Bit wire-format fixture: a bounded slice of `events`
+      * re-encoded as msgpack chunk files (the reference plugin's actual
+      * input shape, main.go:238-244), once per (process, sf dir). The
+      * collect here is fixture CONSTRUCTION — 300 rows, bounded at every
+      * SF — not the query path; the query reads the chunk files back
+      * through `binaryFile` like any other source. Because decode∘encode
+      * is the identity on these rows, the DuckDB oracle can state the
+      * expected output directly against `events`.
+      */
+    def fbChunkDir(s: SparkSession, dir: String): String =
+      fbChunkDirs.getOrElseUpdate(dir, {
+        import graft.expressions.MsgpackWire
+        val out = java.nio.file.Files.createTempDirectory("graft-fbchunks").toString
+        deleteOnExit(out)
+        val rows = t(s, dir, "events").where(col("event_id") < 300)
+          .select(col("event_id").cast(LongType), unix_micros(col("ts")),
+            col("event_type"), col("value").cast(DoubleType),
+            col("user_id").cast(LongType))
+          .orderBy("event_id").collect()
+        rows.grouped(100).zipWithIndex.foreach { case (grp, i) =>
+          val events = grp.toSeq.map { row =>
+            val micros = row.getLong(1)
+            val rec = scala.collection.immutable.ListMap[String, Any](
+              "event_id" -> row.getLong(0),
+              "event_type" -> row.getString(2),
+              "value" -> (if (row.isNullAt(3)) null else row.getDouble(3)),
+              "user_id" -> (if (row.isNullAt(4)) null else row.getLong(4)))
+            (MsgpackWire.EventTime(micros / 1000000L, (micros % 1000000L) * 1000L),
+              rec): (Any, Any)
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"chunk$i%03d.msgpack"),
+            MsgpackWire.encodeChunk(events))
+        }
+        out
+      })
+
     /** pairs → min-label clusters over the bounded verification set. ONE
       * definition shared by `dedup_cluster` (times it live) and [[clusters]]
       * (caches it for `dedup_survivors`) so the two queries can never
@@ -160,6 +199,7 @@ object Queries {
     */
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     Fixtures.logTableDir(s, dir)
+    Fixtures.fbChunkDir(s, dir)
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
     Fixtures.clusters(s, dir).count()
@@ -194,6 +234,31 @@ object Queries {
         epoch_ms(date_trunc('second', ts)) AS ts_epoch_ms,
         epoch_ms(date_trunc('second', ts)) AS ts_nested_ms
         FROM events ORDER BY id"""))
+
+  /** The Fluent Bit wire path end-to-end: msgpack chunk files → binaryFile
+    * scan → `explode(graft_fb_records(content))` → `graft_ingest` → typed
+    * projection. EventTime ext timestamps survive to the microsecond; the
+    * record map round-trips through the flatten/type-dispatch pipeline.
+    * Scale: decode runs inside the scan stage, chunks parallelize by file —
+    * zero shuffle before the ORDER BY (which only the oracle comparison
+    * needs).
+    */
+  private val sourceStreamDecode = Q(
+    (s, dir) => {
+      graft.expressions.GraftFunctions.registerAll(s)
+      val chunks = s.read.format("binaryFile").load(Fixtures.fbChunkDir(s, dir))
+      graft.streaming.IngestStream.ingestedFromChunks(chunks)
+        .select(
+          col("fields_number")("event_id").cast(LongType).as("id"),
+          unix_millis(col("timestamp")).as("ts_ms"),
+          try_element_at(col("fields_string"), lit("event_type")).as("etype"),
+          r(try_element_at(col("fields_number"), lit("value")), 2).as("val"),
+          try_element_at(col("fields_number"), lit("user_id")).cast(LongType).as("uid"))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id, epoch_ms(ts) AS ts_ms,
+        event_type AS etype, round(value, 2) AS val, user_id AS uid
+        FROM events WHERE event_id < 300 ORDER BY id"""))
 
   // ------------------------------------------------------------------
   // §2.2 projection / filter / predicates (log-shaped view over events)
@@ -1353,6 +1418,7 @@ object Queries {
   val registry: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
     "source_ts_extract" -> sourceTsExtract,
+    "source_stream_decode" -> sourceStreamDecode,
     "project_columns" -> projectColumns,
     "filter_metadata_eq" -> filterMetadataEq,
     "filter_time_range" -> filterTimeRange,

@@ -231,9 +231,13 @@ object MsgpackWire {
   // ---- minimal encoder (tests, fixtures, and the wire-format oracle) ----
 
   /** Encode a value as msgpack. Supports the subset Fluent Bit emits:
-    * null, Boolean, Long/Int, Double, String, Array[Byte] (bin8),
-    * Seq (array), Seq[(k,v)] via Map (map16), [[EventTime]] (fixext8 type
-    * 0). Deterministic: always the widest-enough canonical format.
+    * null, Boolean, Long/Int, Double, String, Array[Byte], Seq (array),
+    * Map (insertion-ordered Maps keep wire order), [[EventTime]] (fixext8
+    * type 0). Deterministic canonical form: always the SMALLEST format that
+    * fits the length (fixstr→str8→str16→str32, bin8→bin16→bin32,
+    * fixarray→array16→array32, fixmap→map16→map32), so any payload up to
+    * the msgpack 32-bit limits round-trips — the old single-length-byte
+    * str8/bin8 emission silently corrupted values ≥ 256 bytes.
     */
   def encode(v: Any, out: java.io.ByteArrayOutputStream): Unit = v match {
     case null => out.write(0xc0)
@@ -248,21 +252,34 @@ object MsgpackWire {
     case s: String =>
       val b = s.getBytes(StandardCharsets.UTF_8)
       if (b.length <= 31) out.write(0xa0 | b.length)
-      else { out.write(0xd9); out.write(b.length) }
+      else if (b.length <= 0xff) { out.write(0xd9); out.write(b.length) }
+      else if (b.length <= 0xffff) { out.write(0xda); writeShort(b.length, out) }
+      else { out.write(0xdb); writeInt(b.length, out) }
       out.write(b, 0, b.length)
     case b: Array[Byte] =>
-      out.write(0xc4); out.write(b.length); out.write(b, 0, b.length)
+      if (b.length <= 0xff) { out.write(0xc4); out.write(b.length) }
+      else if (b.length <= 0xffff) { out.write(0xc5); writeShort(b.length, out) }
+      else { out.write(0xc6); writeInt(b.length, out) }
+      out.write(b, 0, b.length)
     case EventTime(sec, nsec) =>
       out.write(0xd7); out.write(0)
       writeInt(sec.toInt, out); writeInt(nsec.toInt, out)
     case m: scala.collection.Map[_, _] =>
-      out.write(0xde); out.write((m.size >> 8) & 0xff); out.write(m.size & 0xff)
+      if (m.size <= 15) out.write(0x80 | m.size)
+      else if (m.size <= 0xffff) { out.write(0xde); writeShort(m.size, out) }
+      else { out.write(0xdf); writeInt(m.size, out) }
       m.foreach { case (k, value) => encode(k, out); encode(value, out) }
     case seq: Seq[_] =>
-      out.write(0x90 | seq.length)
+      if (seq.length <= 15) out.write(0x90 | seq.length)
+      else if (seq.length <= 0xffff) { out.write(0xdc); writeShort(seq.length, out) }
+      else { out.write(0xdd); writeInt(seq.length, out) }
       seq.foreach(encode(_, out))
     case other =>
       throw new IllegalArgumentException(s"cannot encode ${other.getClass}")
+  }
+
+  private def writeShort(i: Int, out: java.io.ByteArrayOutputStream): Unit = {
+    out.write((i >> 8) & 0xff); out.write(i & 0xff)
   }
 
   private def writeInt(i: Int, out: java.io.ByteArrayOutputStream): Unit = {

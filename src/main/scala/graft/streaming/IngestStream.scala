@@ -49,6 +49,63 @@ object IngestStream {
     Ingest.ingestJson(raw, col("value"), ts, cfg)
   }
 
+  /** Raw Fluent Bit chunk source: one msgpack chunk per file, the wire
+    * shape the reference plugin's FLBPluginFlushCtx actually receives
+    * (/root/reference/main.go:238-244). `binaryFile` streams whole files as
+    * `content BINARY`; chunks parallelize by file, and the decode runs
+    * inside the scan stage (see [[graft.expressions.FbRecords]]) — no
+    * shuffle before the partitioned write.
+    */
+  def readFbChunks(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // binaryFile's schema is fixed by the format, but the STREAMING file
+    // source still requires it stated up front (no inference pass at start)
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val r = spark.readStream.format("binaryFile").schema(schema)
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    r2.load(path)
+  }
+
+  /** Chunk bytes → log rows: `explode(graft_fb_records(content))` splits a
+    * chunk into its `[ts, record]` events, then the SAME graft_ingest
+    * projection as the JSON-lines path (one record dataflow, two decode
+    * surfaces). The wire timestamp is used when the event carried a
+    * decodable one (EventTime ext / int / float / v2.1 nested,
+    * main.go:85-103); otherwise the injected fallback — the reference falls
+    * back to wall-clock `time.Now()`, which tests replace with a fixed
+    * instant.
+    */
+  def ingestedFromChunks(raw: DataFrame, cfg: IngestConfig = IngestConfig(),
+      fallbackTs: Option[java.sql.Timestamp] = None): DataFrame = {
+    graft.expressions.GraftFunctions.registerAll(raw.sparkSession)
+    val fb = fallbackTs.map(t => lit(t)).getOrElse(current_timestamp())
+    val events = raw.select(
+      explode(call_function("graft_fb_records", col("content"))).as("e"))
+    Ingest.ingestJson(
+      events.select(col("e.ts").as("wire_ts"), col("e.record").as("value")),
+      col("value"), coalesce(col("wire_ts"), fb), cfg)
+  }
+
+  /** End-to-end convenience for the wire path: msgpack chunk dir → decode →
+    * ingest → partitioned parquet. The chunk-file sibling of [[start]].
+    */
+  def startFromChunks(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      checkpoint: String,
+      cfg: IngestConfig = IngestConfig(),
+      fallbackTs: Option[java.sql.Timestamp] = None,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      queryName: Option[String] = None): StreamingQuery =
+    sinkPartitionedParquet(
+      ingestedFromChunks(readFbChunks(spark, inPath), cfg, fallbackTs),
+      outPath, checkpoint, trigger, queryName).start()
+
   /** Partitioned-parquet sink with the reference's physical design (daily
     * partitions + sort key, LogSchema.writePartitioned) applied per batch.
     *

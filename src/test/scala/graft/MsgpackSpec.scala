@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.expressions.MsgpackWire
+import graft.expressions.MsgpackWire.EventTime
+import graft.model.LogSchema
+import graft.streaming.IngestStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import scala.collection.immutable.ListMap
+
+/** The Fluent Bit msgpack wire path: encoder canonical-format boundaries,
+  * decoder round-trips for every timestamp shape the reference handles
+  * (/root/reference/main.go:85-103), whole-chunk break-on-malformed
+  * semantics (main.go:242-254), and the end-to-end dataflow
+  * `chunk bytes → graft_fb_records → graft_ingest → log rows`.
+  */
+class MsgpackSpec extends SparkTestBase {
+
+  private def roundTripRecord(record: Any): String = {
+    val chunk = MsgpackWire.encodeChunk(Seq((100L, record)))
+    val events = MsgpackWire.decodeChunk(chunk)
+    assert(events.length == 1)
+    events.head._2
+  }
+
+  // ---- encoder format-width boundaries (the round-4 corruption bug) ----
+
+  test("strings round-trip across fixstr/str8/str16/str32 boundaries") {
+    for (n <- Seq(0, 1, 31, 32, 255, 256, 65535, 65536)) {
+      val s = "x" * n
+      val json = roundTripRecord(ListMap("k" -> s))
+      assert(json == s"""{"k":"$s"}""", s"string of length $n corrupted")
+    }
+  }
+
+  test("binary values round-trip across bin8/bin16/bin32 boundaries (UTF-8 rendering)") {
+    for (n <- Seq(1, 255, 256, 65535, 65536)) {
+      val b = Array.fill[Byte](n)('b'.toByte)
+      val json = roundTripRecord(ListMap("k" -> b))
+      // main.go:271-274: []byte renders as string(t)
+      assert(json == s"""{"k":"${"b" * n}"}""", s"bin of length $n corrupted")
+    }
+  }
+
+  test("arrays and maps round-trip across fix/16-bit boundaries") {
+    for (n <- Seq(15, 16, 300)) {
+      val json = roundTripRecord(ListMap("a" -> (0 until n).map(_.toLong)))
+      assert(json == s"""{"a":[${(0 until n).mkString(",")}]}""",
+        s"array of length $n corrupted")
+    }
+    for (n <- Seq(15, 16, 300)) {
+      val m = ListMap((0 until n).map(i => f"k$i%04d" -> i.toLong): _*)
+      val json = roundTripRecord(m)
+      val expect = (0 until n).map(i => f""""k$i%04d":$i""").mkString("{", ",", "}")
+      assert(json == expect, s"map of size $n corrupted")
+    }
+  }
+
+  // ---- timestamp shapes, main.go:85-103 ----
+
+  test("EventTime ext (fixext8 type 0) decodes to micros") {
+    val chunk = MsgpackWire.encodeChunk(Seq(
+      (EventTime(1767225600L, 123456789L), ListMap("m" -> "a"))))
+    val events = MsgpackWire.decodeChunk(chunk)
+    assert(events.head._1 == 1767225600L * 1000000L + 123456L)
+  }
+
+  test("integer and float timestamps decode as epoch seconds") {
+    val chunk = MsgpackWire.encodeChunk(Seq(
+      (1767225600L, ListMap("m" -> "int")),
+      (1767225600.25, ListMap("m" -> "float")),
+      (100L, ListMap("m" -> "fixint"))))
+    val ts = MsgpackWire.decodeChunk(chunk).map(_._1)
+    assert(ts == Vector(1767225600000000L, 1767225600250000L, 100000000L))
+  }
+
+  test("v2.1 nested [[ts, metadata], record] recurses into element 0") {
+    val chunk = MsgpackWire.encodeChunk(Seq(
+      (Seq(EventTime(1767225600L, 0L), ListMap("meta" -> "m")),
+        ListMap("m" -> "nested"))))
+    val events = MsgpackWire.decodeChunk(chunk)
+    assert(events.head._1 == 1767225600000000L)
+    assert(events.head._2 == """{"m":"nested"}""")
+  }
+
+  test("undecodable timestamp shape yields null micros (caller supplies fallback)") {
+    val chunk = MsgpackWire.encodeChunk(Seq(("not-a-ts", ListMap("m" -> "x"))))
+    assert(MsgpackWire.decodeChunk(chunk).head._1 == null)
+  }
+
+  // ---- record value shapes ----
+
+  test("negative fixint, doubles, bools, null elision-ready nulls render to JSON") {
+    val json = roundTripRecord(ListMap(
+      "neg" -> -5L, "big_neg" -> -1000L, "d" -> 2.5, "t" -> true, "z" -> null))
+    assert(json == """{"neg":-5,"big_neg":-1000,"d":2.5,"t":true,"z":null}""")
+  }
+
+  test("non-string map keys are stringified (JSON requires string keys)") {
+    assert(roundTripRecord(ListMap(7L -> "a", "s" -> 1L)) == """{"7":"a","s":1}""")
+  }
+
+  test("nested maps and arrays preserve wire order") {
+    val json = roundTripRecord(ListMap(
+      "kubernetes" -> ListMap("namespace_name" -> "ns1", "labels" -> ListMap("app" -> "a1")),
+      "arr" -> Seq(1L, "two", 3.5)))
+    assert(json ==
+      """{"kubernetes":{"namespace_name":"ns1","labels":{"app":"a1"}},"arr":[1,"two",3.5]}""")
+  }
+
+  test("decoder handles uint8/16/32 and float32 wire tags") {
+    // hand-built bytes: the canonical encoder never emits these widths
+    val out = new java.io.ByteArrayOutputStream
+    out.write(0x92)             // [ts, record]
+    out.write(0xce)             // uint32 ts
+    out.write(0x69); out.write(0x4e); out.write(0xb4); out.write(0x00) // 1767225344
+    out.write(0x81)             // fixmap(1)
+    out.write(0xa1); out.write('v')
+    out.write(0xca)             // float32 1.5
+    val bits = java.lang.Float.floatToIntBits(1.5f)
+    out.write((bits >> 24) & 0xff); out.write((bits >> 16) & 0xff)
+    out.write((bits >> 8) & 0xff); out.write(bits & 0xff)
+    // uint8 / uint16 timestamps on two more events
+    out.write(0x92); out.write(0xcc); out.write(0xfe)          // uint8 254
+    out.write(0x81); out.write(0xa1); out.write('v'); out.write(0x01)
+    out.write(0x92); out.write(0xcd); out.write(0x01); out.write(0x00) // uint16 256
+    out.write(0x81); out.write(0xa1); out.write('v'); out.write(0x02)
+    val events = MsgpackWire.decodeChunk(out.toByteArray)
+    assert(events.map(_._1) == Vector(
+      0x694eb400L * 1000000L, 254000000L, 256000000L))
+    assert(events.head._2 == """{"v":1.5}""")
+  }
+
+  // ---- whole-chunk break semantics, main.go:242-254 ----
+
+  test("truncated chunk keeps the decoded prefix") {
+    val full = MsgpackWire.encodeChunk(Seq(
+      (1L, ListMap("m" -> "first-event-payload")),
+      (2L, ListMap("m" -> "second-event-payload")),
+      (3L, ListMap("m" -> "third-event-payload"))))
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 4)
+    val events = MsgpackWire.decodeChunk(cut)
+    assert(events.map(_._2) == Vector(
+      """{"m":"first-event-payload"}""", """{"m":"second-event-payload"}"""))
+  }
+
+  test("garbled tag or non-pair event stops the chunk, keeping the prefix") {
+    val good = MsgpackWire.encodeChunk(Seq((1L, ListMap("m" -> "ok"))))
+    val withBadTag = good ++ Array(0xc1.toByte) // 0xc1 is never used in msgpack
+    assert(MsgpackWire.decodeChunk(withBadTag).map(_._2) == Vector("""{"m":"ok"}"""))
+
+    val bare = new java.io.ByteArrayOutputStream
+    MsgpackWire.encode(ListMap("not" -> "a-pair"), bare) // map, not [ts, record]
+    val withBadEvent = good ++ bare.toByteArray ++ good
+    // the reference breaks the WHOLE chunk on the first bad event — the
+    // trailing good event is dropped with it
+    assert(MsgpackWire.decodeChunk(withBadEvent).map(_._2) == Vector("""{"m":"ok"}"""))
+  }
+
+  test("empty chunk decodes to no events") {
+    assert(MsgpackWire.decodeChunk(Array.empty[Byte]).isEmpty)
+  }
+
+  // ---- end-to-end: wire bytes → graft_fb_records → graft_ingest ----
+
+  test("chunk bytes flow through graft_fb_records and graft_ingest to log rows") {
+    import spark.implicits._
+    val chunk = MsgpackWire.encodeChunk(Seq(
+      (EventTime(1767225600L, 500000000L), ListMap(
+        "cluster" -> "c1",
+        "kubernetes" -> ListMap(
+          "namespace_name" -> "ns1", "pod_name" -> "pod-0",
+          "container_name" -> "main", "host" -> "h1",
+          "labels" -> ListMap("app" -> "app1")),
+        "log" -> "hello wire",
+        "content" -> ListMap("level" -> "info", "n" -> 42L))),
+      ("bogus-ts", ListMap("log" -> "fallback row"))))
+    val fallback = Timestamp.valueOf("2026-02-01 00:00:00")
+    val rows = IngestStream.ingestedFromChunks(
+        Seq(chunk).toDF("content"), fallbackTs = Some(fallback))
+      .orderBy("log").collect()
+    assert(rows.length == 2)
+    val wire = rows(1) // "hello wire" sorts after "fallback row"
+    assert(wire.getAs[Timestamp]("timestamp") ==
+      Timestamp.from(java.time.Instant.ofEpochSecond(1767225600L, 500000000L)))
+    assert(wire.getAs[String]("cluster") == "c1")
+    assert(wire.getAs[String]("namespace") == "ns1")
+    assert(wire.getAs[String]("app") == "app1")
+    assert(wire.getAs[String]("log") == "hello wire")
+    assert(wire.getAs[Map[String, String]]("fields_string")("content_level") == "info")
+    assert(wire.getAs[Map[String, Double]]("fields_number")("content_n") == 42.0)
+    assert(rows(0).getAs[Timestamp]("timestamp") == fallback)
+  }
+
+  test("streaming: chunk files → decode → ingest → date-partitioned parquet") {
+    val in = Files.createTempDirectory("graft-fb-in").toString
+    val out = Files.createTempDirectory("graft-fb-out").toString
+    val ckpt = Files.createTempDirectory("graft-fb-ckpt").toString
+    def chunkFor(day: Int, n: Int): Array[Byte] =
+      MsgpackWire.encodeChunk((0 until n).map { i =>
+        val sec = Timestamp.valueOf(f"2026-01-$day%02d 08:00:00").getTime / 1000
+        (EventTime(sec + i, 0L), ListMap(
+          "kubernetes" -> ListMap("namespace_name" -> s"ns${i % 2}"),
+          "log" -> s"day$day line $i", "n" -> i.toLong))
+      })
+    Files.write(Paths.get(in, "chunk1.msgpack"), chunkFor(10, 30))
+    Files.write(Paths.get(in, "chunk2.msgpack"), chunkFor(11, 20))
+    val q = IngestStream.startFromChunks(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    q.stop()
+    val logs = LogSchema.readLogs(spark, out)
+    assert(logs.count() == 50)
+    val dates = logs.select("date").distinct().collect().map(_.get(0).toString).sorted
+    assert(dates.toSeq == Seq("2026-01-10", "2026-01-11"))
+    assert(logs.where(col("namespace") === "ns1").count() == 25)
+    assert(logs.where(col("log") === "day10 line 7")
+      .select(try_element_at(col("fields_number"), lit("n")))
+      .collect()(0).getDouble(0) == 7.0)
+  }
+}
