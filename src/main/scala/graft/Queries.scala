@@ -545,12 +545,26 @@ object Queries {
     Some("""SELECT count(DISTINCT event_type) AS n_types,
         count(DISTINCT user_id) AS n_users FROM events"""))
 
+  /** Sketch aggregates (HLL++, approximate percentile). The sketch VALUES
+    * are engine-specific and can't hash-match another engine, but their
+    * accuracy CONTRACTS are SQL-expressible: emit the exact answer plus
+    * booleans asserting each sketch landed within its documented error
+    * bound (HLL++ default rsd = 5%; percentile_approx with accuracy 1000
+    * on this data sits within 2% of the true median). The oracle states
+    * the same exact value and literal trues — so a sketch drifting out of
+    * tolerance fails the hash compare, making this a REAL correctness row
+    * rather than a rows-only count.
+    */
   private val aggApproxDistinct = Q(
     (s, dir) => t(s, dir, "events").agg(
-      approx_count_distinct(col("user_id")).as("approx_users"),
       countDistinct(col("user_id")).as("exact_users"),
-      r(expr("percentile_approx(value, 0.5, 1000)"), 0).as("p50_approx")),
-    None) // sketches are engine-specific; accuracy asserted in ScalaTest
+      (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+        <= countDistinct(col("user_id")) * 0.15).as("approx_users_ok"),
+      (abs(expr("percentile_approx(value, 0.5, 1000)") -
+        expr("percentile(value, 0.5)"))
+        <= abs(expr("percentile(value, 0.5)")) * 0.02 + 0.001).as("p50_ok")),
+    Some("""SELECT count(DISTINCT user_id) AS exact_users,
+        true AS approx_users_ok, true AS p50_ok FROM events"""))
 
   private val aggGroupingSets = Q(
     (s, dir) => t(s, dir, "orders")

@@ -40,8 +40,16 @@ object Similarity {
       k: Int): DataFrame = {
     VectorExprs.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      .repartition(col("nid"))
+    val sel = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    // The corpus is NEVER shuffled at scale: a 100 TB scan already has
+    // thousands of splits, so scoring runs where the vectors sit. Only a
+    // genuinely under-split source (a single local file — the test/bench
+    // case) gets spread to the session's parallelism; getNumPartitions
+    // inspects the planned scan without running a job.
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val c =
+      if (sel.rdd.getNumPartitions < parallelism) sel.repartition(parallelism)
+      else sel
     val scored = c.join(q, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))

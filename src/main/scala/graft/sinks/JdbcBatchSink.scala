@@ -25,13 +25,25 @@ import org.apache.spark.sql.types.MapType
   *    JSON VARCHAR for generic JDBC targets. A ClickHouse JDBC driver with
   *    native Map support can skip that step.
   */
+/** Target-dialect specifics. [[ClickHouseDialect]] reproduces the
+  * reference's async-insert settings passthrough (clickhouse.go:65-76):
+  * `async_insert = 1` hands buffering to the server, and
+  * `wait_for_async_insert` picks acked (1) vs fire-and-forget (0) inserts.
+  */
+sealed trait SinkDialect
+case object GenericDialect extends SinkDialect
+final case class ClickHouseDialect(
+    asyncInsert: Boolean = false,
+    waitForAsyncInsert: Boolean = true) extends SinkDialect
+
 case class JdbcSinkConfig(
     url: String,
     table: String,
     batchSize: Int = 10000,          // reference default, main.go:37
     async: Boolean = false,
     user: Option[String] = None,
-    password: Option[String] = None)
+    password: Option[String] = None,
+    dialect: SinkDialect = GenericDialect)
 
 object JdbcBatchSink {
 
@@ -63,9 +75,44 @@ object JdbcBatchSink {
     p
   }
 
+  /** The SETTINGS clause the reference appends to its INSERT
+    * (clickhouse.go:65-76): empty unless the ClickHouse dialect enables
+    * async_insert.
+    */
+  def settingsClause(dialect: SinkDialect): String = dialect match {
+    case ClickHouseDialect(true, wait) =>
+      s"SETTINGS async_insert = 1, wait_for_async_insert = ${if (wait) 1 else 0}"
+    case _ => ""
+  }
+
+  /** The prepared INSERT the reference's statement-level writer runs
+    * (clickhouse.go:76-77 — `INSERT INTO <table> (cols) VALUES (?…) SETTINGS
+    * …`). The stock Spark JDBC writer generates its own statement text, so
+    * this form is for statement-level integrations; [[effectiveUrl]] carries
+    * the same settings for the Spark-writer path.
+    */
+  def insertSql(cfg: JdbcSinkConfig, columns: Seq[String]): String = {
+    val settings = settingsClause(cfg.dialect)
+    val tail = if (settings.isEmpty) "" else " " + settings
+    s"INSERT INTO ${cfg.table} (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})$tail"
+  }
+
+  /** Dialect settings as JDBC-URL session parameters — the ClickHouse JDBC
+    * driver applies URL query params as per-session server settings, so the
+    * Spark JDBC writer's generated INSERTs run with the same async-insert
+    * behavior the reference requests per statement.
+    */
+  def effectiveUrl(cfg: JdbcSinkConfig): String = cfg.dialect match {
+    case ClickHouseDialect(true, wait) =>
+      val sep = if (cfg.url.contains("?")) "&" else "?"
+      s"${cfg.url}${sep}async_insert=1&wait_for_async_insert=${if (wait) 1 else 0}"
+    case _ => cfg.url
+  }
+
   /** Write one batch (transaction per partition, prepared-stmt batches). */
   def writeBatch(df: DataFrame, cfg: JdbcSinkConfig): Unit =
-    mapsAsJson(df).write.mode("append").jdbc(cfg.url, cfg.table, props(cfg))
+    mapsAsJson(df).write.mode("append").jdbc(effectiveUrl(cfg), cfg.table, props(cfg))
 
   /** `foreachBatch` hook honoring the async flag. */
   def foreachBatchWriter(cfg: JdbcSinkConfig): (DataFrame, Long) => Unit =

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import graft.operators.IngestConfig
-import graft.sinks.{JdbcBatchSink, JdbcSinkConfig}
+import graft.sinks.{ClickHouseDialect, GenericDialect, JdbcBatchSink, JdbcSinkConfig}
 import graft.streaming.IngestStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -70,5 +70,36 @@ class JdbcSinkSpec extends SparkTestBase {
 
     val back = spark.read.jdbc(url, "logs_async", new java.util.Properties())
     assert(back.count() == 60)
+  }
+
+  test("ClickHouse dialect emits the reference's async_insert SETTINGS passthrough") {
+    // clickhouse.go:65-77 parity: the statement form carries the SETTINGS
+    // clause, URL form carries the same settings as session params
+    val cols = Seq("timestamp", "cluster", "namespace", "app", "pod_name",
+      "container_name", "host", "fields_string", "fields_number", "log")
+    val fire = JdbcSinkConfig("jdbc:ch://host:8123/db", "db.logs",
+      dialect = ClickHouseDialect(asyncInsert = true, waitForAsyncInsert = false))
+    assert(JdbcBatchSink.insertSql(fire, cols) ==
+      "INSERT INTO db.logs (timestamp, cluster, namespace, app, pod_name, " +
+        "container_name, host, fields_string, fields_number, log) " +
+        "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?) " +
+        "SETTINGS async_insert = 1, wait_for_async_insert = 0")
+    assert(JdbcBatchSink.effectiveUrl(fire) ==
+      "jdbc:ch://host:8123/db?async_insert=1&wait_for_async_insert=0")
+
+    val acked = fire.copy(dialect = ClickHouseDialect(asyncInsert = true))
+    assert(JdbcBatchSink.insertSql(acked, Seq("a")).endsWith(
+      "SETTINGS async_insert = 1, wait_for_async_insert = 1"))
+    val withParams = acked.copy(url = "jdbc:ch://host:8123/db?ssl=true")
+    assert(JdbcBatchSink.effectiveUrl(withParams) ==
+      "jdbc:ch://host:8123/db?ssl=true&async_insert=1&wait_for_async_insert=1")
+
+    // async_insert off or generic dialect: no settings anywhere
+    val off = fire.copy(dialect = ClickHouseDialect(asyncInsert = false))
+    assert(JdbcBatchSink.insertSql(off, Seq("a")) == "INSERT INTO db.logs (a) VALUES (?)")
+    assert(JdbcBatchSink.effectiveUrl(off) == "jdbc:ch://host:8123/db")
+    val generic = fire.copy(dialect = GenericDialect)
+    assert(JdbcBatchSink.insertSql(generic, Seq("a")) == "INSERT INTO db.logs (a) VALUES (?)")
+    assert(JdbcBatchSink.effectiveUrl(generic) == "jdbc:ch://host:8123/db")
   }
 }
