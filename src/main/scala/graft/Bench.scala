@@ -38,22 +38,38 @@ object Bench {
     // better than a working one. A query with zero successful reps reports
     // the sentinel -1 so the driver sees the failure instead of a time.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to reps).foreach { _ =>
+      var passTotal = 0.0
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
-        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        if (ok) {
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+          passTotal += t
+        }
       }
+      passTotals += passTotal
     }
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // sentinels excluded: a failed query must not subtract from the total
+    // sentinels excluded: a failed query must not subtract from the total —
+    // and the failure is surfaced UNMISSABLY via the `failed` field (a
+    // smaller total from a broken query must never read as a speedup)
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, t) if t < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-pass totals expose run-to-run variance (host co-tenancy noise has
+    // invalidated recorded artifacts in 3 of 4 rounds; spread >> min here
+    // means the run is contaminated, not the code regressed)
+    val repJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$repJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (sentinel -1): ${failed.mkString(", ")}")
     spark.stop()
   }
 }

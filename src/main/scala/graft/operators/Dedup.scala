@@ -170,8 +170,15 @@ object Dedup {
     * pigeonhole recall guarantee (a pair within radius maxHamming cannot
     * differ in every one of maxHamming+1 disjoint chunks).
     */
-  def simhashPairsFromWideFingerprints(
-      withFp: DataFrame, maxHamming: Int, words: Int): DataFrame = {
+  /** Chunk placement for the wide-fingerprint banding: maxHamming+1 chunks
+    * spread across `words` 64-bit words, each word's chunks tiling its 64
+    * bits with widths differing by at most one. Pure index arithmetic,
+    * split out so the pigeonhole invariants (disjoint, covering, balanced)
+    * can be property-tested directly. Returns (wordIdx, bitOffset, width)
+    * per band.
+    */
+  private[graft] def wideChunkLayout(
+      maxHamming: Int, words: Int): Seq[(Int, Int, Int)] = {
     require(words >= 1, s"words must be >= 1, got $words")
     require(maxHamming >= 0 && maxHamming < 64 * words,
       s"maxHamming must be in [0, ${64 * words}), got $maxHamming")
@@ -181,16 +188,24 @@ object Dedup {
       val rem = nBands % words
       (0 until words).map(w => base + (if (w < rem) 1 else 0))
     }
-    val chunks: Seq[Column] = perWord.zipWithIndex.flatMap { case (c, w) =>
-      val word = element_at(col("fp"), w + 1)
+    perWord.zipWithIndex.flatMap { case (c, w) =>
       val base = if (c > 0) 64 / c else 0
       val rem = if (c > 0) 64 % c else 0
       (0 until c).map { i =>
         val width = if (i < rem) base + 1 else base
         val offset = i * base + math.min(i, rem)
+        (w, offset, width)
+      }
+    }
+  }
+
+  def simhashPairsFromWideFingerprints(
+      withFp: DataFrame, maxHamming: Int, words: Int): DataFrame = {
+    val chunks: Seq[Column] = wideChunkLayout(maxHamming, words).map {
+      case (w, offset, width) =>
+        val word = element_at(col("fp"), w + 1)
         val mask = if (width >= 64) -1L else (1L << width) - 1
         call_function("shiftright", word, lit(offset)).bitwiseAND(lit(mask))
-      }
     }
     val banded = withFp.select(col("id"), col("fp"),
       posexplode(array(chunks: _*)).as(Seq("band", "chunk")))

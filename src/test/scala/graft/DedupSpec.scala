@@ -158,4 +158,33 @@ class DedupSpec extends SparkTestBase {
       assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
     }
   }
+
+  test("wideChunkLayout: chunks disjoint, tile every used word, widths balanced — exhaustive over the full domain") {
+    // the pigeonhole recall guarantee rests entirely on these invariants;
+    // the domain is small enough to check EVERY (words, maxHamming) pair
+    for (words <- 1 to 4; maxHamming <- 0 until 64 * words) {
+      val layout = Dedup.wideChunkLayout(maxHamming, words)
+      val label = s"words=$words maxHamming=$maxHamming"
+      assert(layout.size == maxHamming + 1, s"$label: band count")
+      layout.groupBy(_._1).foreach { case (w, chunks) =>
+        assert(w >= 0 && w < words, s"$label: word index $w")
+        val sorted = chunks.map(c => (c._2, c._3)).sortBy(_._1)
+        assert(sorted.forall(c => c._2 >= 1), s"$label word $w: zero-width chunk")
+        // disjoint AND covering: consecutive chunks abut, span is [0, 64)
+        assert(sorted.head._1 == 0, s"$label word $w: first chunk not at bit 0")
+        sorted.sliding(2).foreach {
+          case Seq((o1, w1), (o2, _)) =>
+            assert(o1 + w1 == o2, s"$label word $w: gap/overlap at bit $o2")
+          case _ => ()
+        }
+        val last = sorted.last
+        assert(last._1 + last._2 == 64, s"$label word $w: tiling must end at 64")
+        val widths = sorted.map(_._2)
+        assert(widths.max - widths.min <= 1, s"$label word $w: widths $widths unbalanced")
+      }
+      // chunk counts across words also balanced (within one)
+      val counts = (0 until words).map(w => layout.count(_._1 == w))
+      assert(counts.max - counts.min <= 1, s"$label: per-word band counts $counts")
+    }
+  }
 }

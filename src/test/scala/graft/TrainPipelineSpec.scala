@@ -160,4 +160,41 @@ class TrainPipelineSpec extends SparkTestBase {
       .orderBy("node").collect().map(_.getLong(1)).toSeq
     assert(strict == Seq(1L, 1L, 1L, 1L, 1L))
   }
+
+  test("connectedComponentsAlternating: diameter-100 chain converges in O(log n) rounds and matches the simple variant") {
+    import spark.implicits._
+    // permuted chain: p(i) = 37i mod 101 is a bijection on 0..100, so ids
+    // along the chain are non-monotone — min-labels must genuinely travel
+    def p(i: Long): Long = (i * 37L) % 101L
+    val chain = (0L until 100L).map(i => (p(i), p(i + 1)))
+    val extra = Seq((200L, 201L)) // second component
+    val nodes = ((0L to 100L).map(p) ++ Seq(200L, 201L, 300L)).toDF("n")
+    val edges = (chain ++ extra).toDF("s", "d")
+    // maxIter = 15 << diameter 100: only the O(log n) algorithm converges
+    val alt = TrainPipeline.connectedComponentsAlternating(nodes, "n",
+        edges, "s", "d", maxIter = 15, requireConvergence = true)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val simple = TrainPipeline.connectedComponents(nodes, "n",
+        edges, "s", "d", maxIter = 150, requireConvergence = true)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(alt == simple, "alternating and label-propagation variants must agree")
+    assert(alt.filter(_._1 <= 100L).forall(_._2 == 0L), "chain labels its min (0)")
+    assert(alt.toMap.apply(201L) == 200L)
+    assert(alt.toMap.apply(300L) == 300L, "isolated node keeps its own label")
+  }
+
+  test("connectedComponentsAlternating: foreign endpoints ignored; strict mode flags maxIter exit") {
+    import spark.implicits._
+    val nodes = (1L to 40L).toDF("n")
+    val edges = ((1L to 39L).map(i => (i, i + 1)) :+ (5L, 999L)).toDF("s", "d")
+    val got = TrainPipeline.connectedComponentsAlternating(nodes, "n", edges, "s", "d")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._2 == 1L))
+    assert(!got.exists(_._1 == 999L), "foreign endpoint must not enter the result")
+    val ex = intercept[IllegalStateException] {
+      TrainPipeline.connectedComponentsAlternating(nodes, "n", edges, "s", "d",
+        maxIter = 1, requireConvergence = true)
+    }
+    assert(ex.getMessage.contains("maxIter=1"))
+  }
 }
