@@ -39,7 +39,8 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     VectorExprs.register(corpus.sparkSession)
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(VectorExprs.dot(col("qv"), col("qv")))))
     val sel = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     // The corpus is NEVER shuffled at scale: a 100 TB scan already has
     // thousands of splits, so scoring runs where the vectors sit. Only a
@@ -47,12 +48,23 @@ object Similarity {
     // case) gets spread to the session's parallelism; getNumPartitions
     // inspects the planned scan without running a job.
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    // hash-on-id spread, NOT round-robin: RoundRobinPartitioning locally
+    // sorts every row before the exchange (retry determinism), which on
+    // embedding vectors costs more than the scoring it enables
     val c =
-      if (sel.rdd.getNumPartitions < parallelism) sel.repartition(parallelism)
+      if (sel.rdd.getNumPartitions < parallelism)
+        sel.repartition(parallelism, col("nid"))
       else sel
-    val scored = c.join(q, col("qid") =!= col("nid"))
+    // Norms precomputed ONCE per vector (map-side, below the join) instead
+    // of inside cosine for every (query, neighbor) pair — 3× fewer flops in
+    // the O(|Q|·|corpus|) hot loop. dot(v,v) accumulates in the same element
+    // order as cosine's internal norm and qn*nn keeps its sqrt(na)*sqrt(nb)
+    // multiply order, so results are bit-identical to graft_cosine.
+    val scored = c.withColumn("nn", sqrt(VectorExprs.dot(col("nv"), col("nv"))))
+      .join(q, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
+        Rounding.r4(VectorExprs.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -74,16 +86,20 @@ object Similarity {
       bands: Int = 4): DataFrame = {
     val bitsPerBand = sketchBits / bands
     val mask = (1L << bitsPerBand) - 1
-    def banded(df: DataFrame, id: String, v: String) =
+    // norm computed once per vector BEFORE the band explode (the exploded
+    // copies share the scalar), so collision scoring pays one dot, not the
+    // three norm/dot passes of full cosine per colliding pair
+    def banded(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
+          sqrt(VectorExprs.dot(col(vecCol), col(vecCol))).as(n),
           VF.hyperplaneSketch(col(vecCol), sketchBits, dim).as("sk"))
-        .select(col(id), col(v),
+        .select(col(id), col(v), col(n),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => call_function("shiftright", col("sk"), b * bitsPerBand).bitwiseAND(mask)))
             .as(Seq("band", "chunk")))
     VectorExprs.register(corpus.sparkSession)
-    val q = broadcast(banded(queries, "qid", "qv"))
-    val c = banded(corpus, "nid", "nv")
+    val q = broadcast(banded(queries, "qid", "qv", "qn"))
+    val c = banded(corpus, "nid", "nv", "nn")
     // Score at collision time, while both vectors are still partition-local
     // (queries broadcast, corpus never moved) — then dedupe band collisions
     // on SCALARS: the one shuffle carries (qid, nid, cosine) rows, never the
@@ -93,7 +109,8 @@ object Similarity {
     val collided = q.join(c, Seq("band", "chunk"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
+        Rounding.r4(VectorExprs.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .as("cosine"))
     val scored = collided.groupBy("qid", "nid").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -164,6 +181,7 @@ object Similarity {
       nprobe: Int = 3): DataFrame = {
     VectorExprs.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(VectorExprs.dot(col("qv"), col("qv"))))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
     val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("dist",
@@ -171,12 +189,17 @@ object Similarity {
           VectorExprs.dot(col("centroid"), col("centroid")))
       .withColumn("prank", row_number().over(w))
       .where(col("prank") <= nprobe)
-      .select("qid", "qv", "cell")
+      .select("qid", "qv", "qn", "cell")
 
-    val scored = probes.join(index.bucketed, "cell")
+    // corpus-side norms once per bucketed vector, below the probe join —
+    // each probed cell's vectors pay one dot per query, not a full cosine
+    val scored = probes
+      .join(index.bucketed
+        .withColumn("nn", sqrt(VectorExprs.dot(col("nv"), col("nv")))), "cell")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        Rounding.r4(VectorExprs.cosine(col("qv"), col("nv"))).as("cosine"))
+        Rounding.r4(VectorExprs.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .as("cosine"))
     val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(rw))
       .where(col("rank") <= k)
