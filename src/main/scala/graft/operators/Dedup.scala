@@ -274,13 +274,18 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     val bitsPerBand = sketchBits / bands
     val mask = (1L << bitsPerBand) - 1
+    VectorExprs.register(emb.sparkSession)
+    // norm once per vector, before the band explode (exploded copies share
+    // the scalar): collision scoring pays one dot per pair, not cosine's
+    // fused three-accumulator pass — same element order + sqrt(l)*sqrt(r)
+    // multiply order, so scores are bit-identical to graft_cosine
     val withSketch = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(VectorExprs.dot(col(vecCol), col(vecCol))).as("n"),
       VF.hyperplaneSketch(col(vecCol), sketchBits, dim).as("sk"))
-    val banded = withSketch.select(col("id"), col("v"),
+    val banded = withSketch.select(col("id"), col("v"), col("n"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("sk"), b * bitsPerBand).bitwiseAND(mask)))
         .as(Seq("band", "chunk")))
-    VectorExprs.register(emb.sparkSession)
     // aliased self-join + shuffle hint (corpus-sized build side must not
     // broadcast; identical branches let AQE reuse the sketch stage); the
     // cosine is computed map-side so only the scalar rides the dedup
@@ -289,7 +294,8 @@ object Dedup {
       .join(banded.as("r").hint("shuffle_merge"), Seq("band", "chunk"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        Rounding.r4(VectorExprs.cosine(col("l.v"), col("r.v"))).as("cosine"))
+        Rounding.r4(VectorExprs.dot(col("l.v"), col("r.v")) / (col("l.n") * col("r.n")))
+          .as("cosine"))
       .groupBy("id_a", "id_b")
       .agg(first(col("cosine")).as("cosine"))
       .where(col("cosine") >= threshold)
@@ -304,17 +310,23 @@ object Dedup {
       vecCol: String,
       threshold: Double): DataFrame = {
     VectorExprs.register(emb.sparkSession)
-    // cast to double ONCE per row (not per pair) and repartition the
-    // streamed side so the nested-loop pair scan parallelizes
+    // cast to double and take the norm ONCE per row (not per pair) and
+    // repartition the streamed side so the nested-loop pair scan
+    // parallelizes; per-pair scoring is then a single dot product with
+    // bit-identical results to the fused cosine (same accumulation and
+    // sqrt(a)*sqrt(b) multiply order)
     val l = emb.select(col(idCol).as("id_a"),
         col(vecCol).cast("array<double>").as("v_a"))
+      .withColumn("n_a", sqrt(VectorExprs.dot(col("v_a"), col("v_a"))))
       .repartition(col("id_a"))
     val r = emb.select(col(idCol).as("id_b"),
         col(vecCol).cast("array<double>").as("v_b"))
+      .withColumn("n_b", sqrt(VectorExprs.dot(col("v_b"), col("v_b"))))
     l.crossJoin(broadcast(r))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Rounding.r4(VectorExprs.cosine(col("v_a"), col("v_b"))).as("cosine"))
+        Rounding.r4(VectorExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+          .as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }
