@@ -65,16 +65,27 @@ object MsgpackWire {
   final case class MsgArr(items: Vector[Any])
   final case class MsgMap(entries: Vector[(Any, Any)])
 
+  /** Nesting cap for untrusted chunks: decode is recursive, and without a
+    * bound a chunk of a few KB of repeated array-headers overflows the
+    * stack — a StackOverflowError is an Error, NOT caught by the
+    * chunk-level Exception handler, so it would kill the executor task
+    * instead of tripping the keep-prefix semantics. 128 is far beyond any
+    * real Fluent Bit record (their nesting is label-map deep, ~4).
+    */
+  private val MaxDepth = 128
+
   /** Decode one msgpack value at the cursor. Throws on malformed input —
     * the chunk decoder turns that into the reference's whole-chunk `break`.
     */
-  private def decodeValue(c: Cursor): Any = {
+  private def decodeValue(c: Cursor, depth: Int = 0): Any = {
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(s"msgpack nesting exceeds $MaxDepth")
     val b = c.u8()
     b match {
       case x if x <= 0x7f => x.toLong                       // positive fixint
       case x if x >= 0xe0 => (x - 0x100).toLong             // negative fixint
-      case x if (x & 0xf0) == 0x80 => decodeMap(c, x & 0x0f)
-      case x if (x & 0xf0) == 0x90 => decodeArray(c, x & 0x0f)
+      case x if (x & 0xf0) == 0x80 => decodeMap(c, x & 0x0f, depth)
+      case x if (x & 0xf0) == 0x90 => decodeArray(c, x & 0x0f, depth)
       case x if (x & 0xe0) == 0xa0 => utf8(c.take(x & 0x1f))
       case 0xc0 => null
       case 0xc2 => java.lang.Boolean.FALSE
@@ -103,10 +114,10 @@ object MsgpackWire {
       case 0xd9 => utf8(c.take(c.u8()))
       case 0xda => utf8(c.take(c.u16()))
       case 0xdb => utf8(c.take(intLen(c.u32())))
-      case 0xdc => decodeArray(c, c.u16())
-      case 0xdd => decodeArray(c, intLen(c.u32()))
-      case 0xde => decodeMap(c, c.u16())
-      case 0xdf => decodeMap(c, intLen(c.u32()))
+      case 0xdc => decodeArray(c, c.u16(), depth)
+      case 0xdd => decodeArray(c, intLen(c.u32()), depth)
+      case 0xde => decodeMap(c, c.u16(), depth)
+      case 0xdf => decodeMap(c, intLen(c.u32()), depth)
       case other => throw new IllegalArgumentException(f"unknown msgpack tag 0x$other%02x")
     }
   }
@@ -127,11 +138,11 @@ object MsgpackWire {
     } else Ext(t, data)
   }
 
-  private def decodeArray(c: Cursor, n: Int): MsgArr =
-    MsgArr(Vector.fill(n)(decodeValue(c)))
+  private def decodeArray(c: Cursor, n: Int, depth: Int): MsgArr =
+    MsgArr(Vector.fill(n)(decodeValue(c, depth + 1)))
 
-  private def decodeMap(c: Cursor, n: Int): MsgMap =
-    MsgMap(Vector.fill(n)((decodeValue(c), decodeValue(c))))
+  private def decodeMap(c: Cursor, n: Int, depth: Int): MsgMap =
+    MsgMap(Vector.fill(n)((decodeValue(c, depth + 1), decodeValue(c, depth + 1))))
 
   /** Wire timestamp → epoch microseconds, main.go:85-103 semantics;
     * null for shapes the reference punts to wall-clock on.

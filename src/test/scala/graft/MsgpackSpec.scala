@@ -165,6 +165,73 @@ class MsgpackSpec extends SparkTestBase {
     assert(MsgpackWire.decodeChunk(Array.empty[Byte]).isEmpty)
   }
 
+  test("deep-nesting attack cannot overflow the stack — depth cap trips the keep-prefix path") {
+    // [ts, [[[[...]]]]]: a few KB of fixarray-1 headers would recurse past
+    // the JVM stack without the depth cap; StackOverflowError is an Error,
+    // so it would kill the task instead of breaking the chunk
+    val good = MsgpackWire.encodeChunk(Seq((1L, ListMap("m" -> "ok"))))
+    val attack = new java.io.ByteArrayOutputStream
+    attack.write(good, 0, good.length)
+    attack.write(0x92); attack.write(0x01)   // [ts, ...
+    (1 to 50000).foreach(_ => attack.write(0x91)) // nested fixarray-1 ...
+    attack.write(0xc0)
+    val events = MsgpackWire.decodeChunk(attack.toByteArray)
+    assert(events.map(_._2) == Vector("""{"m":"ok"}"""))
+  }
+
+  test("fuzz: random garbage never throws and never hangs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { i =>
+      val bytes = Array.fill[Byte](rnd.nextInt(2048))(rnd.nextInt(256).toByte)
+      val out = MsgpackWire.decodeChunk(bytes) // must return, never throw
+      assert(out != null, s"fuzz case $i")
+    }
+    // garbage appended to a valid event keeps the valid prefix
+    val good = MsgpackWire.encodeChunk(Seq((7L, ListMap("k" -> "v"))))
+    (1 to 100).foreach { i =>
+      val tail = Array.fill[Byte](rnd.nextInt(64) + 1)(rnd.nextInt(256).toByte)
+      val out = MsgpackWire.decodeChunk(good ++ tail)
+      assert(out.nonEmpty && out.head._2 == """{"k":"v"}""", s"prefix case $i")
+    }
+  }
+
+  test("property: random value trees round-trip encode→decode→JSON") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val safeString = Gen.alphaNumStr.map(_.take(40))
+    def treeGen(depth: Int): Gen[Any] =
+      if (depth == 0)
+        Gen.oneOf(Gen.long, Gen.chooseNum(-1e9, 1e9), Gen.oneOf(true, false),
+          Gen.const(null), safeString)
+      else Gen.frequency(
+        5 -> treeGen(0),
+        2 -> Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, treeGen(depth - 1))),
+        2 -> Gen.choose(0, 6).flatMap(n =>
+          Gen.listOfN(n, Gen.zip(safeString, treeGen(depth - 1)))
+            .map(kvs => ListMap(kvs.distinctBy(_._1): _*))))
+    // independent expected-JSON builder over the GENERATED tree (safe
+    // alphabet, so no escaping concerns here — escapes are covered by the
+    // explicit tests above)
+    def js(v: Any): String = v match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case l: Long => l.toString
+      case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+      case s: String => "\"" + s + "\""
+      case xs: List[_] => xs.map(js).mkString("[", ",", "]")
+      case m: ListMap[_, _] =>
+        m.map { case (k, x) => "\"" + k + "\":" + js(x) }.mkString("{", ",", "}")
+    }
+    val prop = Prop.forAll(Gen.listOfN(3, treeGen(3))) { records =>
+      val chunk = MsgpackWire.encodeChunk(records.map(r => (1L, r)))
+      val decoded = MsgpackWire.decodeChunk(chunk)
+      decoded.length == records.length &&
+        decoded.map(_._2) == records.map(js).toVector &&
+        decoded.forall(_._1 == 1000000L)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- end-to-end: wire bytes → graft_fb_records → graft_ingest ----
 
   test("chunk bytes flow through graft_fb_records and graft_ingest to log rows") {
