@@ -39,8 +39,10 @@ object Bench {
     // the sentinel -1 so the driver sees the failure instead of a time.
     val best = scala.collection.mutable.Map.empty[String, Double]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passFailed = scala.collection.mutable.ArrayBuffer.empty[Int]
     (1 to reps).foreach { _ =>
       var passTotal = 0.0
+      var nFailed = 0
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -50,9 +52,10 @@ object Bench {
         if (ok) {
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
           passTotal += t
-        }
+        } else nFailed += 1
       }
       passTotals += passTotal
+      passFailed += nFailed
     }
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -65,11 +68,20 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-pass totals expose run-to-run variance (host co-tenancy noise has
     // invalidated recorded artifacts in 3 of 4 rounds; spread >> min here
-    // means the run is contaminated, not the code regressed)
-    val repJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$repJson,"sf":"$sfDir"}""")
+    // means the run is contaminated, not the code regressed). pass_failed
+    // makes an INTERMITTENTLY failing query visible: its failing pass
+    // silently omits its time from that pass's total, which would otherwise
+    // read as noise. Locale.ROOT: the f-interpolator is locale-sensitive
+    // and a comma decimal separator would corrupt the JSON.
+    val repJson = passTotals
+      .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+      .mkString("[", ",", "]")
+    val passFailedJson = passFailed.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pass_totals":$repJson,"pass_failed":$passFailedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (sentinel -1): ${failed.mkString(", ")}")
+    if (passFailed.exists(_ > 0) && failed.isEmpty)
+      System.err.println(s"[bench] intermittent failures per pass: ${passFailed.mkString(",")}")
     spark.stop()
   }
 }

@@ -164,12 +164,6 @@ object Dedup {
     simhashPairsFromWideFingerprints(withFp, maxHamming, words)
   }
 
-  /** Banded candidates + exact verification over precomputed wide
-    * fingerprints (`fp ARRAY<BIGINT>` of length `words`). The maxHamming+1
-    * chunks are distributed across the words; disjointness alone gives the
-    * pigeonhole recall guarantee (a pair within radius maxHamming cannot
-    * differ in every one of maxHamming+1 disjoint chunks).
-    */
   /** Chunk placement for the wide-fingerprint banding: maxHamming+1 chunks
     * spread across `words` 64-bit words, each word's chunks tiling its 64
     * bits with widths differing by at most one. Pure index arithmetic,
@@ -199,6 +193,12 @@ object Dedup {
     }
   }
 
+  /** Banded candidates + exact verification over precomputed wide
+    * fingerprints (`fp ARRAY<BIGINT>` of length `words`). The maxHamming+1
+    * chunks are distributed across the words; disjointness alone gives the
+    * pigeonhole recall guarantee (a pair within radius maxHamming cannot
+    * differ in every one of maxHamming+1 disjoint chunks).
+    */
   def simhashPairsFromWideFingerprints(
       withFp: DataFrame, maxHamming: Int, words: Int): DataFrame = {
     val chunks: Seq[Column] = wideChunkLayout(maxHamming, words).map {
@@ -276,11 +276,10 @@ object Dedup {
     val mask = (1L << bitsPerBand) - 1
     VectorExprs.register(emb.sparkSession)
     // norm once per vector, before the band explode (exploded copies share
-    // the scalar): collision scoring pays one dot per pair, not cosine's
-    // fused three-accumulator pass — same element order + sqrt(l)*sqrt(r)
-    // multiply order, so scores are bit-identical to graft_cosine
+    // the scalar): collision scoring pays one dot per pair via the
+    // bit-identical cosineFromNorms contract
     val withSketch = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(VectorExprs.dot(col(vecCol), col(vecCol))).as("n"),
+      VectorExprs.norm(col(vecCol)).as("n"),
       VF.hyperplaneSketch(col(vecCol), sketchBits, dim).as("sk"))
     val banded = withSketch.select(col("id"), col("v"), col("n"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -294,8 +293,8 @@ object Dedup {
       .join(banded.as("r").hint("shuffle_merge"), Seq("band", "chunk"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        Rounding.r4(VectorExprs.dot(col("l.v"), col("r.v")) / (col("l.n") * col("r.n")))
-          .as("cosine"))
+        Rounding.r4(VectorExprs.cosineFromNorms(
+          col("l.v"), col("r.v"), col("l.n"), col("r.n"))).as("cosine"))
       .groupBy("id_a", "id_b")
       .agg(first(col("cosine")).as("cosine"))
       .where(col("cosine") >= threshold)
@@ -312,21 +311,20 @@ object Dedup {
     VectorExprs.register(emb.sparkSession)
     // cast to double and take the norm ONCE per row (not per pair) and
     // repartition the streamed side so the nested-loop pair scan
-    // parallelizes; per-pair scoring is then a single dot product with
-    // bit-identical results to the fused cosine (same accumulation and
-    // sqrt(a)*sqrt(b) multiply order)
+    // parallelizes; per-pair scoring is one dot product via the
+    // bit-identical cosineFromNorms contract
     val l = emb.select(col(idCol).as("id_a"),
         col(vecCol).cast("array<double>").as("v_a"))
-      .withColumn("n_a", sqrt(VectorExprs.dot(col("v_a"), col("v_a"))))
+      .withColumn("n_a", VectorExprs.norm(col("v_a")))
       .repartition(col("id_a"))
     val r = emb.select(col(idCol).as("id_b"),
         col(vecCol).cast("array<double>").as("v_b"))
-      .withColumn("n_b", sqrt(VectorExprs.dot(col("v_b"), col("v_b"))))
+      .withColumn("n_b", VectorExprs.norm(col("v_b")))
     l.crossJoin(broadcast(r))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Rounding.r4(VectorExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-          .as("cosine"))
+        Rounding.r4(VectorExprs.cosineFromNorms(
+          col("v_a"), col("v_b"), col("n_a"), col("n_b"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

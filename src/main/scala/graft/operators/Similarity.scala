@@ -40,31 +40,33 @@ object Similarity {
       k: Int): DataFrame = {
     VectorExprs.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("qn", sqrt(VectorExprs.dot(col("qv"), col("qv")))))
+      .withColumn("qn", VectorExprs.norm(col("qv"))))
     val sel = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     // The corpus is NEVER shuffled at scale: a 100 TB scan already has
     // thousands of splits, so scoring runs where the vectors sit. Only a
     // genuinely under-split source (a single local file — the test/bench
-    // case) gets spread to the session's parallelism; getNumPartitions
-    // inspects the planned scan without running a job.
+    // case) gets spread to the session's parallelism. The gate is tiered
+    // by cost: `inputFiles` reads the logical plan's file listing only —
+    // a many-file corpus is proven parallel without planning anything;
+    // just a FEW-file corpus pays the `.rdd` physical-planning pass, which
+    // also sees block-level splitting of large files. Spread is
+    // hash-on-id, NOT round-robin: RoundRobinPartitioning locally sorts
+    // every row before the exchange (retry determinism), which on
+    // embedding vectors costs more than the scoring it enables.
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    // hash-on-id spread, NOT round-robin: RoundRobinPartitioning locally
-    // sorts every row before the exchange (retry determinism), which on
-    // embedding vectors costs more than the scoring it enables
+    val manyFiles =
+      try sel.inputFiles.length >= parallelism catch { case _: Exception => true }
     val c =
-      if (sel.rdd.getNumPartitions < parallelism)
+      if (!manyFiles && sel.rdd.getNumPartitions < parallelism)
         sel.repartition(parallelism, col("nid"))
       else sel
-    // Norms precomputed ONCE per vector (map-side, below the join) instead
-    // of inside cosine for every (query, neighbor) pair — 3× fewer flops in
-    // the O(|Q|·|corpus|) hot loop. dot(v,v) accumulates in the same element
-    // order as cosine's internal norm and qn*nn keeps its sqrt(na)*sqrt(nb)
-    // multiply order, so results are bit-identical to graft_cosine.
-    val scored = c.withColumn("nn", sqrt(VectorExprs.dot(col("nv"), col("nv"))))
+    // norms once per vector (map-side, below the join), one dot per pair —
+    // bit-identical to cosine per the cosineFromNorms contract
+    val scored = c.withColumn("nn", VectorExprs.norm(col("nv")))
       .join(q, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        Rounding.r4(VectorExprs.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-          .as("cosine"))
+        Rounding.r4(VectorExprs.cosineFromNorms(
+          col("qv"), col("nv"), col("qn"), col("nn"))).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -91,7 +93,7 @@ object Similarity {
     // three norm/dot passes of full cosine per colliding pair
     def banded(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
-          sqrt(VectorExprs.dot(col(vecCol), col(vecCol))).as(n),
+          VectorExprs.norm(col(vecCol)).as(n),
           VF.hyperplaneSketch(col(vecCol), sketchBits, dim).as("sk"))
         .select(col(id), col(v), col(n),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -109,8 +111,8 @@ object Similarity {
     val collided = q.join(c, Seq("band", "chunk"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        Rounding.r4(VectorExprs.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-          .as("cosine"))
+        Rounding.r4(VectorExprs.cosineFromNorms(
+          col("qv"), col("nv"), col("qn"), col("nn"))).as("cosine"))
     val scored = collided.groupBy("qid", "nid").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -181,7 +183,7 @@ object Similarity {
       nprobe: Int = 3): DataFrame = {
     VectorExprs.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("qn", sqrt(VectorExprs.dot(col("qv"), col("qv"))))
+      .withColumn("qn", VectorExprs.norm(col("qv")))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("cell"))
     val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("dist",
@@ -194,12 +196,11 @@ object Similarity {
     // corpus-side norms once per bucketed vector, below the probe join —
     // each probed cell's vectors pay one dot per query, not a full cosine
     val scored = probes
-      .join(index.bucketed
-        .withColumn("nn", sqrt(VectorExprs.dot(col("nv"), col("nv")))), "cell")
+      .join(index.bucketed.withColumn("nn", VectorExprs.norm(col("nv"))), "cell")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        Rounding.r4(VectorExprs.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-          .as("cosine"))
+        Rounding.r4(VectorExprs.cosineFromNorms(
+          col("qv"), col("nv"), col("qn"), col("nn"))).as("cosine"))
     val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(rw))
       .where(col("rank") <= k)

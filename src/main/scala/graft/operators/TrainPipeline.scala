@@ -314,11 +314,15 @@ object TrainPipeline {
 
     var converged = false
     var iter = 0
+    var eCount = e.count()
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // distinct sets: equal counts + empty one-sided difference = equality
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // distinct sets: equal counts + empty one-sided difference = equality;
+      // the previous round's count is carried, not recomputed
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       iter += 1
     }
     if (!converged) {
