@@ -41,6 +41,37 @@ object ProbeIngestThroughput {
     val secs = (System.nanoTime() - t0) / 1e9
     val rows = spark.read.parquet(out).count()
     println(f"[ingest] $rows rows in $secs%.1fs = ${rows / secs}%.0f rows/s (8 cores, incl. partitioned parquet write)")
+
+    // ---- msgpack wire path: the same records as Fluent Bit chunks ----
+    import graft.expressions.MsgpackWire
+    import scala.collection.immutable.ListMap
+    val chunkDir = Files.createTempDirectory("thr-fb-in").toString
+    val perChunk = 2000
+    (0 until n by perChunk).foreach { start =>
+      val events = (start until math.min(start + perChunk, n)).map { i =>
+        val day = 10 + i % 3
+        val sec = java.time.Instant.parse(f"2026-01-$day%02dT08:00:00Z").getEpochSecond
+        (MsgpackWire.EventTime(sec, 0L), ListMap(
+          "cluster" -> "c1",
+          "kubernetes" -> ListMap(
+            "namespace_name" -> s"ns${i % 5}", "pod_name" -> s"pod-${i % 100}",
+            "container_name" -> "main", "host" -> s"h${i % 10}",
+            "labels" -> ListMap("app" -> s"app${i % 7}")),
+          "log" -> s"GET /api/v1/resource/$i 200",
+          "content" -> ListMap("level" -> "info", "duration" -> (i % 500 + 0.5),
+            "code" -> (200L + i % 4), "path" -> s"/api/v1/resource/$i"))): (Any, Any)
+      }
+      Files.write(Paths.get(chunkDir, f"chunk$start%08d.msgpack"),
+        MsgpackWire.encodeChunk(events))
+    }
+    val outFb = Files.createTempDirectory("thr-fb-out").toString
+    val t1 = System.nanoTime()
+    val fromWire = graft.streaming.IngestStream.ingestedFromChunks(
+      spark.read.format("binaryFile").load(chunkDir))
+    graft.model.LogSchema.writePartitioned(fromWire, outFb)
+    val secsFb = (System.nanoTime() - t1) / 1e9
+    val rowsFb = spark.read.parquet(outFb).count()
+    println(f"[wire]   $rowsFb rows in $secsFb%.1fs = ${rowsFb / secsFb}%.0f rows/s (8 cores, msgpack chunk decode + ingest + partitioned write)")
     spark.stop()
   }
 }
