@@ -84,6 +84,17 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("source_stream_decode: chunk decode + ingest run in the scan stage — only the presentation sort exchanges") {
+    val df = Queries.registry("source_stream_decode").build(spark, sf("sf0.01"))
+    val plan = executed(df)
+    assert(plan.contains("Generate explode"),
+      s"graft_fb_records must explode inside the plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"wire decode must not hash-shuffle anything:\n$plan")
+    assert(countExchanges(plan) == 1,
+      s"only the deterministic ORDER BY may exchange (rangepartitioning):\n$plan")
+  }
+
   test("promoted-column path: the map-number predicate reaches the parquet scan as a pushed filter") {
     val dir = graft.Queries.Fixtures.logTableDir(spark, sf("sf0.01"))
     val df = graft.model.LogSchema.readLogs(spark, dir)
