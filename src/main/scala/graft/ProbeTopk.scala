@@ -35,7 +35,8 @@ object ProbeTopk {
       println(s"  partitions=$n")
     }
 
-    for (name <- Seq("sim_search_topk", "sim_search_lsh", "sim_search_ivf")) {
+    for (name <- Seq("sim_search_topk", "sim_search_lsh", "sim_search_ivf",
+        "dedup_cluster")) {
       Queries.warmFixtures(spark, dir)
       time(name) { Queries.registry(name).build(spark, dir).count(); () }
     }

@@ -236,11 +236,14 @@ object TrainPipeline {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // LAZY localCheckpoint: the labelSum probe right below is the round's
+      // one action and materializes the checkpoint as it runs — an eager
+      // checkpoint would execute the round twice (materialize + probe)
       val prop = labels.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(prop)
       labels = prop
       converged = s.compareTo(prevSum) == 0
@@ -316,7 +319,9 @@ object TrainPipeline {
     var iter = 0
     var eCount = e.count()
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // lazy checkpoint: the count below materializes it (see the simple
+      // variant's loop for rationale)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       // distinct sets: equal counts + empty one-sided difference = equality;
       // the previous round's count is carried, not recomputed
       val nextCount = next.count()
