@@ -968,9 +968,12 @@ object Queries {
       .select(col("user_id"),
         unix_millis(col("session_window.start")).as("sess_start_ms"), col("cnt"))
       .orderBy("user_id", "sess_start_ms"),
+    // >=, not >: Spark's session_window is half-open [start, start+gap) —
+    // an event at EXACTLY prevTs+gap starts a NEW session, so the oracle's
+    // boundary condition must split there too
     Some("""WITH g AS (
           SELECT user_id, ts,
-            CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+            CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -25,11 +25,17 @@ object GraftFunctions {
     "graft_fb_records" -> (es => FbRecords(es.head)),
   )
 
-  @volatile private var registered: Set[Int] = Set.empty
+  // Memoized on the LIVE session object (weak keys, identity equality —
+  // SparkSession does not override equals): an identityHashCode-keyed set
+  // would retain every dead session's hash forever, and a hash collision
+  // with a GC'd session would silently skip registering functions and the
+  // optimizer rule for a genuinely new session.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
   def registerAll(spark: SparkSession): Unit = {
-    val key = System.identityHashCode(spark)
-    if (!registered.contains(key)) {
+    if (registered.get(spark) == null) {
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       all.foreach { case (name, builder) =>
         classic.sessionState.functionRegistry
@@ -40,7 +46,8 @@ object GraftFunctions {
         classic.experimental.extraOptimizations =
           classic.experimental.extraOptimizations :+ graft.plans.PromoteMapKeys
       }
-      registered += key
+      registered.put(spark, java.lang.Boolean.TRUE)
+      ()
     }
   }
 }

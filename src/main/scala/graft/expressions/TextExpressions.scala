@@ -39,7 +39,10 @@ object Tokenize {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
   def tokenize(text: UTF8String): GenericArrayData = {
-    val s = text.toString.toLowerCase
+    // Locale.ROOT: default-locale toLowerCase diverges from DuckDB lower()
+    // under e.g. tr-TR ("I" → dotless "ı"), breaking oracle parity and the
+    // documented lower()-equivalence of graft_tokens
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     var i = 0
     val n = s.length
@@ -67,7 +70,12 @@ case class WordShingles(left: Expression, right: Expression)
     val n = nAny.asInstanceOf[Int]
     val toks = Tokenize.tokenize(textAny.asInstanceOf[UTF8String])
     val m = toks.numElements()
-    if (m < n) {
+    if (m == 0) {
+      // empty/whitespace-only text has NO shingles: the old single-[""]
+      // result gave every pair of empty docs Jaccard 1.0, while the DuckDB
+      // oracles (which drop empty tokens) emit no pair — latent parity break
+      new GenericArrayData(Array.empty[Any])
+    } else if (m < n) {
       val sb = new StringBuilder
       var i = 0
       while (i < m) {

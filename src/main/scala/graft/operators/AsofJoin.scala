@@ -31,6 +31,16 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       rightValueCols: Seq[String]): DataFrame = {
+    // withColumn silently REPLACES same-named columns: a left frame already
+    // carrying one of the working names (plausible after a prior as-of
+    // pass: asof_ts, asof_<col>) would be clobbered or corrupt the merge.
+    // Fail fast, like interleaveMix does for its reserved names.
+    val reserved = Seq("_k", "_ts", "_side", "_asof_row", "asof_ts") ++
+      rightValueCols.map(c => s"_rv_$c") ++ rightValueCols.map(c => s"asof_$c")
+    reserved.foreach { r =>
+      require(!left.columns.contains(r),
+        s"asofBackward reserves the column name `$r`; the left frame already has it — rename it first")
+    }
     val lSide = left
       .withColumn("_k", col(leftKey))
       .withColumn("_ts", col(leftTs))

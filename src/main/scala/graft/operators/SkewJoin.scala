@@ -30,15 +30,21 @@ object SkewJoin {
     require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left variants only, got '$joinType': " +
         "right/full outer would emit each unmatched build row saltFactor times")
+    require(!probe.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt")
     // row-varying deterministic-enough salt: the value never affects the
     // result, only the shuffle spread
     val saltedProbe = probe.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val saltedBuild = build.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
+    // dataset-qualified keys: unqualified col(probeKey) === col(buildKey)
+    // is AMBIGUOUS_REFERENCE whenever both sides share the key name — the
+    // natural same-name equi-join (same hazard StreamOps.enrichWithStatic
+    // documents)
     saltedProbe.join(saltedBuild,
         saltedProbe("_salt") === saltedBuild("_salt") &&
-          col(probeKey) === col(buildKey),
+          saltedProbe(probeKey) === saltedBuild(buildKey),
         joinType)
       .drop("_salt")
   }

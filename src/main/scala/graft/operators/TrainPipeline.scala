@@ -138,12 +138,17 @@ object TrainPipeline {
     val packed = in.repartition(col("grp"))
       .sortWithinPartitions(col("grp"), col("id"))
       .mapPartitions { rows =>
+        // explicit first-row flag: a null sentinel for "no group yet" would
+        // conflate partition start with the legitimate null group — its
+        // first row would take the continuation branch and, when oversized,
+        // open bin 1 instead of bin 0, shifting the whole group's numbering
+        var first = true
         var grp: String = null
         var bin = 0L
         var fill = 0L
         rows.map { r =>
           val g = r.getString(0); val id = r.getLong(1); val w = r.getLong(2)
-          if (g != grp) { grp = g; bin = 0L; fill = w }
+          if (first || g != grp) { first = false; grp = g; bin = 0L; fill = w }
           else if (fill + w <= budget) { fill += w }
           else { bin += 1L; fill = w }
           Row(g, id, w, bin)

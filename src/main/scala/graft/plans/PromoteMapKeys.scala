@@ -76,6 +76,13 @@ object PromoteMapKeys extends Rule[LogicalPlan] with PredicateHelper {
           if (p.children.length <= 1) p.output.find(matches) else None)
       }
     node.children.find(_.output.exists(_.exprId == m.exprId)).flatMap(search)
+      // The rewritten expression must BIND against the node's direct
+      // children: a promoted column can be found deep on the provenance
+      // chain yet be PRUNED by an intermediate Project (e.g. a
+      // nondeterministic projection that also blocks filter pushdown) —
+      // rewriting to it would reference an attribute the child never
+      // produces and fail at binding. Out of scope ⇒ leave the subscript.
+      .filter(found => node.children.exists(_.output.exists(_.exprId == found.exprId)))
   }
 
   /** Subscript shapes this rule rewrites: `element_at`/`try_element_at` and

@@ -39,6 +39,18 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out(4L).isEmpty)       // u3 has no dimension rows at all
   }
 
+  test("reserved working-column names on the left frame fail fast instead of silently clobbering") {
+    val events = Seq((1L, "u1", 100L)).toDF("eid", "user", "ets")
+      .withColumn("ets", timestamp_seconds(col("ets")))
+      .withColumn("asof_ts", lit("precious"))
+    val dim = Seq(("u1", 50L, "a")).toDF("duser", "dts", "state")
+      .withColumn("dts", timestamp_seconds(col("dts")))
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(events, dim, "user", "duser", "ets", "dts", Seq("state"))
+    }
+    assert(ex.getMessage.contains("asof_ts"))
+  }
+
   test("row atomicity: NULL cells of the latest row stay NULL (no cross-row backfill)") {
     val events = Seq((1L, "u1", 300L))
       .toDF("eid", "user", "ets").withColumn("ets", timestamp_seconds(col("ets")))

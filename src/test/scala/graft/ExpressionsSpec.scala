@@ -32,12 +32,28 @@ class ExpressionsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("graft_tokens lowercases with Locale.ROOT regardless of the default locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      // under tr-TR, default-locale toLowerCase maps "I" to dotless "ı",
+      // which would diverge from DuckDB lower() and break oracle parity
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      val toks = graft.expressions.Tokenize.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString("III ij"))
+      assert(toks.getUTF8String(0).toString == "iii")
+      assert(toks.getUTF8String(1).toString == "ij")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("graft_shingles equals the transform/slice formulation (incl. short docs)") {
     val texts = (Seq("one", "a b", "", "x  y\tz  w") ++
       spark.read.parquet(sf() + "/documents.parquet")
         .select("text").as[String].take(50)).toDF("text")
     val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-    val slow = when(size(toks) < 3, array(concat_ws(" ", toks)))
+    // empty/whitespace-only text has NO shingles (not a single empty one) —
+    // matches the DuckDB oracles, which drop empty tokens
+    val slow = when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < 3, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i, lit(3)))))
     val mismatches = texts.select(

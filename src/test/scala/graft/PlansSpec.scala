@@ -158,6 +158,25 @@ class PlansSpec extends SparkTestBase {
     assert(strict.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("a projection that prunes the promoted column leaves the subscript untouched (no unbindable rewrite)") {
+    val dir = graft.Queries.Fixtures.logTableDir(spark, sf("sf0.01"))
+    val back = LogSchema.readLogs(spark, dir)
+    // the nondeterministic projection blocks filter pushdown AND prunes the
+    // promoted column, so the filter's direct child cannot provide it; the
+    // rule must leave the subscript alone (a rewrite to the deep attribute
+    // would fail binding at execution)
+    val q = back.select(col("fields_number"), rand().as("r"))
+      .where(try_element_at(col("fields_number"), lit("event.value")) >= 150.0)
+    // inspect the FILTER CONDITION, not the plan string — the relation's
+    // schema line legitimately lists the promoted column
+    val filterConds = q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.toString
+    }
+    assert(filterConds.nonEmpty && filterConds.forall(!_.contains("promoted_")),
+      s"subscript must not rewrite to an out-of-scope promoted column: $filterConds")
+    assert(q.count() > 0) // and the query executes
+  }
+
   test("no promoted column in scope → plan unchanged") {
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf()))

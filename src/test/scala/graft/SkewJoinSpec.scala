@@ -29,6 +29,18 @@ class SkewJoinSpec extends SparkTestBase {
     assert(left == plainLeft && left.length == 4) // k=3 survives with null bv
   }
 
+  test("same-name key columns join without AMBIGUOUS_REFERENCE") {
+    // the natural equi-join spelling: both sides name the key identically
+    val build2 = Seq((1, "x"), (2, "y")).toDF("k", "bv")
+    val got = SkewJoin.saltedJoin(probe, build2, "k", "k", saltFactor = 4)
+      .select(probe("k"), col("pv"), col("bv"))
+      .collect().map(_.toString).sorted.toSeq
+    val plain = probe.join(build2, probe("k") === build2("k"))
+      .select(probe("k"), col("pv"), col("bv"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == plain && got.length == 3)
+  }
+
   test("right/full outer are rejected — replication would duplicate unmatched build rows") {
     Seq("right", "right_outer", "full", "full_outer", "outer").foreach { jt =>
       val e = intercept[IllegalArgumentException] {

@@ -130,6 +130,17 @@ class TrainPipelineSpec extends SparkTestBase {
       "foreign endpoints must not enter the result")
   }
 
+  test("packGreedy: the null group's first oversized item still opens bin 0") {
+    import spark.implicits._
+    // null sorts first; with a null "no group yet" sentinel its first row
+    // would take the continuation branch and open bin 1 when oversized
+    val df = Seq((null.asInstanceOf[String], 1L, 300L),
+      (null.asInstanceOf[String], 2L, 10L), ("a", 3L, 40L)).toDF("g", "id", "w")
+    val out = TrainPipeline.packGreedy(df, "g", "id", "w", budget = 256L)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 0L)))
+  }
+
   test("packGreedy: null id/weight rows are dropped instead of crashing the walker") {
     import spark.implicits._
     val df = Seq(
