@@ -177,6 +177,39 @@ class PlansSpec extends SparkTestBase {
     assert(q.count() > 0) // and the query executes
   }
 
+  test("GraftExtensions wires a fresh session: functions resolve and the promoted rewrite fires without registerAll") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark
+    // force a genuinely new session over the same SparkContext; the
+    // string form (`spark.sql.extensions`) is a STATIC conf that only
+    // applies when the SparkContext itself is created, so the test uses
+    // the equivalent public withExtensions hook — same injection surface
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne shared)
+      // functions registered by the extension, not by registerAll
+      assert(s2.sql("SELECT graft_round(CAST(2.5 AS DOUBLE), 0) AS v")
+        .head().getDouble(0) == 3.0)
+      assert(s2.sql(
+        """SELECT inline(array(graft_ingest('{"a":1}', array(), false)))""")
+        .select("fields_number").head().getMap[String, Double](0)("a") == 1.0)
+      // optimizer rule injected: the promoted rewrite fires on this session
+      val dir = graft.Queries.Fixtures.logTableDir(shared, sf("sf0.01"))
+      val q = graft.model.LogSchema.readLogs(s2, dir)
+        .where(try_element_at(col("fields_number"), lit("event.value")) >= 150.0)
+        .select(col("id"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("promoted_event_value"),
+        "PromoteMapKeys must be active via the extension")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("no promoted column in scope → plan unchanged") {
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf()))
