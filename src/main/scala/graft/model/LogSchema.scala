@@ -112,9 +112,15 @@ object LogSchema {
     // would serialize each day into a single task (fatal when one day is
     // the whole ingest volume); including the metadata prefix spreads a day
     // across the shuffle while keeping co-located, sortable runs per file.
+    // The sort LEADS with the partition column: the dynamic-partition
+    // writer requires output ordered by its partition columns and would
+    // otherwise insert its own sort by `date` alone on top of this one —
+    // doubling the sort work and (Spark's sort is not guaranteed stable
+    // across spills) destroying the sort-key clustering the row-group
+    // skipping design depends on.
     df.withColumn("date", to_date(col("timestamp")))
       .repartition(col("date"), col("cluster"), col("namespace"), col("app"))
-      .sortWithinPartitions(sortKey.map(col): _*)
+      .sortWithinPartitions(("date" +: sortKey).map(col): _*)
       .write
       .mode(mode)
       .option("compression", "zstd")
@@ -145,7 +151,14 @@ object LogSchema {
   }
 
   def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {
-    val cutoff = java.time.LocalDate.now().minusDays(days.toLong)
+    // "today" must be reckoned in the SESSION timezone — partition names
+    // come from to_date() under spark.sql.session.timeZone, and a skewed
+    // JVM default zone (e.g. UTC+13 host, UTC session) would move the
+    // cutoff a day forward and delete a still-live partition
+    val tz = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    val cutoff = java.time.LocalDate.now(tz).minusDays(days.toLong)
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Seq.empty

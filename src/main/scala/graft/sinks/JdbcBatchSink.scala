@@ -56,6 +56,8 @@ object JdbcBatchSink {
       }
     }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // daemon threads: a fire-and-forget pool must never keep the driver JVM
   // alive after main returns (non-daemon executors hang client-mode exits)
   private lazy val asyncPool: ExecutorService = Executors.newFixedThreadPool(2,
@@ -65,7 +67,18 @@ object JdbcBatchSink {
       t
     })
   private val pendingLock = new Object
-  private var pending: List[JFuture[_]] = Nil
+  // pending futures PER SINK (url#table): one pipeline's drain must not
+  // block on — or spin forever because of — another sink's inserts
+  private var pending: Map[String, List[JFuture[_]]] = Map.empty
+
+  private def sinkKey(cfg: JdbcSinkConfig): String = s"${cfg.url}#${cfg.table}"
+
+  /** Count of async batches whose background INSERT failed (and was
+    * dropped — the documented at-most-once trade-off). Exposed so callers
+    * can alert on it; [[graft.streaming.StreamMetrics.recordError]] is the
+    * natural wiring for the reference's errors_total.
+    */
+  val asyncInsertFailures = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def props(cfg: JdbcSinkConfig): Properties = {
     val p = new Properties()
@@ -114,40 +127,83 @@ object JdbcBatchSink {
   def writeBatch(df: DataFrame, cfg: JdbcSinkConfig): Unit =
     mapsAsJson(df).write.mode("append").jdbc(effectiveUrl(cfg), cfg.table, props(cfg))
 
-  /** `foreachBatch` hook honoring the async flag. */
-  def foreachBatchWriter(cfg: JdbcSinkConfig): (DataFrame, Long) => Unit =
+  /** `foreachBatch` hook honoring the async flag. A failed background
+    * INSERT is reported through `onError` (default: log + count in
+    * [[asyncInsertFailures]]) and the batch is dropped — the documented
+    * at-most-once fire-and-forget trade-off, now OBSERVABLE instead of
+    * silent. Pass `onError = m.recordError` to feed a pipeline's
+    * errors_total.
+    */
+  def foreachBatchWriter(
+      cfg: JdbcSinkConfig,
+      onError: Throwable => Unit = defaultOnError): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => {
       if (cfg.async) {
-        // fire-and-forget (wait_for_async_insert=0): persist the batch
-        // first so the background write does not depend on the stream's
-        // next trigger recomputing it
-        val frozen = batch.persist()
-        frozen.count()
+        // fire-and-forget (wait_for_async_insert=0). localCheckpoint
+        // (eager) both materializes the batch AND truncates its lineage:
+        // Spark documents the foreachBatch frame as invalid once the
+        // invocation returns, so a plain persist could silently recompute
+        // a STALE micro-batch plan on the pool thread after cached-block
+        // loss (re-reading source files that may have been cleaned). With
+        // the lineage cut, block loss fails the write loudly instead.
+        val frozen = batch.localCheckpoint()
         // submit AND track under one lock: a drain() between submit and
         // tracking would snapshot an empty list and return while the
         // just-submitted INSERT is in flight
         pendingLock.synchronized {
           val fut = asyncPool.submit(new Runnable {
             override def run(): Unit =
-              try writeBatch(frozen, cfg) finally { frozen.unpersist(); () }
+              try writeBatch(frozen, cfg)
+              catch { case e: Throwable => onError(e) }
+              finally { frozen.unpersist(); () }
           })
-          pending = fut :: pending.filterNot(_.isDone)
+          val key = sinkKey(cfg)
+          pending = pending.updated(key,
+            fut :: pending.getOrElse(key, Nil).filterNot(_.isDone))
         }
       } else {
         writeBatch(batch, cfg)
       }
     }
 
-  /** Drain outstanding async writes (graceful shutdown — the reference
-    * flushes its buffer on exit, main.go:386-396).
+  private def defaultOnError(e: Throwable): Unit = {
+    asyncInsertFailures.incrementAndGet()
+    log.error("async INSERT failed; batch dropped (at-most-once mode)", e)
+  }
+
+  /** Drain THIS sink's outstanding async writes (graceful shutdown — the
+    * reference flushes its buffer on exit, main.go:386-396). Call AFTER
+    * stopping the streaming query: a still-triggering stream keeps
+    * submitting and the drain keeps (correctly) waiting for it.
     */
-  def drain(): Unit = {
+  def drain(cfg: JdbcSinkConfig): Unit = drainKeys(_ == sinkKey(cfg))
+
+  /** Drain every sink's outstanding async writes (process shutdown). */
+  def drain(): Unit = drainKeys(_ => true)
+
+  private def drainKeys(select: String => Boolean): Unit = {
+    def snapshot(): List[JFuture[_]] = pendingLock.synchronized {
+      val (take, keep) = pending.partition { case (k, _) => select(k) }
+      pending = keep
+      take.values.flatten.toList
+    }
     // loop: a trigger racing with shutdown can submit after we snapshot —
     // keep draining until a snapshot comes back empty
-    var batch = pendingLock.synchronized { val p = pending; pending = Nil; p }
+    var batch = snapshot()
     while (batch.nonEmpty) {
-      batch.foreach(f => try f.get() catch { case _: Exception => })
-      batch = pendingLock.synchronized { val p = pending; pending = Nil; p }
+      batch.foreach { f =>
+        try f.get()
+        catch {
+          case _: InterruptedException =>
+            // shutdown wants to CANCEL the wait: restore the interrupt flag
+            // and stop draining — swallowing it would leave the thread
+            // uninterruptible and the driver hung on a dead database
+            Thread.currentThread().interrupt()
+            return
+          case _: Exception => () // write failures already reported via onError
+        }
+      }
+      batch = snapshot()
     }
   }
 }

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * nanos and truncate to microseconds (same truncation DuckDB applies when
   * it reads NANOS into its native microsecond timestamp, so oracle queries
   * see identical values).
+  *
+  * SESSION-WIDE SIDE EFFECT, by contract: both confs set below are SQL
+  * confs that must still hold when the lazy scan EXECUTES, so they cannot
+  * be set-and-restored around the read — after the first [[read]], every
+  * later parquet read on the session sees NANOS columns as LongType and
+  * never infers TIMESTAMP_NTZ. That is the correct global posture for the
+  * shared testdata this loader exists for (and for any log table this
+  * engine writes); a session that also reads foreign NTZ/NANOS parquet
+  * with different expectations should use a separate session.
   */
 object Tables {
   val names: Seq[String] = Seq(

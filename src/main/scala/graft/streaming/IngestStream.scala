@@ -237,13 +237,15 @@ object IngestStream {
       checkpoint: String,
       cfg: IngestConfig = IngestConfig(),
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-      metricsPort: Int = 2021): (StreamingQuery, MetricsServer) = {
+      metricsPort: Int = 2021): (StreamingQuery, MetricsServer, StreamMetrics) = {
     val metrics = StreamMetrics.attach(spark)
     val server = new MetricsServer(metrics, metricsPort)
-    server.start()
-    // if the query fails to start the caller never gets the server handle —
-    // release the port (and the listener) instead of leaking them
+    // EVERYTHING that can fail after the listener attaches sits inside the
+    // try — a bind failure on server.start() used to leak an unrestricted
+    // listener on the shared session (one more per retry, each processing
+    // every query's events for the life of the session)
     try {
+      server.start()
       // scope the counters to THIS pipeline BEFORE it starts: restricting
       // after start leaves a window where another query's progress events
       // still count. The query name is ours to choose, so it can be fixed
@@ -252,7 +254,10 @@ object IngestStream {
       metrics.restrictToName(name)
       val query = start(spark, inPath, outPath, checkpoint, cfg, trigger,
         queryName = Some(name))
-      (query, server)
+      // the metrics handle is returned so the caller can BOTH wire sink
+      // errors into errors_total and detach the listener at shutdown:
+      // `query.stop(); server.stop(); spark.streams.removeListener(metrics)`
+      (query, server, metrics)
     } catch {
       case e: Throwable =>
         server.stop()

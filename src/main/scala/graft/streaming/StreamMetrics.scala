@@ -17,6 +17,14 @@ class StreamMetrics extends StreamingQueryListener {
   val batchesTotal = new AtomicLong(0)
   val lastBatchSize = new AtomicLong(0)
   val lastFlushSeconds = new AtomicReference[Double](0.0)
+  /** The reference's errors_total (main.go:52-74): query failures counted
+    * automatically; sink-level failures wired via [[recordError]] (e.g.
+    * `JdbcBatchSink.foreachBatchWriter(cfg, onError = m.recordError)`).
+    */
+  val errorsTotal = new AtomicLong(0)
+
+  /** Count one pipeline error (insert failure, dropped batch, …). */
+  def recordError(e: Throwable): Unit = { errorsTotal.incrementAndGet(); () }
 
   /** Sliding-window quantile estimators matching the reference's summary
     * objectives (main.go:56-73: batch_size and flush_time_seconds at
@@ -33,15 +41,22 @@ class StreamMetrics extends StreamingQueryListener {
   // the query starts — the id only exists post-start, leaving a window
   // where foreign events would still count.
   private val only = new AtomicReference[Option[String]](None)
+  // Started/progress events carry the query NAME; terminated events carry
+  // only ids — remember which ids belong to the restricted name so query
+  // failures are attributed to the right pipeline.
+  private val ownIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
   /** Count only the streaming query carrying this `queryName`. */
   def restrictToName(queryName: String): Unit = only.set(Some(queryName))
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    if (only.get.forall(n => n == event.name)) { ownIds.add(event.id); () }
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     if (only.get.forall(n => n == p.name)) {
+      ownIds.add(p.id)
       inputRecordsTotal.addAndGet(p.numInputRows)
       batchesTotal.incrementAndGet()
       lastBatchSize.set(p.numInputRows)
@@ -53,10 +68,16 @@ class StreamMetrics extends StreamingQueryListener {
     }
   }
 
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    if (event.exception.isDefined &&
+        (only.get.isEmpty || ownIds.contains(event.id))) {
+      errorsTotal.incrementAndGet()
+      ()
+    }
 
   def snapshot: Map[String, Double] = Map(
     "input_records_total" -> inputRecordsTotal.get.toDouble,
+    "errors_total" -> errorsTotal.get.toDouble,
     "batches_total" -> batchesTotal.get.toDouble,
     "batch_size" -> lastBatchSize.get.toDouble,
     "flush_time_seconds" -> lastFlushSeconds.get,

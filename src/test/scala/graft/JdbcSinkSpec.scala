@@ -72,6 +72,19 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(back.count() == 60)
   }
 
+  test("async INSERT failure is observable — onError fires, drain completes, nothing hangs") {
+    val before = JdbcBatchSink.asyncInsertFailures.get
+    val cfg = JdbcSinkConfig("jdbc:derby:/nonexistent/nope", "logs_bad", async = true)
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = JdbcBatchSink.foreachBatchWriter(cfg,
+      onError = _ => { errors.incrementAndGet(); () })
+    writer(spark.range(5).toDF("v"), 0L)
+    JdbcBatchSink.drain(cfg) // per-sink drain: must not wait on other sinks
+    assert(errors.get == 1, "the failed background INSERT must be reported")
+    // the default handler (not used here) counts into asyncInsertFailures
+    assert(JdbcBatchSink.asyncInsertFailures.get == before)
+  }
+
   test("ClickHouse dialect emits the reference's async_insert SETTINGS passthrough") {
     // clickhouse.go:65-77 parity: the statement form carries the SETTINGS
     // clause, URL form carries the same settings as session params

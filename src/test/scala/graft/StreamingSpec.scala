@@ -112,7 +112,7 @@ class StreamingSpec extends SparkTestBase {
   test("startWithMetrics serves live pipeline counters over HTTP while streaming") {
     val in = tmp("graft-min"); val out = tmp("graft-mout"); val ckpt = tmp("graft-mckpt")
     writeFixture(in, "batch1.json", fixtureLines(25))
-    val (q, srv) = IngestStream.startWithMetrics(spark, in, out, ckpt,
+    val (q, srv, m) = IngestStream.startWithMetrics(spark, in, out, ckpt,
       trigger = Trigger.ProcessingTime(0), metricsPort = 0)
     try {
       q.processAllAvailable()
@@ -127,7 +127,13 @@ class StreamingSpec extends SparkTestBase {
         .find(_.startsWith("graft_input_records_total"))
         .map(_.split(" ")(1).toDouble).getOrElse(0.0)
       assert(total >= 25.0, s"expected >=25 records counted, got $total\n$body")
-    } finally { q.stop(); srv.stop() }
+      // errors_total exists (reference main.go:52-74) and is wireable
+      assert(body.linesIterator.exists(_.startsWith("graft_errors_total 0")))
+      m.recordError(new RuntimeException("planted"))
+      assert(m.errorsTotal.get == 1)
+    } finally {
+      q.stop(); srv.stop(); spark.streams.removeListener(m)
+    }
   }
 
   test("tumbling window counts over the stream (update-incremental)") {
