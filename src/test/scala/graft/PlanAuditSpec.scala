@@ -84,6 +84,23 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("join_broadcast: dims arrive as broadcast, the fact side never shuffles before aggregation") {
+    val plan = executed(Queries.registry("join_broadcast").build(spark, sf("sf0.01")))
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size == 2, s"two dim broadcasts:\n$plan")
+    // shuffles: one for the groupBy, one for the orderBy — never the join
+    assert(countExchanges(plan) <= 2, s"the fact side must not shuffle for the join:\n$plan")
+  }
+
+  test("agg_group_metadata: map-side partial aggregation before a single hash exchange") {
+    val plan = executed(Queries.registry("agg_group_metadata").build(spark, sf("sf0.01")))
+    // partial + final HashAggregate pair = map-side combine is in place
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial aggregation missing:\n$plan")
+    assert(countExchanges(plan) <= 2, // agg exchange + presentation sort
+      s"only the agg exchange and the ORDER BY may shuffle:\n$plan")
+  }
+
   test("source_stream_decode: chunk decode + ingest run in the scan stage — only the presentation sort exchanges") {
     val df = Queries.registry("source_stream_decode").build(spark, sf("sf0.01"))
     val plan = executed(df)
