@@ -53,10 +53,19 @@ object Queries {
       * session, so validate by OBJECT IDENTITY and rebuild on mismatch —
       * keying by identityHashCode alone could hand a later session (hash
       * reuse after GC) a value whose SparkContext is already stopped.
+      *
+      * Entries owned by STOPPED sessions are evicted on access: strong
+      * retention of dead sessions (and their persisted frames) would grow
+      * without bound in a process that cycles sessions. A WeakHashMap
+      * cannot do this job here — the cached DataFrames strongly reference
+      * their owning session, and that value→key back-reference pins weak
+      * entries forever.
       */
     private def sessionScoped[T](
         cache: scala.collection.concurrent.TrieMap[String, (SparkSession, T)],
         s: SparkSession, dir: String)(build: => T): T = {
+      cache.filterInPlace { case (_, (owner, _)) =>
+        !owner.sparkContext.isStopped }
       val key = s"${System.identityHashCode(s)}:$dir"
       cache.get(key) match {
         case Some((owner, v)) if owner eq s => v
@@ -1104,7 +1113,7 @@ object Queries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
-          "embedding", k = 5, dim = 64)
+          "embedding", k = 5)
         .orderBy("qid", "rank")
     },
     None)

@@ -34,7 +34,13 @@ object GraftFunctions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
-  def registerAll(spark: SparkSession): Unit = {
+  // one lock around the whole check-then-register block: two threads
+  // racing the same fresh session could otherwise both pass the
+  // extraOptimizations.contains check and append PromoteMapKeys twice
+  // (or clobber a concurrently-added rule via the read-modify-write)
+  private val registerLock = new Object
+
+  def registerAll(spark: SparkSession): Unit = registerLock.synchronized {
     if (registered.get(spark) == null) {
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       all.foreach { case (name, builder) =>

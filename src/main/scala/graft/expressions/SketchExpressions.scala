@@ -30,6 +30,10 @@ case class MinHashSignature(left: Expression, right: Expression)
   override def nullSafeEval(shinglesAny: Any, kAny: Any): Any = {
     val shingles = shinglesAny.asInstanceOf[ArrayData]
     val k = kAny.asInstanceOf[Int]
+    // same guard rationale as SimHashWide's words bound: k <= 0 would
+    // throw NegativeArraySizeException (or silently emit an empty
+    // signature) per row inside the task
+    require(k >= 1 && k <= 65536, s"graft_minhash k must be in [1, 65536], got $k")
     val n = shingles.numElements()
     val out = new Array[Long](k)
     var i = 0

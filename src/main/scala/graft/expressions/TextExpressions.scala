@@ -126,6 +126,10 @@ case class HyperplaneSketch(first: Expression, second: Expression, third: Expres
     val vec = vecAny.asInstanceOf[ArrayData]
     val bits = bitsAny.asInstanceOf[Int]
     val seed = seedAny.asInstanceOf[Int]
+    // bits > 64 would wrap `1L << p` mod 64 and silently overwrite earlier
+    // sketch bits — the same guard class SimHashWide carries for words
+    require(bits >= 1 && bits <= 64,
+      s"graft_hyperplane bits must be in [1, 64], got $bits")
     val dim = vec.numElements()
     if (planes == null || planes.length != bits || (planes.length > 0 && planes(0).length < dim)) {
       planes = Array.tabulate(bits, dim) { (p, j) =>

@@ -104,8 +104,11 @@ object TextFunctions {
   )
 
   /** Predicted language: argmax over per-language stopword hit counts;
-    * ties and zero evidence resolve to "und" (undetermined). Pure columns —
-    * one pass over the token array per language.
+    * zero evidence resolves to "und" (undetermined). A score TIE resolves
+    * deterministically to the lexicographically greatest tied language
+    * (struct array_max ordering) — mirrored exactly by the lang_id DuckDB
+    * oracle, so callers needing tie→und must compare scores themselves.
+    * Pure columns — one pass over the token array per language.
     */
   def langId(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
     val toks = tokens(text)

@@ -45,7 +45,7 @@ object VectorFunctions {
     * value in [-1, 1): hash(p, j) scaled — reproducible across runs with no
     * stored model.
     */
-  def hyperplaneSketch(v: Column, bits: Int, dim: Int, seed: Int = 42): Column =
+  def hyperplaneSketch(v: Column, bits: Int, seed: Int = 42): Column =
     call_function("graft_hyperplane", toDouble(v), lit(bits), lit(seed))
 
   /** Hamming distance between two packed-long sketches. */

@@ -269,7 +269,6 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      dim: Int,
       sketchBits: Int = 16,
       bands: Int = 4): DataFrame = {
     val bitsPerBand = sketchBits / bands
@@ -280,7 +279,7 @@ object Dedup {
     // bit-identical cosineFromNorms contract
     val withSketch = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorExprs.norm(col(vecCol)).as("n"),
-      VF.hyperplaneSketch(col(vecCol), sketchBits, dim).as("sk"))
+      VF.hyperplaneSketch(col(vecCol), sketchBits).as("sk"))
     val banded = withSketch.select(col("id"), col("v"), col("n"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("sk"), b * bitsPerBand).bitwiseAND(mask)))

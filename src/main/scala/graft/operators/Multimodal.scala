@@ -174,9 +174,12 @@ object Multimodal {
         // record would silently vanish)
         val nFrames = ((bytes.length.toLong + frameBytes - 1) / frameBytes).toInt
         Iterator.range(0, nFrames, stride).map { i =>
+          // end offset in Long too: (i + 1) * frameBytes overflows Int for
+          // the last frames of a ~2 GiB payload, turning the min() negative
+          // and failing the task
           MediaFrame(r.id, i,
             java.util.Arrays.copyOfRange(bytes, i * frameBytes,
-              math.min(bytes.length, (i + 1) * frameBytes)))
+              math.min(bytes.length.toLong, (i + 1L) * frameBytes).toInt))
         }
       }
     }

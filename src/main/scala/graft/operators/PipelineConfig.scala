@@ -31,6 +31,32 @@ case class PipelineConfig(
 object PipelineConfig {
   val MinFlushInterval: FiniteDuration = 1.second
 
+  private val DurationTerm = "([0-9]*\\.?[0-9]+)(ns|us|µs|μs|ms|s|m|h)".r
+
+  /** Go `time.ParseDuration` subset: a concatenation of number+unit terms
+    * that must consume the whole string ("90s", "1m30s", "1.5h"); None on
+    * anything else (bare numbers, unknown units, trailing garbage).
+    */
+  private[operators] def parseGoDuration(v: String): Option[FiniteDuration] = {
+    val s = v.trim.stripPrefix("+")
+    val terms = DurationTerm.findAllMatchIn(s).toList
+    if (terms.isEmpty || terms.map(_.matched).mkString != s) None
+    else {
+      val nanos = terms.map { t =>
+        val mult = t.group(2) match {
+          case "ns" => 1.0
+          case "us" | "µs" | "μs" => 1e3
+          case "ms" => 1e6
+          case "s" => 1e9
+          case "m" => 6e10
+          case "h" => 3.6e12
+        }
+        t.group(1).toDouble * mult
+      }.sum
+      Some(Duration.fromNanos(nanos.toLong))
+    }
+  }
+
   /** Parse from a key→value map (case-insensitive keys, like Fluent Bit's
     * config). Never throws; collects warnings for malformed values.
     */
@@ -57,17 +83,15 @@ object PipelineConfig {
         }
       }.getOrElse(default)
 
-    // Go time.ParseDuration semantics (main.go:201-205): a bare number has
-    // no unit and is MALFORMED (→ default + warning), as are values below
-    // one second.
+    // Go time.ParseDuration semantics (main.go:201-205): one or more
+    // number+unit terms ("300ms", "1m30s", "1.5h"); a bare number has no
+    // unit and is MALFORMED (→ default + warning), as are values below one
+    // second. The previous Scala Duration(v) parser rejected Go's
+    // compound forms ("1m30s") — silently degrading valid reference
+    // configs to the default — while accepting Scala-only forms Go rejects.
     def durationOr(key: String, default: FiniteDuration): FiniteDuration =
       m.get(key).filter(_.nonEmpty).map { v =>
-        val parsed =
-          if (v.matches("[+-]?[0-9.]+")) None // unit-less: ParseDuration rejects
-          else scala.util.Try(Duration(v)).toOption.collect {
-            case d: FiniteDuration => d
-          }
-        parsed match {
+        parseGoDuration(v) match {
           case Some(d) if d >= MinFlushInterval => d
           case Some(_) => // reference rejects sub-second intervals, main.go:202-205
             warn(key, v, default); default

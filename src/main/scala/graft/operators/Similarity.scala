@@ -83,7 +83,6 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      dim: Int,
       sketchBits: Int = 16,
       bands: Int = 4): DataFrame = {
     val bitsPerBand = sketchBits / bands
@@ -94,7 +93,7 @@ object Similarity {
     def banded(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
           VectorExprs.norm(col(vecCol)).as(n),
-          VF.hyperplaneSketch(col(vecCol), sketchBits, dim).as("sk"))
+          VF.hyperplaneSketch(col(vecCol), sketchBits).as("sk"))
         .select(col(id), col(v), col(n),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => call_function("shiftright", col("sk"), b * bitsPerBand).bitwiseAND(mask)))

@@ -15,6 +15,7 @@ object TextAnalysis {
 
   /** (doc, term, tf, tfidf) with tfidf = tf * ln(N / df). */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.registerAll(docs.sparkSession)
     val toks = docs.select(col(idCol).as("doc"),
       explode(TF.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
@@ -29,6 +30,7 @@ object TextAnalysis {
 
   /** Per-term corpus statistics: df, total tf, mean tf per doc. */
   def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.registerAll(docs.sparkSession)
     val toks = docs.select(col(idCol).as("doc"),
       explode(TF.tokens(col(textCol))).as("term"))
     toks.groupBy("term").agg(

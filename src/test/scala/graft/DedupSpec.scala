@@ -150,7 +150,7 @@ class DedupSpec extends SparkTestBase {
     val exact = Dedup.embeddingCosinePairsExact(vecs, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.4,
-      dim = 64, sketchBits = 8, bands = 4)
+      sketchBits = 8, bands = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact)) // verification step guarantees precision
     if (exact.nonEmpty) {

@@ -120,7 +120,7 @@ class ExpressionsSpec extends SparkTestBase {
     val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
-      dim = 64, sketchBits = 8, bands = 4)
+      sketchBits = 8, bands = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.3, s"LSH@10 recall $recall vs brute")
@@ -144,7 +144,7 @@ class ExpressionsSpec extends SparkTestBase {
     val plans = Seq(
       "brute" -> Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10),
       "lsh" -> Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
-        dim = 64, sketchBits = 8, bands = 4),
+        sketchBits = 8, bands = 4),
       "ivf" -> Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
         numCells = 8, nprobe = 3))
     plans.foreach { case (name, df) =>

@@ -40,6 +40,18 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(bare.flushInterval == 60.seconds && bare.warnings.nonEmpty)
   }
 
+  test("Go compound durations parse; Scala-only forms are rejected (ParseDuration parity)") {
+    val compound = PipelineConfig.fromMap(Map("flush_interval" -> "1m30s"))
+    assert(compound.flushInterval == 90.seconds && compound.warnings.isEmpty)
+    val frac = PipelineConfig.fromMap(Map("flush_interval" -> "1.5m"))
+    assert(frac.flushInterval == 90.seconds && frac.warnings.isEmpty)
+    // Go rejects space-separated Scala forms — so must we (default + warn)
+    val scalaForm = PipelineConfig.fromMap(Map("flush_interval" -> "5 minutes"))
+    assert(scalaForm.flushInterval == 60.seconds && scalaForm.warnings.nonEmpty)
+    val garbage = PipelineConfig.fromMap(Map("flush_interval" -> "1m30"))
+    assert(garbage.flushInterval == 60.seconds && garbage.warnings.nonEmpty)
+  }
+
   test("bool parsing matches strconv.ParseBool exactly (main.go:211-215)") {
     // Go accepts only 1/t/T/TRUE/true/True and the false equivalents
     assert(PipelineConfig.fromMap(Map("Force_Underscores" -> "True")).forceUnderscores)
