@@ -1387,6 +1387,59 @@ object Queries {
           least(32, len(tk) - i*24)::BIGINT AS n_tokens
         FROM e ORDER BY doc_id, chunk_idx"""))
 
+  /** Benchmark decontamination over a deterministic corpus/eval split
+    * (every 25th doc plays the eval set): corpus docs sharing ≥ 5 distinct
+    * word 3-grams with any eval doc. The planted near/exact dups that
+    * straddle the split surface as contamination — exactly the leak this
+    * step exists to catch.
+    */
+  private val decontaminate = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TrainPipeline.decontaminate(
+          docs.where(col("doc_id") % 25 =!= 0),
+          docs.where(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 3, minOverlap = 5)
+        .orderBy("doc", "bench")
+    },
+    Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+          FROM toks WHERE len(t) >= 3),
+        corpus AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+        bench AS (SELECT * FROM sh WHERE doc_id % 25 = 0)
+        SELECT c.doc_id AS doc, b.doc_id AS bench,
+          len(list_intersect(c.s, b.s))::BIGINT AS overlap
+        FROM corpus c, bench b
+        WHERE len(list_intersect(c.s, b.s)) >= 5
+        ORDER BY doc, bench"""))
+
+  private val repetitionScore = Q(
+    (s, dir) => graft.operators.TextAnalysis.repetitionScore(
+        t(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text")
+      .orderBy("doc"),
+    Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents WHERE doc_id < 200),
+        ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+        words AS (SELECT doc_id AS doc,
+          round(1 - len(list_distinct(t))::DOUBLE / len(t), 4) AS word_rep
+          FROM ok),
+        grams AS (SELECT doc_id AS doc,
+          unnest(list_transform(range(len(t) - 1),
+            i -> t[i+1] || ' ' || t[i+2])) AS g
+          FROM ok),
+        gc AS (SELECT doc, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        top AS (SELECT doc, round(max(c)::DOUBLE / sum(c), 4) AS top2
+          FROM gc GROUP BY doc)
+        SELECT doc, word_rep, top2 FROM words JOIN top USING (doc)
+        ORDER BY doc"""))
+
   private val interleaveMix = Q(
     (s, dir) => {
       // domain weighting: 2.5× src0, 0.4× src1, 1× the rest
@@ -1521,5 +1574,7 @@ object Queries {
     "interleave_mix" -> interleaveMix,
     "dedup_survivors" -> dedupSurvivors,
     "text_chunk_tokens" -> textChunkTokens,
+    "decontaminate" -> decontaminate,
+    "repetition_score" -> repetitionScore,
   )
 }

@@ -37,4 +37,30 @@ object TextAnalysis {
       countDistinct(col("doc")).as("df"),
       count(lit(1)).as("total_tf"))
   }
+
+  /** Repetition quality signals per document (the Gopher-rules family):
+    * `word_rep` = 1 − distinct/total words (how much of the doc is
+    * repeated vocabulary) and `top2` = the most frequent word 2-gram's
+    * share of all 2-grams (boilerplate/template detector). Docs with
+    * fewer than 2 tokens are dropped (no 2-grams to measure).
+    *
+    * Scale shape: `word_rep` is a pure narrow column expression; `top2`
+    * is two map-side-combined aggregations ((doc, gram) count, then
+    * max/sum per doc) — exploded rows carry (id, gram) only.
+    */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.registerAll(docs.sparkSession)
+    val toks = TF.tokens(col(textCol))
+    val words = docs
+      .where(size(toks) >= 2)
+      .select(col(idCol).as("doc"),
+        Rounding.r4(lit(1.0) -
+          size(array_distinct(toks)).cast("double") / size(toks)).as("word_rep"))
+    val grams = docs.where(size(toks) >= 2)
+      .select(col(idCol).as("doc"), explode(TF.shingles(col(textCol), 2)).as("g"))
+    val top = grams.groupBy("doc", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg(Rounding.r4(max(col("c")).cast("double") / sum(col("c"))).as("top2"))
+    words.join(top, "doc")
+  }
 }

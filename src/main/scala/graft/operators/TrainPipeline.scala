@@ -266,6 +266,38 @@ object TrainPipeline {
     labels.select(col("node"), col("label").as("cluster"))
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` distinct word n-grams with any benchmark (eval-set)
+    * document — the standard pre-training hygiene step that keeps test
+    * data out of the training mix. Returns (doc, bench, overlap) per
+    * contaminated pair; documents shorter than n tokens cannot overlap
+    * and are dropped on both sides.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (an eval suite)
+    * and is broadcast, so the corpus is one narrow scan + map-side
+    * shingle explode; the only shuffle is the map-side-combined
+    * (doc, bench) overlap count. Each exploded row carries (id, shingle)
+    * only — never the document text.
+    */
+  def decontaminate(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    require(n >= 1 && minOverlap >= 1,
+      s"n/minOverlap must be positive: $n/$minOverlap")
+    graft.expressions.GraftFunctions.registerAll(corpus.sparkSession)
+    import graft.functions.{TextFunctions => TF}
+    def shingled(df: DataFrame, out: String) =
+      df.where(size(TF.tokens(col(textCol))) >= n)
+        .select(col(idCol).as(out),
+          explode(array_distinct(TF.shingles(col(textCol), n))).as("sh"))
+    // distinct shingles on both sides ⇒ one joined row per SHARED shingle
+    // per pair, so count(*) == |intersection|
+    shingled(corpus, "doc").join(broadcast(shingled(bench, "bench")), "sh")
+      .groupBy("doc", "bench").agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
   /** [[connectedComponents]] via the alternating large-star/small-star
     * formulation (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the adversarial-chain path: rounds scale with

@@ -172,6 +172,34 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(strict == Seq(1L, 1L, 1L, 1L, 1L))
   }
 
+  test("decontaminate flags planted eval-set leakage and ignores clean/short docs") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every single day")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day indeed"),
+      (2L, "completely different content about catalyst optimizers and shuffle plans"),
+      (3L, "fox dog day")).toDF("doc_id", "text")
+    val got = TrainPipeline.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1L), s"only the leaked doc flags: ${got.toSeq}")
+    assert(got.head._2 == 100L && got.head._3 == 10L,
+      s"doc 1 shares all 10 benchmark 3-grams: ${got.toSeq}")
+  }
+
+  test("repetitionScore: repeated text scores high, varied text low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six"),
+      (3L, "solo")).toDF("doc_id", "text") // < 2 tokens: dropped
+    val got = graft.operators.TextAnalysis.repetitionScore(df, "doc_id", "text")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 0.8333, 1.0), (2L, 0.0, 0.2)))
+  }
+
   test("connectedComponentsAlternating: diameter-100 chain converges in O(log n) rounds and matches the simple variant") {
     import spark.implicits._
     // permuted chain: p(i) = 37i mod 101 is a bijection on 0..100, so ids
