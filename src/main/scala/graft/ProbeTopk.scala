@@ -36,7 +36,7 @@ object ProbeTopk {
     }
 
     for (name <- Seq("sim_search_topk", "sim_search_lsh", "sim_search_ivf",
-        "dedup_cluster")) {
+        "dedup_cluster", "decontaminate", "repetition_score")) {
       Queries.warmFixtures(spark, dir)
       time(name) { Queries.registry(name).build(spark, dir).count(); () }
     }

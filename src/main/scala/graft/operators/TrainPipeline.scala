@@ -277,12 +277,14 @@ object TrainPipeline {
     * and is broadcast, so the corpus is one narrow scan + map-side
     * shingle explode; the only shuffle is the map-side-combined
     * (doc, bench) overlap count. Each exploded row carries (id, shingle)
-    * only — never the document text.
+    * only — never the document text. `maxBenchDf` bounds the per-shingle
+    * join fan-out for 100 TB corpora (see the in-body note).
     */
   def decontaminate(
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
-      n: Int = 3, minOverlap: Int = 5): DataFrame = {
+      n: Int = 3, minOverlap: Int = 5,
+      maxBenchDf: Int = Int.MaxValue): DataFrame = {
     require(n >= 1 && minOverlap >= 1,
       s"n/minOverlap must be positive: $n/$minOverlap")
     graft.expressions.GraftFunctions.registerAll(corpus.sparkSession)
@@ -291,9 +293,24 @@ object TrainPipeline {
       df.where(size(TF.tokens(col(textCol))) >= n)
         .select(col(idCol).as(out),
           explode(array_distinct(TF.shingles(col(textCol), n))).as("sh"))
+    // Scale knob: a shingle appearing in more than maxBenchDf benchmark
+    // docs is boilerplate ("in order to") — each corpus occurrence fans
+    // out to every bench doc carrying it, and at corpus scale that
+    // multiplication dominates the join. Dropping high-df shingles on the
+    // (tiny, pre-broadcast) bench side bounds the fan-out; real
+    // contamination shows in the distinctive n-grams that survive.
+    val benchSh = {
+      val all = shingled(bench, "bench")
+      if (maxBenchDf == Int.MaxValue) all
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+        all.withColumn("_df", count(lit(1)).over(w))
+          .where(col("_df") <= maxBenchDf).drop("_df")
+      }
+    }
     // distinct shingles on both sides ⇒ one joined row per SHARED shingle
     // per pair, so count(*) == |intersection|
-    shingled(corpus, "doc").join(broadcast(shingled(bench, "bench")), "sh")
+    shingled(corpus, "doc").join(broadcast(benchSh), "sh")
       .groupBy("doc", "bench").agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
   }

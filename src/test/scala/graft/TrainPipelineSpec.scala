@@ -186,6 +186,18 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == Seq(1L), s"only the leaked doc flags: ${got.toSeq}")
     assert(got.head._2 == 100L && got.head._3 == 10L,
       s"doc 1 shares all 10 benchmark 3-grams: ${got.toSeq}")
+    // df cap: with a two-doc bench sharing one boilerplate shingle, capping
+    // bench df at 1 drops that shingle from BOTH bench docs' profiles
+    val bench2 = Seq(
+      (100L, "alpha beta gamma shared ngram here"),
+      (101L, "delta epsilon zeta shared ngram here")).toDF("doc_id", "text")
+    val corp2 = Seq((1L, "shared ngram here and nothing else at all")).toDF("doc_id", "text")
+    val capped = TrainPipeline.decontaminate(corp2, bench2, "doc_id", "text",
+      n = 3, minOverlap = 1, maxBenchDf = 1)
+    assert(capped.count() == 0, "boilerplate shingle above the df cap must not flag")
+    val uncapped = TrainPipeline.decontaminate(corp2, bench2, "doc_id", "text",
+      n = 3, minOverlap = 1)
+    assert(uncapped.count() == 2, "without the cap both bench docs flag")
   }
 
   test("repetitionScore: repeated text scores high, varied text low") {
