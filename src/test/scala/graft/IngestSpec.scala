@@ -193,4 +193,15 @@ class IngestSpec extends SparkTestBase {
     assert(out(3) == "2020-01-01T00:00:00Z")
     assert(out(4) == "2020-01-01T00:00:00Z")
   }
+
+  test("hostile nesting depth rejects the record instead of crashing the task") {
+    // Jackson's default depth constraint (1000) fires BEFORE the flatten
+    // recursion could overflow the stack — the record becomes a null row
+    // (the reference's skip-on-error stance), never a task-killing Error.
+    // Same robustness class as MsgpackWire's explicit depth cap.
+    def deep(n: Int) = "{\"a\":" * n + "1" + "}" * n
+    assert(Ingest.processRecord(deep(999), IngestConfig()) != null)
+    assert(Ingest.processRecord(deep(5000), IngestConfig()) == null)
+    assert(Ingest.processRecord(deep(50000), IngestConfig()) == null)
+  }
 }
