@@ -118,12 +118,24 @@ object LogSchema {
     // doubling the sort work and (Spark's sort is not guaranteed stable
     // across spills) destroying the sort-key clustering the row-group
     // skipping design depends on.
-    df.withColumn("date", to_date(col("timestamp")))
+    // Bloom filters on the high-cardinality spine columns: the sort key
+    // leads with cluster/namespace/app, so within a row group pod_name and
+    // host min/max ranges are wide and stats-based skipping is useless for
+    // the canonical "logs for pod X" point predicate. A per-row-group
+    // bloom filter answers "definitely absent" for ~1 byte/ndv — the
+    // parquet analogue of a MergeTree bloom_filter skip index. (ndv is a
+    // per-ROW-GROUP estimate, not table-wide.)
+    val bloomCols = Seq("pod_name", "host")
+    val w0 = df.withColumn("date", to_date(col("timestamp")))
       .repartition(col("date"), col("cluster"), col("namespace"), col("app"))
       .sortWithinPartitions(("date" +: sortKey).map(col): _*)
       .write
       .mode(mode)
       .option("compression", "zstd")
+    bloomCols.foldLeft(w0) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
+      }
       .partitionBy("date")
       .parquet(path)
   }

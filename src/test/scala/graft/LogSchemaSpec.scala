@@ -25,6 +25,44 @@ class LogSchemaSpec extends SparkTestBase {
     assert(oneDay.count() > 0)
   }
 
+  test("writePartitioned: bloom filters land on high-cardinality pod_name/host chunks (point-predicate skipping)") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft-bloom").toString
+    // Parquet only materializes a bloom when a chunk is NOT fully
+    // dictionary-encoded (a full dictionary already answers point
+    // lookups) — the production condition is high cardinality, so the
+    // fixture forces it: one date, one spine group, 10k ~128-byte
+    // distinct pod_name/host values blow past the 1 MB dictionary page.
+    val logs = LogSchema.logsFromEvents(
+        graft.sources.Tables.events(spark, sf("sf0.01")))
+      .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))
+      .withColumn("cluster", lit("c")).withColumn("namespace", lit("n"))
+      .withColumn("app", lit("a"))
+      .withColumn("pod_name", concat(sha2(col("id").cast("string"), 256),
+        sha2(concat(col("id").cast("string"), lit("x")), 256)))
+      .withColumn("host", concat(sha2(concat(col("id").cast("string"), lit("y")), 256),
+        sha2(concat(col("id").cast("string"), lit("z")), 256)))
+      .drop("id")
+    LogSchema.writePartitioned(logs, out)
+    val file = Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      def offset(name: String) =
+        cols.find(_.getPath.toDotString == name).get.getBloomFilterOffset
+      // the sort prefix columns rely on min/max stats; the wide-range
+      // point-predicate columns carry blooms once cardinality defeats
+      // the dictionary
+      assert(offset("pod_name") >= 0, "pod_name must carry a bloom filter")
+      assert(offset("host") >= 0, "host must carry a bloom filter")
+      assert(offset("cluster") == -1, "prefix columns skip via min/max, no bloom")
+    } finally reader.close()
+  }
+
   test("expiredPartitions: retention cutoff selects old daily dirs (TTL, schema.sql:19)") {
     val out = Files.createTempDirectory("graft-ttl").toString
     val logs = LogSchema.logsFromEvents(
