@@ -192,9 +192,12 @@ object Queries {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 1, threshold = 0.8, maxId = 60)
+      // requireConvergence: the DuckDB oracle computes the EXACT recursive
+      // closure, so a maxIter exit (silently split clusters) must fail
+      // this query loudly rather than surface as a mystery hash mismatch
       graft.operators.TrainPipeline.connectedComponents(
         docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
-        pairs, "id_a", "id_b")
+        pairs, "id_a", "id_b", requireConvergence = true)
     }
   }
 
@@ -333,14 +336,26 @@ object Queries {
     (s, dir) => logs(s, dir)
       .where(col("log").contains("purchase"))
       .select("id").orderBy("id"),
+    // concat_ws (null-skipping), not `||` (null-propagating): the log view
+    // builds its line with concat_ws, and a NULL props row would LIKE-drop
+    // under || while Spark keeps it
     Some("""SELECT event_id AS id FROM events
-        WHERE (event_type || ' ' || props) LIKE '%purchase%' ORDER BY id"""))
+        WHERE concat_ws(' ', event_type, props) LIKE '%purchase%' ORDER BY id"""))
 
+  /** Reads the WRITTEN, promoted log table — the subscript below is
+    * rewritten by PromoteMapKeys to the materialized promoted_event_value
+    * column (metadata round-tripped through parquet), so this pair
+    * actually exercises the promoted-column operator its key names; the
+    * in-memory view variant would be a plain map access.
+    */
   private val projectPromotedColumn = Q(
-    (s, dir) => logs(s, dir)
-      .withColumn("content_value",
-        r(try_element_at(col("fields_number"), lit("event.value")), 2))
-      .select("id", "content_value").orderBy("id"),
+    (s, dir) => {
+      graft.expressions.GraftFunctions.registerAll(s)
+      graft.model.LogSchema.readLogs(s, Fixtures.logTableDir(s, dir))
+        .withColumn("content_value",
+          r(try_element_at(col("fields_number"), lit("event.value")), 2))
+        .select("id", "content_value").orderBy("id")
+    },
     Some("""SELECT event_id AS id, round(value, 2) AS content_value
         FROM events ORDER BY id"""))
 
@@ -350,9 +365,14 @@ object Queries {
         size(col("fields_string")).cast(LongType).as("n_str"),
         size(col("fields_number")).cast(LongType).as("n_num"))
       .orderBy("id"),
+    // the oracle DERIVES elision per row instead of asserting constants
+    // that only hold while the generated data has no NULLs
     Some("""SELECT event_id AS id,
-        (CASE WHEN event_type = 'error' THEN 2 ELSE 1 END)::BIGINT AS n_str,
-        2::BIGINT AS n_num
+        ((CASE WHEN event_type IS NULL THEN 0 ELSE 1 END) +
+         (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END))::BIGINT AS n_str,
+        ((CASE WHEN value IS NULL THEN 0 ELSE 1 END) +
+         (CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+               IS NULL THEN 0 ELSE 1 END))::BIGINT AS n_num
         FROM events ORDER BY id"""))
 
   // ------------------------------------------------------------------
@@ -411,9 +431,15 @@ object Queries {
         .agg(r(sum("f_val"), 2).as("sum_f"))
         .orderBy("id_i", "s_val")
     },
+    // every field count and value DERIVES its null elision (a NULL column
+    // in regenerated data must elide on both sides, not break a constant)
     Some("""SELECT user_id AS id_i, event_type AS s_val,
-        CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END AS b_val,
-        4::BIGINT AS n_fields, round(sum(round(value, 2)), 2) AS sum_f
+        CASE WHEN user_id IS NULL THEN NULL
+             WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END AS b_val,
+        ((CASE WHEN event_type IS NULL THEN 0 ELSE 1 END) +
+         (CASE WHEN user_id IS NULL THEN 0 ELSE 2 END) +
+         (CASE WHEN value IS NULL THEN 0 ELSE 1 END))::BIGINT AS n_fields,
+        round(sum(round(value, 2)), 2) AS sum_f
         FROM events GROUP BY ALL ORDER BY id_i, s_val"""))
 
   private val routeWellknownKeys = Q(
@@ -483,8 +509,11 @@ object Queries {
           size(col("fields_number")).cast(LongType).as("n_num"))
         .orderBy("id")
     },
+    // n_num derived, not constant: fields_number holds event_id (always)
+    // plus metric_v exactly when value is non-null (nulls elide)
     Some("""SELECT event_id AS id, round(value, 2) AS mv, event_type AS nn,
-        2::BIGINT AS n_num FROM events ORDER BY id"""))
+        (1 + (CASE WHEN value IS NULL THEN 0 ELSE 1 END))::BIGINT AS n_num
+        FROM events ORDER BY id"""))
 
   private val mapBuildSplit = Q(
     (s, dir) => {
@@ -603,11 +632,14 @@ object Queries {
       .select(explode(map_keys(col("fields_string"))).as("k"))
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .orderBy("k"),
+    // HAVING guards: an ungrouped aggregate always yields one row, but a
+    // key absent from every map yields NO exploded row on the Spark side
     Some("""SELECT k, cnt FROM (
         SELECT 'event.type' AS k, count(*) AS cnt FROM events
+        WHERE event_type IS NOT NULL HAVING count(*) > 0
         UNION ALL
         SELECT 'flag.err' AS k, count(*) AS cnt FROM events
-        WHERE event_type = 'error') ORDER BY k"""))
+        WHERE event_type = 'error' HAVING count(*) > 0) ORDER BY k"""))
 
   // ------------------------------------------------------------------
   // §2.5 joins
@@ -650,11 +682,14 @@ object Queries {
         .agg(count(lit(1)).as("without_orders"))
       semi.crossJoin(anti)
     },
+    // EXISTS, not IN: `NOT IN` over a set containing NULL is NULL for
+    // every row (0 customers), while Spark's left_anti keeps unmatched
+    // rows — null-luck-equivalent today, wrong on any NULL o_custkey
     Some("""SELECT
-        (SELECT count(*) FROM customer
-         WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
-        (SELECT count(*) FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_orders"""))
+        (SELECT count(*) FROM customer c WHERE EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        (SELECT count(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders"""))
 
   private val joinOuter = Q(
     (s, dir) => t(s, dir, "customer")
@@ -768,13 +803,20 @@ object Queries {
     Some("""SELECT event_id AS id, epoch_ms(ts) AS ts_ms FROM events
         ORDER BY ts_ms DESC, id DESC LIMIT 100"""))
 
+  // the ORDER BY under a LIMIT must be TOTAL: (l_orderkey, l_linenumber)
+  // is NOT unique in the testdata (11k+ duplicate pairs differing in
+  // measures), so a cut landing inside a tie group would let each engine
+  // legally keep different rows — the quantity/price tiebreakers make the
+  // prefix deterministic at every SF
   private val limitN = Q(
     (s, dir) => t(s, dir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .limit(50),
-    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        ORDER BY l_orderkey, l_linenumber LIMIT 50"""))
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        LIMIT 50"""))
 
   private val setUnion = Q(
     (s, dir) => {

@@ -157,16 +157,26 @@ class ExpressionsSpec extends SparkTestBase {
   }
 
   test("language id: distinctive stopword texts classify; und on no evidence") {
+    // hand-written expectations, independent of both LangProfiles-derived
+    // code paths (the DuckDB oracle is GENERATED from the same constant,
+    // so only this suite can catch a wrong shared profile; the synthetic
+    // documents' lang column is decorative word-soup metadata, unusable
+    // as linguistic ground truth)
     val df = Seq(
       (1L, "the cat and the dog was in the house for it"),
       (2L, "le chat est dans la maison et je suis pour une"),
       (3L, "der hund ist nicht in der stadt und ich bin mit"),
       (4L, "el perro es una de las casas y los gatos en se"),
-      (5L, "qwerty zxcvb asdfgh")).toDF("id", "text")
+      (5L, "qwerty zxcvb asdfgh"),
+      (6L, "我 的 是 不 了 他 在 这 有 就"),
+      (7L, "the le")).toDF("id", "text")
     val out = df.select(col("id"), TF.langId(col("text")).as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "de" && out(4L) == "es")
     assert(out(5L) == "und")
+    assert(out(6L) == "zh")
+    // documented deterministic tie-break: lexicographically greatest wins
+    assert(out(7L) == "fr")
   }
 
   test("fingerprint: stable under duplication, changes under edit") {

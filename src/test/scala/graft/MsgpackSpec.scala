@@ -60,6 +60,27 @@ class MsgpackSpec extends SparkTestBase {
     }
   }
 
+  test("golden wire bytes: EventTime ext layout matches the Fluent Bit spec byte-for-byte") {
+    // fixext8 type 0x00 = 0xd7 0x00 + uint32 BE seconds + uint32 BE nanos,
+    // inside a [ts, record] fixarray — HAND-WRITTEN, not derived from the
+    // encoder, so a layout bug symmetric between encodeChunk and the
+    // decoder (swapped sec/nsec, wrong endianness, wrong ext type) cannot
+    // hide behind round-trip identity
+    val expected = Array(
+      0x92,                   // fixarray(2)
+      0xd7, 0x00,             // fixext8, type 0 (Fluent Bit EventTime)
+      0x69, 0x4e, 0xb4, 0x00, // seconds  = 0x694eb400, big-endian
+      0x07, 0x5b, 0xcd, 0x15, // nanos    = 123456789,  big-endian
+      0x81, 0xa1, 'k'.toInt, 0xa1, 'v'.toInt // {"k":"v"}
+    ).map(_.toByte)
+    val got = MsgpackWire.encodeChunk(Seq(
+      (EventTime(0x694eb400L, 123456789L), ListMap("k" -> "v"))))
+    assert(got.toSeq == expected.toSeq, "encoder must emit the spec layout")
+    val events = MsgpackWire.decodeChunk(expected)
+    assert(events.head._1 == 0x694eb400L * 1000000L + 123456L)
+    assert(events.head._2 == """{"k":"v"}""")
+  }
+
   // ---- timestamp shapes, main.go:85-103 ----
 
   test("EventTime ext (fixext8 type 0) decodes to micros") {
