@@ -46,8 +46,10 @@ object Bench {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
+        // NonFatal only: swallowing an OutOfMemoryError would keep timing
+        // queries on a corrupted JVM and emit a plausible-looking result
         val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+          catch { case scala.util.control.NonFatal(_) => false }
         val t = (System.nanoTime() - t0) / 1e9
         if (ok) {
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)

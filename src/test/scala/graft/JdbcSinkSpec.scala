@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.Trigger
 class JdbcSinkSpec extends SparkTestBase {
 
   private def derbyUrl(name: String): String = {
-    val dir = Files.createTempDirectory("graft-derby").toString
+    val dir = tmp("graft-derby")
     s"jdbc:derby:$dir/$name;create=true"
   }
 
@@ -25,14 +25,14 @@ class JdbcSinkSpec extends SparkTestBase {
   test("batched INSERT round-trip: stream → derby → read back") {
     val url = derbyUrl("logs")
     val cfg = JdbcSinkConfig(url, "logs_local", batchSize = 50)
-    val in = Files.createTempDirectory("graft-jin").toString
+    val in = tmp("graft-jin")
     Files.write(java.nio.file.Paths.get(in, "b.json"),
       fixture(120).mkString("\n").getBytes)
 
     val stream = IngestStream.ingested(
       IngestStream.readJsonLines(spark, in), IngestConfig())
     val q = stream.writeStream
-      .option("checkpointLocation", Files.createTempDirectory("graft-jckpt").toString)
+      .option("checkpointLocation", tmp("graft-jckpt"))
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch(JdbcBatchSink.foreachBatchWriter(cfg))
       .start()
@@ -54,14 +54,14 @@ class JdbcSinkSpec extends SparkTestBase {
   test("async mode: foreachBatch returns before rows land; drain completes them") {
     val url = derbyUrl("async")
     val cfg = JdbcSinkConfig(url, "logs_async", batchSize = 50, async = true)
-    val in = Files.createTempDirectory("graft-jin2").toString
+    val in = tmp("graft-jin2")
     Files.write(java.nio.file.Paths.get(in, "b.json"),
       fixture(60).mkString("\n").getBytes)
 
     val stream = IngestStream.ingested(
       IngestStream.readJsonLines(spark, in), IngestConfig())
     val q = stream.writeStream
-      .option("checkpointLocation", Files.createTempDirectory("graft-jckpt2").toString)
+      .option("checkpointLocation", tmp("graft-jckpt2"))
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch(JdbcBatchSink.foreachBatchWriter(cfg))
       .start()

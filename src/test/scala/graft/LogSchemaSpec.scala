@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class LogSchemaSpec extends SparkTestBase {
 
   test("writePartitioned: daily dirs, sort key within partitions, schema round-trip") {
-    val out = Files.createTempDirectory("graft-logs").toString
+    val out = tmp("graft-logs")
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf()))
       .drop("id")
@@ -18,16 +18,19 @@ class LogSchemaSpec extends SparkTestBase {
     assert(back.count() == logs.count())
     val fs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("date="))
     assert(fs.length >= 28) // ~a month of daily partitions in events
-    // partition pruning: a one-day predicate reads one directory
+    // partition pruning: a one-day predicate must actually prune to the
+    // single date directory (not merely return rows from a full scan)
     val oneDay = back.where(col("date") === "2024-01-05")
     val scanned = oneDay.queryExecution.executedPlan.collectLeaves()
       .head.toString
+    assert(scanned.contains("PartitionFilters") && scanned.contains("2024-01-05"),
+      s"date predicate must be a partition filter:\n$scanned")
     assert(oneDay.count() > 0)
   }
 
   test("writePartitioned: bloom filters land on high-cardinality pod_name/host chunks (point-predicate skipping)") {
     import scala.jdk.CollectionConverters._
-    val out = Files.createTempDirectory("graft-bloom").toString
+    val out = tmp("graft-bloom")
     // Parquet only materializes a bloom when a chunk is NOT fully
     // dictionary-encoded (a full dictionary already answers point
     // lookups) — the production condition is high cardinality, so the
@@ -64,7 +67,7 @@ class LogSchemaSpec extends SparkTestBase {
   }
 
   test("expiredPartitions: retention cutoff selects old daily dirs (TTL, schema.sql:19)") {
-    val out = Files.createTempDirectory("graft-ttl").toString
+    val out = tmp("graft-ttl")
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf()))
       .drop("id")
@@ -77,7 +80,7 @@ class LogSchemaSpec extends SparkTestBase {
   }
 
   test("dropExpiredPartitions deletes old daily dirs and keeps the rest readable") {
-    val out = Files.createTempDirectory("graft-ttl2").toString
+    val out = tmp("graft-ttl2")
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf())).drop("id")
     LogSchema.writePartitioned(logs, out)

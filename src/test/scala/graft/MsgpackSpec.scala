@@ -285,9 +285,9 @@ class MsgpackSpec extends SparkTestBase {
   }
 
   test("streaming: chunk files → decode → ingest → date-partitioned parquet") {
-    val in = Files.createTempDirectory("graft-fb-in").toString
-    val out = Files.createTempDirectory("graft-fb-out").toString
-    val ckpt = Files.createTempDirectory("graft-fb-ckpt").toString
+    val in = tmp("graft-fb-in")
+    val out = tmp("graft-fb-out")
+    val ckpt = tmp("graft-fb-ckpt")
     def chunkFor(day: Int, n: Int): Array[Byte] =
       MsgpackWire.encodeChunk((0 until n).map { i =>
         val sec = Timestamp.valueOf(f"2026-01-$day%02d 08:00:00").getTime / 1000

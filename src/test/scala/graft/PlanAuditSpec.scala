@@ -63,25 +63,25 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("sim_search_topk: a well-split corpus is never shuffled before scoring") {
     // force the local single-file read to split like a real multi-split
-    // scan, so the under-parallelism spread gate must NOT fire
-    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    try {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
-      val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
-      assert(emb.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
-        "test setup: the scan must be at least as parallel as the session")
-      val df = graft.operators.Similarity.bruteTopK(
-        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-      val plan = executed(df)
-      assert(!plan.contains("hashpartitioning(nid"),
-        s"the corpus vectors must not be hash-exchanged:\n$plan")
-      assert(!plan.contains("RoundRobinPartitioning"),
-        s"the spread gate must not fire on a well-split corpus:\n$plan")
-      assert(countExchanges(plan) == 1,
-        s"only the (qid, scalar) window exchange may move data:\n$plan")
-      assert(plan.contains("WindowGroupLimit"),
-        s"partial top-k must run before the exchange:\n$plan")
-    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    // scan, so the under-parallelism spread gate must NOT fire. The conf
+    // override lives on a CLONED session (shared context, own SQLConf) so
+    // no other suite can ever plan a scan inside the 16 KB window.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    val emb = s2.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    assert(emb.rdd.getNumPartitions >= s2.sparkContext.defaultParallelism,
+      "test setup: the scan must be at least as parallel as the session")
+    val df = graft.operators.Similarity.bruteTopK(
+      emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    val plan = executed(df)
+    assert(!plan.contains("hashpartitioning(nid"),
+      s"the corpus vectors must not be hash-exchanged:\n$plan")
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"the spread gate must not fire on a well-split corpus:\n$plan")
+    assert(countExchanges(plan) == 1,
+      s"only the (qid, scalar) window exchange may move data:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"partial top-k must run before the exchange:\n$plan")
   }
 
   test("join_broadcast: dims arrive as broadcast, the fact side never shuffles before aggregation") {

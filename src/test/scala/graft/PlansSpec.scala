@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class PlansSpec extends SparkTestBase {
 
   test("PromoteMapKeys rewrites map subscripts to promoted columns and pushes the predicate") {
-    val out = Files.createTempDirectory("graft-promo").toString
+    val out = tmp("graft-promo")
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf())).drop("id")
     LogSchema.writePartitioned(
@@ -66,7 +66,7 @@ class PlansSpec extends SparkTestBase {
     ).toDF("id", "fields_string")
     // parquet round-trip: a purely local relation would be constant-folded
     // before the rule could fire
-    val out = Files.createTempDirectory("graft-promo-collide").toString
+    val out = tmp("graft-promo-collide")
     LogSchema.withPromotedColumns(df, stringKeys = Seq("a.b", "a_b"))
       .write.mode("overwrite").parquet(out)
     val promoted = spark.read.parquet(out)
@@ -85,7 +85,7 @@ class PlansSpec extends SparkTestBase {
   }
 
   test("promoted metadata survives the parquet round-trip") {
-    val out = Files.createTempDirectory("graft-promo-md").toString
+    val out = tmp("graft-promo-md")
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf())).drop("id")
     LogSchema.writePartitioned(
@@ -100,7 +100,7 @@ class PlansSpec extends SparkTestBase {
     import spark.implicits._
     // A: promoted log table (from the shared fixture write below); B: a
     // different table with a same-named map whose values are all -1
-    val aDir = Files.createTempDirectory("graft-promo-a").toString
+    val aDir = tmp("graft-promo-a")
     LogSchema.writePartitioned(
       LogSchema.withPromotedColumns(
         LogSchema.logsFromEvents(graft.sources.Tables.events(spark, sf())),
@@ -108,7 +108,7 @@ class PlansSpec extends SparkTestBase {
       aDir)
     val a = LogSchema.readLogs(spark, aDir)
       .select(col("id"), col("promoted_event_value"))
-    val bDir = Files.createTempDirectory("graft-promo-b").toString
+    val bDir = tmp("graft-promo-b")
     LogSchema.logsFromEvents(graft.sources.Tables.events(spark, sf()))
       .select(col("id"),
         map(lit("event.value"), lit(-1.0)).as("fields_number"))
@@ -134,7 +134,7 @@ class PlansSpec extends SparkTestBase {
       (1L, Some(Map("k" -> 10.0))),
       (2L, Option.empty[Map[String, Double]]),
     ).toDF("id", "fields_number")
-    val out = Files.createTempDirectory("graft-promo-tolerant").toString
+    val out = tmp("graft-promo-tolerant")
     LogSchema.withPromotedColumns(df, numberKeys = Seq("k"))
       .write.mode("overwrite").parquet(out)
     val back = spark.read.parquet(out)

@@ -13,9 +13,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamingSpec extends SparkTestBase {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
-
   private def writeFixture(dir: String, name: String, lines: Seq[String]): Unit =
     Files.write(Paths.get(dir, name),
       String.join("\n", lines: _*).getBytes("UTF-8"))
@@ -29,6 +26,7 @@ class StreamingSpec extends SparkTestBase {
     val in = tmp("graft-in"); val out = tmp("graft-out"); val ckpt = tmp("graft-ckpt")
     writeFixture(in, "batch1.json", fixtureLines(40, i => if (i < 30) 10 else 11))
     val metrics = StreamMetrics.attach(spark)
+    try {
     val q = IngestStream.start(spark, in, out, ckpt,
       trigger = Trigger.ProcessingTime(0))
     q.processAllAvailable()
@@ -49,8 +47,10 @@ class StreamingSpec extends SparkTestBase {
       .select(try_element_at(col("fields_number"), lit("content_n")))
       .collect()(0).getDouble(0)
     assert(fn == 7.0)
-    // metrics listener saw the rows (main.go:52-74 mirror)
-    assert(metrics.inputRecordsTotal.get >= 50)
+    // metrics listener saw the rows (main.go:52-74 mirror); the listener
+    // bus delivers asynchronously, so poll instead of asserting instantly
+    eventually()(metrics.inputRecordsTotal.get >= 50)
+    } finally spark.streams.removeListener(metrics)
   }
 
   test("same-generation replay is idempotent; a rebuilt checkpoint re-appends (at-least-once floor)") {
@@ -118,15 +118,17 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       // scrape via HTTP: counters must reflect the processed batch
       val bound = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}/metrics")
-      val body = {
+      def scrape(): String = {
         val is = bound.openStream()
         try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
       }
-      assert(body.contains("graft_input_records_total"))
-      val total = body.linesIterator
+      def counted(body: String): Double = body.linesIterator
         .find(_.startsWith("graft_input_records_total"))
         .map(_.split(" ")(1).toDouble).getOrElse(0.0)
-      assert(total >= 25.0, s"expected >=25 records counted, got $total\n$body")
+      // progress events arrive on the async listener bus — poll the scrape
+      eventually()(counted(scrape()) >= 25.0)
+      val body = scrape()
+      assert(body.contains("graft_input_records_total"))
       // errors_total exists (reference main.go:52-74) and is wireable
       assert(body.linesIterator.exists(_.startsWith("graft_errors_total 0")))
       m.recordError(new RuntimeException("planted"))
