@@ -442,6 +442,32 @@ object Queries {
         round(sum(round(value, 2)), 2) AS sum_f
         FROM events GROUP BY ALL ORDER BY id_i, s_val"""))
 
+  /** The PLAN-TIME flatten path (`Ingest.flattenStruct`) — the scale route
+    * for sources whose nested schema Spark already knows: the recursion
+    * runs at plan time and emits only codegen'd built-ins, no JSON parse.
+    * This gives the static path its own oracle row; the dynamic-vs-static
+    * equivalence is additionally asserted in IngestSpec.
+    */
+  private val flattenStatic = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val structCol = struct(
+        struct(col("event_type").as("type"), col("user_id").as("uid")).as("content"),
+        col("value").as("v"))
+      val schema = ev.select(structCol.as("x")).schema("x")
+        .dataType.asInstanceOf[StructType]
+      val (fs, fn) = Ingest.flattenStruct(structCol, schema)
+      ev.select(col("event_id").as("id"), fs.as("fstr"), fn.as("fnum"))
+        .select(col("id"),
+          try_element_at(col("fstr"), lit("content_type")).as("ctype"),
+          r(try_element_at(col("fnum"), lit("content_uid")), 2).as("cuid"),
+          r(try_element_at(col("fnum"), lit("v")), 2).as("v"))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id, event_type AS ctype,
+        round(user_id::DOUBLE, 2) AS cuid, round(value, 2) AS v
+        FROM events ORDER BY id"""))
+
   private val routeWellknownKeys = Q(
     (s, dir) => {
       val j = to_json(struct(
@@ -1552,6 +1578,7 @@ object Queries {
     "project_promoted_column" -> projectPromotedColumn,
     "filter_null_elision" -> filterNullElision,
     "flatten_nested" -> flattenNested,
+    "flatten_static" -> flattenStatic,
     "type_dispatch" -> typeDispatch,
     "route_wellknown_keys" -> routeWellknownKeys,
     "key_force_underscores" -> keyForceUnderscores,
