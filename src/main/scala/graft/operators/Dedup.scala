@@ -112,19 +112,15 @@ object Dedup {
     * fingerprints at exact Hamming distances.
     */
   def simhashPairsFromFingerprints(withFp: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 64), got $maxHamming")
-    val nBands = maxHamming + 1
-    val base = 64 / nBands
-    val rem = 64 % nBands // first `rem` chunks get one extra bit
-    val chunks = (0 until nBands).map { i =>
-      val width = if (i < rem) base + 1 else base
-      val offset = i * base + math.min(i, rem)
-      // Java shifts are mod 64: (1L << 64) - 1 would be 0, collapsing every
-      // chunk to one bucket (an all-pairs cross join) at maxHamming = 0
-      val mask = if (width >= 64) -1L else (1L << width) - 1
-      call_function("shiftright", col("fp"), lit(offset))
-        .bitwiseAND(lit(mask))
+    // chunk placement = the words=1 case of the exhaustively-tested
+    // wideChunkLayout (one arithmetic, one set of invariants)
+    val chunks = wideChunkLayout(maxHamming, words = 1).map {
+      case (_, offset, width) =>
+        // Java shifts are mod 64: (1L << 64) - 1 would be 0, collapsing
+        // every chunk to one bucket (an all-pairs cross join) at maxHamming = 0
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        call_function("shiftright", col("fp"), lit(offset))
+          .bitwiseAND(lit(mask))
     }
     val banded = withFp.select(col("id"), col("fp"),
       posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
@@ -271,6 +267,9 @@ object Dedup {
       threshold: Double,
       sketchBits: Int = 16,
       bands: Int = 4): DataFrame = {
+    require(bands >= 1 && sketchBits >= bands && sketchBits % bands == 0,
+      s"sketchBits must be a positive multiple of bands, got $sketchBits/$bands" +
+        " (a remainder would silently ignore the top sketch bits)")
     val bitsPerBand = sketchBits / bands
     val mask = (1L << bitsPerBand) - 1
     VectorExprs.register(emb.sparkSession)

@@ -85,6 +85,9 @@ object Similarity {
       k: Int,
       sketchBits: Int = 16,
       bands: Int = 4): DataFrame = {
+    require(bands >= 1 && sketchBits >= bands && sketchBits % bands == 0,
+      s"sketchBits must be a positive multiple of bands, got $sketchBits/$bands" +
+        " (a remainder would silently ignore the top sketch bits)")
     val bitsPerBand = sketchBits / bands
     val mask = (1L << bitsPerBand) - 1
     // norm computed once per vector BEFORE the band explode (the exploded
