@@ -44,6 +44,19 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    # a query that FAILED in Verify has no dump directory — enumerate the
+    # oracle keys (and Verify's _failed.json) too, so a failing query turns
+    # red here instead of silently vanishing from the report
+    failed_path = f"{out_dir}/_failed.json"
+    if os.path.exists(failed_path):
+        for name in json.load(open(failed_path)):
+            if not only or name in only:
+                results[name] = "VERIFY_FAILED (no dump written)"
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        if name not in results and not os.path.isdir(os.path.join(out_dir, name)):
+            results[name] = "MISSING_DUMP (query failed or was not run)"
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
