@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -28,6 +29,7 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failed += name
         // a reused outDir must NOT keep the previous run's dump for a now-
         // failing query — the compare would read stale data and report the
         // regression as green
@@ -37,6 +39,10 @@ object Verify {
         rm(new java.io.File(s"$outDir/$name"))
       }
     }
+    // deletion alone would let the failure vanish from a dump-enumerating
+    // compare ("green by omission") — record it machine-readably too
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -46,18 +46,30 @@ object Similarity {
     // thousands of splits, so scoring runs where the vectors sit. Only a
     // genuinely under-split source (a single local file — the test/bench
     // case) gets spread to the session's parallelism. The gate is tiered
-    // by cost: `inputFiles` reads the logical plan's file listing only —
-    // a many-file corpus is proven parallel without planning anything;
-    // just a FEW-file corpus pays the `.rdd` physical-planning pass, which
-    // also sees block-level splitting of large files. Spread is
-    // hash-on-id, NOT round-robin: RoundRobinPartitioning locally sorts
-    // every row before the exchange (retry determinism), which on
-    // embedding vectors costs more than the scoring it enables.
+    // by cost:
+    //  1. a corpus whose plan already contains a shuffle-inducing operator
+    //     is NEVER probed or spread — its partitioning is the shuffle's
+    //     (≥ spark.sql.shuffle.partitions), and probing `.rdd` under AQE
+    //     would MATERIALIZE those shuffle stages just to read a count,
+    //     running the corpus pipeline twice;
+    //  2. `inputFiles` (logical-plan file listing only) proves a many-file
+    //     scan parallel without planning anything;
+    //  3. only a FEW-file narrow scan pays the `.rdd` planning pass (no
+    //     jobs run for a shuffle-free plan), which also sees block-level
+    //     splitting of large files.
+    // Spread is hash-on-id, NOT round-robin: RoundRobinPartitioning
+    // locally sorts every row before the exchange (retry determinism),
+    // which on embedding vectors costs more than the scoring it enables.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, RepartitionOperation, Sort, Window => LWindow}
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val derived = sel.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Distinct | _: Sort |
+        _: LWindow | _: RepartitionOperation) => p
+    }.isDefined
     val manyFiles =
       try sel.inputFiles.length >= parallelism catch { case _: Exception => true }
     val c =
-      if (!manyFiles && sel.rdd.getNumPartitions < parallelism)
+      if (!derived && !manyFiles && sel.rdd.getNumPartitions < parallelism)
         sel.repartition(parallelism, col("nid"))
       else sel
     // norms once per vector (map-side, below the join), one dot per pair —

@@ -58,14 +58,20 @@ object JdbcBatchSink {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  // daemon threads: a fire-and-forget pool must never keep the driver JVM
-  // alive after main returns (non-daemon executors hang client-mode exits)
-  private lazy val asyncPool: ExecutorService = Executors.newFixedThreadPool(2,
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-jdbc-async")
-      t.setDaemon(true)
-      t
-    })
+  // ONE pool PER SINK (url#table), daemon threads: per-sink isolation must
+  // hold at the executor too — with a single shared pool, one sink's hung
+  // inserts would keep another sink's queued futures from ever starting,
+  // and its drain would block on foreign work. Daemon: a fire-and-forget
+  // pool must never keep the driver JVM alive after main returns.
+  private val pools =
+    scala.collection.concurrent.TrieMap.empty[String, ExecutorService]
+  private def poolFor(key: String): ExecutorService =
+    pools.getOrElseUpdate(key, Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-jdbc-async-${key.hashCode.toHexString}")
+        t.setDaemon(true)
+        t
+      }))
   private val pendingLock = new Object
   // pending futures PER SINK (url#table): one pipeline's drain must not
   // block on — or spin forever because of — another sink's inserts
@@ -151,13 +157,13 @@ object JdbcBatchSink {
         // tracking would snapshot an empty list and return while the
         // just-submitted INSERT is in flight
         pendingLock.synchronized {
-          val fut = asyncPool.submit(new Runnable {
+          val key = sinkKey(cfg)
+          val fut = poolFor(key).submit(new Runnable {
             override def run(): Unit =
               try writeBatch(frozen, cfg)
               catch { case e: Throwable => onError(e) }
-              finally { frozen.unpersist(); () }
+              finally { releaseCheckpoint(frozen); () }
           })
-          val key = sinkKey(cfg)
           pending = pending.updated(key,
             fut :: pending.getOrElse(key, Nil).filterNot(_.isDone))
         }
@@ -171,6 +177,22 @@ object JdbcBatchSink {
     log.error("async INSERT failed; batch dropped (at-most-once mode)", e)
   }
 
+  /** Free a localCheckpoint'd batch's blocks promptly. `Dataset.unpersist`
+    * only uncaches through the cache manager and is a NO-OP for checkpoint
+    * blocks (they live on the underlying RDD, reclaimed lazily by the
+    * ContextCleaner after driver GC) — a high-throughput async stream
+    * would otherwise accumulate a block per batch between GC cycles.
+    */
+  private def releaseCheckpoint(frozen: DataFrame): Unit = {
+    frozen.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try { lr.rdd.unpersist(false); () } catch { case _: Exception => }
+      case _ => ()
+    }
+    frozen.unpersist()
+    ()
+  }
+
   /** Drain THIS sink's outstanding async writes (graceful shutdown — the
     * reference flushes its buffer on exit, main.go:386-396). Call AFTER
     * stopping the streaming query: a still-triggering stream keeps
@@ -182,22 +204,32 @@ object JdbcBatchSink {
   def drain(): Unit = drainKeys(_ => true)
 
   private def drainKeys(select: String => Boolean): Unit = {
-    def snapshot(): List[JFuture[_]] = pendingLock.synchronized {
+    def snapshot(): Map[String, List[JFuture[_]]] = pendingLock.synchronized {
       val (take, keep) = pending.partition { case (k, _) => select(k) }
       pending = keep
-      take.values.flatten.toList
+      take
+    }
+    def restore(m: Map[String, List[JFuture[_]]]): Unit = pendingLock.synchronized {
+      m.foreach { case (k, fs) =>
+        val live = fs.filterNot(_.isDone)
+        if (live.nonEmpty)
+          pending = pending.updated(k, live ::: pending.getOrElse(k, Nil))
+      }
     }
     // loop: a trigger racing with shutdown can submit after we snapshot —
     // keep draining until a snapshot comes back empty
     var batch = snapshot()
     while (batch.nonEmpty) {
-      batch.foreach { f =>
+      for ((key, futures) <- batch; (f, i) <- futures.zipWithIndex) {
         try f.get()
         catch {
           case _: InterruptedException =>
-            // shutdown wants to CANCEL the wait: restore the interrupt flag
-            // and stop draining — swallowing it would leave the thread
-            // uninterruptible and the driver hung on a dead database
+            // shutdown wants to CANCEL the wait: restore the interrupt
+            // flag, PUT BACK the futures we have not awaited (they were
+            // removed by snapshot — abandoning them would make a retried
+            // drain() return early while INSERTs are still in flight),
+            // and stop draining
+            restore(batch.updated(key, futures.drop(i)))
             Thread.currentThread().interrupt()
             return
           case _: Exception => () // write failures already reported via onError

@@ -43,20 +43,29 @@ class StreamMetrics extends StreamingQueryListener {
   private val only = new AtomicReference[Option[String]](None)
   // Started/progress events carry the query NAME; terminated events carry
   // only ids — remember which ids belong to the restricted name so query
-  // failures are attributed to the right pipeline.
+  // failures are attributed to the right pipeline. Ids are tracked ONLY
+  // while restricted: an unrestricted listener counts every failure anyway
+  // (no id needed), and ids captured pre-restriction would let a foreign
+  // query's later failure count into this pipeline's errors_total.
   private val ownIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
-  /** Count only the streaming query carrying this `queryName`. */
-  def restrictToName(queryName: String): Unit = only.set(Some(queryName))
+  /** Count only the streaming query carrying this `queryName`. Clears any
+    * previously tracked ids (they may belong to other queries seen while
+    * unrestricted).
+    */
+  def restrictToName(queryName: String): Unit = {
+    only.set(Some(queryName))
+    ownIds.clear()
+  }
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    if (only.get.forall(n => n == event.name)) { ownIds.add(event.id); () }
+    if (only.get.exists(n => n == event.name)) { ownIds.add(event.id); () }
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     if (only.get.forall(n => n == p.name)) {
-      ownIds.add(p.id)
+      if (only.get.isDefined) ownIds.add(p.id)
       inputRecordsTotal.addAndGet(p.numInputRows)
       batchesTotal.incrementAndGet()
       lastBatchSize.set(p.numInputRows)
