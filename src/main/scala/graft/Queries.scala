@@ -1137,11 +1137,16 @@ object Queries {
           FROM d a, d b WHERE a.doc_id < b.doc_id)
         WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
 
+  // maxId = 500 covers the FULL sf0.01 oracle table (max vec_id 499) while
+  // keeping the all-pairs verification variant bounded at every larger SF —
+  // the same enforced-bound contract as dedup_ngram_jaccard
   private val dedupEmbeddingCosine = Q(
     (s, dir) => Dedup.embeddingCosinePairsExact(
-        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4,
+        maxId = 500L)
       .orderBy("id_a", "id_b"),
-    Some("""SELECT id_a, id_b, cosine FROM (
+    Some("""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 500)
+        SELECT id_a, id_b, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           round(
             list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -1149,7 +1154,7 @@ object Queries {
             (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
              sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
           4) AS cosine
-        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        FROM e a, e b WHERE a.vec_id < b.vec_id)
         WHERE cosine >= 0.4 ORDER BY id_a, id_b"""))
 
   private val simSearchTopk = Q(

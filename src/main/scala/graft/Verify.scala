@@ -40,9 +40,21 @@ object Verify {
       }
     }
     // deletion alone would let the failure vanish from a dump-enumerating
-    // compare ("green by omission") — record it machine-readably too
-    Files.writeString(Paths.get(s"$outDir/_failed.json"),
-      failed.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    // compare ("green by omission") — record it machine-readably too.
+    // A FILTERED run (non-empty `only`) must MERGE with the previous run's
+    // record, not clobber it: keep prior failures for queries not re-run,
+    // drop the ones just re-run (they either passed now or re-appear in
+    // `failed`). Query names are plain identifiers, so the simple-quoted
+    // regex below parses everything this file ever writes.
+    val failedPath = Paths.get(s"$outDir/_failed.json")
+    val prior: Set[String] =
+      if (only.nonEmpty && Files.exists(failedPath))
+        "\"([^\"]+)\"".r.findAllMatchIn(Files.readString(failedPath))
+          .map(_.group(1)).toSet
+      else Set.empty
+    val allFailed = ((prior -- only) ++ failed).toSeq.sorted
+    Files.writeString(failedPath,
+      allFailed.map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -140,6 +140,13 @@ object VectorExprs {
     * argument's norm first). This invariant is what keeps hash-compared
     * oracle rows stable — change all of [[cosine]]/[[norm]]/this together
     * or not at all.
+    *
+    * PRECONDITION: `size(a) == size(b)`. The fused [[cosine]] kernel
+    * accumulates dot/na/nb over min(|a|,|b|) elements, while [[norm]] sums
+    * the FULL vector — on unequal lengths the decomposed form silently
+    * diverges from [[cosine]] and the bit-identity contract above is void.
+    * All callers score fixed-dimension embedding columns, where the
+    * precondition holds by schema.
     */
   def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)

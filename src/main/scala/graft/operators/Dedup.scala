@@ -300,22 +300,30 @@ object Dedup {
 
   /** Exact (non-LSH) embedding cosine pairs — the oracle-checkable variant;
     * bounded all-pairs for verification at small SF.
+    *
+    * `maxId` is REQUIRED and enforced in code (same contract as
+    * [[ngramJaccardPairs]]): the pair scan is a broadcast product, so an
+    * unbounded corpus would fail only at the broadcast threshold — loudly,
+    * but long after reading the data. For unbounded corpora use
+    * [[embeddingCosinePairs]] (the LSH path).
     */
   def embeddingCosinePairsExact(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxId: Long): DataFrame = {
     VectorExprs.register(emb.sparkSession)
+    val bounded = emb.where(col(idCol) < maxId)
     // cast to double and take the norm ONCE per row (not per pair) and
     // repartition the streamed side so the nested-loop pair scan
     // parallelizes; per-pair scoring is one dot product via the
     // bit-identical cosineFromNorms contract
-    val l = emb.select(col(idCol).as("id_a"),
+    val l = bounded.select(col(idCol).as("id_a"),
         col(vecCol).cast("array<double>").as("v_a"))
       .withColumn("n_a", VectorExprs.norm(col("v_a")))
       .repartition(col("id_a"))
-    val r = emb.select(col(idCol).as("id_b"),
+    val r = bounded.select(col(idCol).as("id_b"),
         col(vecCol).cast("array<double>").as("v_b"))
       .withColumn("n_b", VectorExprs.norm(col("v_b")))
     l.crossJoin(broadcast(r))

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.expressions.VectorExprs
 import graft.functions.{Rounding, VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +22,46 @@ import org.apache.spark.sql.functions._
   *    scored set by orders of magnitude at the cost of recall.
   */
 object Similarity {
+
+  // LRU cache of spread-gate verdicts, keyed by (session identity,
+  // canonicalized corpus plan). The probe below is driver-side and
+  // constant-cost, but not free — a plan walk, a file listing, possibly an
+  // `.rdd` planning pass — and query registries/benches re-ask it for the
+  // SAME corpus on every invocation. Canonicalized-plan equality is exactly
+  // "same source, same partitioning inputs"; the session is part of the key
+  // because the file-split confs (maxPartitionBytes) that shape the verdict
+  // are per-session. Bounded + access-ordered: an evicted (or, with files
+  // appended to a directory mid-session, stale) entry only re-runs the
+  // probe / costs an unnecessary-but-correct spread.
+  private val spreadVerdicts = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, LogicalPlan), java.lang.Boolean](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, LogicalPlan), java.lang.Boolean]): Boolean =
+        size() > 256
+    })
+
+  /** Should this corpus projection be hash-spread to the session's
+    * parallelism before scoring? Cached per (session, plan); the decision
+    * logic itself is documented at the call site in [[bruteTopK]].
+    */
+  private def needsSpread(
+      spark: SparkSession, sel: DataFrame, parallelism: Int): Boolean = {
+    val key = (System.identityHashCode(spark),
+      sel.queryExecution.optimizedPlan.canonicalized)
+    val cached = spreadVerdicts.get(key)
+    if (cached != null) return cached.booleanValue()
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, RepartitionOperation, Sort, Window => LWindow}
+    val derived = sel.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Distinct | _: Sort |
+        _: LWindow | _: RepartitionOperation) => p
+    }.isDefined
+    val manyFiles =
+      try sel.inputFiles.length >= parallelism catch { case _: Exception => true }
+    val verdict =
+      !derived && !manyFiles && sel.rdd.getNumPartitions < parallelism
+    spreadVerdicts.put(key, java.lang.Boolean.valueOf(verdict))
+    verdict
+  }
 
   /** Exact top-k cosine neighbors for each query vector. `queries` is
     * expected to be small (it is broadcast); ties break on neighbor id for
@@ -57,19 +98,15 @@ object Similarity {
     //  3. only a FEW-file narrow scan pays the `.rdd` planning pass (no
     //     jobs run for a shuffle-free plan), which also sees block-level
     //     splitting of large files.
+    // The verdict is cached per (session, canonicalized plan) — see
+    // [[needsSpread]] — so repeated calls over the same corpus skip the
+    // probe entirely.
     // Spread is hash-on-id, NOT round-robin: RoundRobinPartitioning
     // locally sorts every row before the exchange (retry determinism),
     // which on embedding vectors costs more than the scoring it enables.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, RepartitionOperation, Sort, Window => LWindow}
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    val derived = sel.queryExecution.optimizedPlan.collectFirst {
-      case p @ (_: Join | _: Aggregate | _: Distinct | _: Sort |
-        _: LWindow | _: RepartitionOperation) => p
-    }.isDefined
-    val manyFiles =
-      try sel.inputFiles.length >= parallelism catch { case _: Exception => true }
     val c =
-      if (!derived && !manyFiles && sel.rdd.getNumPartitions < parallelism)
+      if (needsSpread(corpus.sparkSession, sel, parallelism))
         sel.repartition(parallelism, col("nid"))
       else sel
     // norms once per vector (map-side, below the join), one dot per pair —

@@ -237,5 +237,14 @@ object JdbcBatchSink {
       }
       batch = snapshot()
     }
+    // A fully-drained sink's pool is dead weight (2 idle daemon threads per
+    // url#table — a driver cycling per-tenant sinks would accumulate them
+    // forever): evict it. Under pendingLock so no submitter can race the
+    // shutdown — foreachBatchWriter resolves poolFor(key) inside the same
+    // lock, and a later batch simply gets a fresh pool from poolFor.
+    pendingLock.synchronized {
+      for (key <- pools.keys.toList if select(key) && !pending.contains(key))
+        pools.remove(key).foreach(_.shutdown())
+    }
   }
 }

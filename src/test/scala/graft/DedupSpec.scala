@@ -147,7 +147,8 @@ class DedupSpec extends SparkTestBase {
   test("embedding cosine: LSH candidate pairs are a subset-with-high-recall of exact pairs") {
     val emb = sf() + "/embeddings.parquet"
     val vecs = spark.read.parquet(emb)
-    val exact = Dedup.embeddingCosinePairsExact(vecs, "vec_id", "embedding", 0.4)
+    val exact = Dedup.embeddingCosinePairsExact(vecs, "vec_id", "embedding", 0.4,
+        maxId = Long.MaxValue) // sf0.01 fixture: the bound must NOT bite here
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.4,
       sketchBits = 8, bands = 4)
@@ -157,6 +158,19 @@ class DedupSpec extends SparkTestBase {
       val recall = lsh.size.toDouble / exact.size
       assert(recall >= 0.5, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
     }
+  }
+
+  test("embedding cosine exact: the maxId bound is enforced in code, not by caller discipline") {
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+    val bounded = Dedup.embeddingCosinePairsExact(
+        vecs, "vec_id", "embedding", threshold = -1.0, maxId = 20)
+      .collect()
+    assert(bounded.nonEmpty)
+    // threshold -1 admits every scored pair, so any id >= maxId surviving
+    // would prove the bound is advisory
+    assert(bounded.forall(r => r.getLong(0) < 20 && r.getLong(1) < 20),
+      "ids at or above maxId must never enter the pair scan")
+    assert(bounded.length == 20 * 19 / 2, "all pairs under the bound score")
   }
 
   test("wideChunkLayout: chunks disjoint, tile every used word, widths balanced — exhaustive over the full domain") {
