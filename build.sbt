@@ -11,6 +11,64 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Build-metadata injection — the sbt analogue of the reference's
+// `-ldflags -X github.com/kobsio/klogs/pkg/version.Version=...` population
+// of pkg/version/version.go:11-18. The build date is the HEAD commit date
+// (not wall clock) so repeated compiles of the same tree stay reproducible
+// and the generated file only changes when the commit does.
+Compile / sourceGenerators += Def.task {
+  def git(args: String*): String =
+    try {
+      val out = scala.sys.process.Process("git" +: args, baseDirectory.value).!!.trim
+      if (out.isEmpty) "unknown" else out
+    } catch { case _: Exception => "unknown" }
+  val revision = git("rev-parse", "--short", "HEAD")
+  val branch = git("rev-parse", "--abbrev-ref", "HEAD")
+  val buildDate = git("show", "-s", "--format=%cI", "HEAD")
+  val buildUser = sys.props.getOrElse("user.name", "unknown")
+  val f = (Compile / sourceManaged).value / "graft" / "BuildInfo.scala"
+  val content =
+    s"""package graft
+       |
+       |/** Build metadata, injected at compile time by the build.sbt source
+       |  * generator — the repo's equivalent of the reference's `-ldflags -X`
+       |  * injection into /root/reference/pkg/version/version.go:11-18.
+       |  * GENERATED FILE — edit the generator in build.sbt, not this.
+       |  */
+       |object BuildInfo {
+       |  val program: String = "${name.value}"
+       |  val version: String = "${version.value}"
+       |  val revision: String = "$revision"
+       |  val branch: String = "$branch"
+       |  val buildUser: String = "$buildUser"
+       |  val buildDate: String = "$buildDate"
+       |  val scalaVersion: String = "${scalaVersion.value}"
+       |  def sparkVersion: String = org.apache.spark.SPARK_VERSION
+       |
+       |  /** Human-readable block, version.go:22-47 `Print` parity. */
+       |  def describe: String =
+       |    s"$$program, version $$version (branch: $$branch, revision: $$revision)\\n" +
+       |      s"  build user:       $$buildUser\\n" +
+       |      s"  build date:       $$buildDate\\n" +
+       |      s"  scala version:    $$scalaVersion\\n" +
+       |      s"  spark version:    $$sparkVersion"
+       |
+       |  /** One INFO line at process bootstrap — main.go:125-126 parity
+       |    * (the reference logs version.Info + version.BuildContext at init).
+       |    */
+       |  def logAtBootstrap(): Unit = {
+       |    org.slf4j.LoggerFactory.getLogger(getClass).info(
+       |      "Version information. version={} branch={} revision={} " +
+       |        "buildUser={} buildDate={} scala={} spark={}",
+       |      version, branch, revision, buildUser, buildDate,
+       |      scalaVersion, sparkVersion)
+       |    ()
+       |  }
+       |}
+       |""".stripMargin
+  if (!f.exists || IO.read(f) != content) IO.write(f, content)
+  Seq(f)
+}.taskValue
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -12,6 +12,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stderr only — stdout is reserved for the single JSON result line
+    System.err.println(BuildInfo.describe)
     // Warmup pass on the smallest SF: pays JIT/codegen/classloading once so
     // the timed loop below measures steady-state query cost, not JVM warmup.
     val warmupDir = "/root/testdata/sf0.001"

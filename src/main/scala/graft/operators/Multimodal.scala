@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * run as batched per-partition transforms.
   *
   * The Spark-side plumbing (schema, partition-local batching, output
-  * shape) is real and tested; the codec itself is a deterministic STUB
-  * (`StubDecoder`) because media libraries are not available in this
-  * environment — swap [[MediaDecoder]] implementations to go live.
+  * shape) is real and tested. Images decode LIVE via the JDK's built-in
+  * `javax.imageio` readers ([[ImageIoDecoder]] — JPEG/PNG/GIF/BMP, no
+  * added dependency); audio/video codecs are not available in this
+  * environment, so those payloads take the deterministic [[StubDecoder]]
+  * path — swap in a codec-backed [[MediaDecoder]] to go live.
   */
 object Multimodal {
 
@@ -65,6 +67,111 @@ object Multimodal {
           i += 1
         }
         MediaFeatures(r.id, r.kind, bytes.length.toLong, checksum, acc)
+      }
+  }
+
+  /** A LIVE image codec over the JDK's built-in `javax.imageio` readers
+    * (JPEG/PNG/GIF/BMP ship with every JRE — no added dependency): payloads
+    * that decode as images get REAL features — true pixel dimensions plus a
+    * luminance histogram over the decoded raster — while everything else
+    * falls back to the deterministic [[StubDecoder]], so one decoder serves
+    * a mixed binary corpus. Checksum stays the byte-level FNV-1a in both
+    * paths (content identity must not depend on which path ran).
+    *
+    * Scale shape is unchanged from the stub: partition-local batched map,
+    * no shuffle; the decode cost is per-payload CPU where the bytes sit.
+    */
+  class ImageIoDecoder(featureDim: Int = 8) extends MediaDecoder {
+    private val fallback = new StubDecoder(featureDim)
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        ImageIoDecoder.readImage(bytes) match {
+          case Some(img) =>
+            var checksum = 1469598103934665603L // FNV-1a 64 offset basis
+            var i = 0
+            while (i < bytes.length) {
+              checksum = (checksum ^ (bytes(i) & 0xFFL)) * 1099511628211L
+              i += 1
+            }
+            MediaFeatures(r.id, r.kind, bytes.length.toLong, checksum,
+              ImageIoDecoder.luminanceHistogram(img, featureDim))
+          case None => fallback.decodeBatch(Seq(r)).head
+        }
+      }
+  }
+
+  object ImageIoDecoder {
+    /** Full decode; None when no installed reader recognizes the bytes. */
+    private[operators] def readImage(
+        bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes.length == 0) None
+      else
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+
+    /** Header-only dimension probe: asks the format reader for width/height
+      * WITHOUT decoding the raster — constant cost per payload regardless
+      * of image size, the right tool for metadata backfill over a corpus.
+      */
+    def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      var stream: javax.imageio.stream.ImageInputStream = null
+      try {
+        stream = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(stream, true, true)
+            Some((reader.getWidth(0), reader.getHeight(0)))
+          } finally reader.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally if (stream != null) stream.close()
+    }
+
+    /** `dim`-bin normalized luminance histogram of the decoded raster —
+      * a real (if simple) visual feature with the same fixed-width shape
+      * the stub emits.
+      */
+    private[operators] def luminanceHistogram(
+        img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val acc = new Array[Float](dim)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+          acc(math.min(lum * dim / 256, dim - 1)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      if (n > 0) { var i = 0; while (i < dim) { acc(i) /= n; i += 1 } }
+      acc
+    }
+  }
+
+  /** Metadata backfill: stamp REAL pixel dimensions onto records whose
+    * payloads decode as images (header-only probe via
+    * [[ImageIoDecoder.dimensions]]); non-image payloads pass through
+    * untouched. Narrow, partition-local, no shuffle.
+    */
+  class ImageDimensionProbe extends MediaTransform {
+    override def transformBatch(batch: Seq[MediaRecord]): Seq[MediaRecord] =
+      batch.map { r =>
+        ImageIoDecoder.dimensions(r.media) match {
+          case Some((w, h)) => r.copy(width = w, height = h)
+          case None => r
+        }
       }
   }
 

@@ -52,6 +52,15 @@ class MetricsServer(metrics: StreamMetrics, port: Int = 2021) {
     * `_sum`/`_count`.
     */
   private[streaming] def exposition: String = {
+    // build metadata as the canonical Prometheus info-style gauge — the
+    // scrape-side equivalent of the reference logging version.Info at init
+    // (main.go:125-126, pkg/version/version.go:51-57)
+    val buildInfo =
+      "# TYPE graft_build_info gauge\n" +
+        s"""graft_build_info{version="${graft.BuildInfo.version}",""" +
+        s"""revision="${graft.BuildInfo.revision}",""" +
+        s"""branch="${graft.BuildInfo.branch}",""" +
+        s"""spark="${graft.BuildInfo.sparkVersion}"} 1"""
     val simple = metrics.snapshot.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         name == "batch_size" || name == "flush_time_seconds" }
@@ -74,7 +83,7 @@ class MetricsServer(metrics: StreamMetrics, port: Int = 2021) {
         s"${full}_sum $sum" :+ s"${full}_count $count")
         .mkString("\n")
     }
-    (simple ++ summaries).mkString("", "\n", "\n")
+    (buildInfo +: (simple ++ summaries)).mkString("", "\n", "\n")
   }
 
   private def handler(body: HttpExchange => String): HttpHandler =

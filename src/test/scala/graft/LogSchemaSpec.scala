@@ -118,6 +118,45 @@ class LogSchemaSpec extends SparkTestBase {
     assert(rows.map(_.checksum).distinct.length > rows.length / 2)
   }
 
+  test("multimodal: a real planted JPEG decodes live — true dimensions and raster features, stub fallback for the rest") {
+    // encode a REAL 40x25 JPEG with the JDK encoder: left half black, right
+    // half white, so the decoded luminance histogram must be bimodal
+    val img = new java.awt.image.BufferedImage(
+      40, 25, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 25; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val jpegBytes = baos.toByteArray
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", jpegBytes, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "text", "not an image".getBytes("UTF-8"), 0, 0, 0),
+    ).toDS()
+
+    // header-only dimension probe stamps the true pixel dims, no raster decode
+    val probed = Multimodal.transform(media, new Multimodal.ImageDimensionProbe())
+      .collect().map(r => r.id -> r).toMap
+    assert(probed(1L).width == 40 && probed(1L).height == 25,
+      s"planted JPEG dims: ${probed(1L).width}x${probed(1L).height}")
+    assert(probed(2L).width == 0 && probed(2L).height == 0, "non-image untouched")
+
+    // live decode: the histogram reflects the actual raster (mass at the
+    // dark and bright ends, nothing mid-gray beyond JPEG edge ringing)
+    val feats = Multimodal.decode(media, new Multimodal.ImageIoDecoder(8))
+      .collect().map(f => f.id -> f).toMap
+    val hist = feats(1L).features
+    assert(math.abs(hist.sum - 1f) < 1e-3, s"normalized: ${hist.mkString(",")}")
+    assert(hist(0) > 0.3f && hist(7) > 0.3f,
+      s"bimodal black/white raster expected: ${hist.mkString(",")}")
+    // the non-image record took the stub path: bit-identical to StubDecoder
+    val stub = new Multimodal.StubDecoder(8)
+      .decodeBatch(Seq(Multimodal.MediaRecord(
+        2L, "text", "not an image".getBytes("UTF-8"), 0, 0, 0))).head
+    assert(feats(2L).checksum == stub.checksum)
+    assert(feats(2L).features.toSeq == stub.features.toSeq)
+  }
+
   test("multimodal: resize transform keeps stride-th bytes and stamps target dims") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs)

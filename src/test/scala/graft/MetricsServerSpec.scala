@@ -25,6 +25,19 @@ class MetricsServerSpec extends AnyFunSuite {
       assert(body.contains("graft_input_records_total 42.0"))
       assert(body.contains("# TYPE graft_batch_size summary"))
       assert(body.contains("graft_batches_total 3.0"))
+      // build metadata rides the scrape (version.go:51-57 / main.go:125
+      // parity): the info gauge carries the injected fields, none "unknown"
+      assert(body.contains("# TYPE graft_build_info gauge"))
+      val info = body.linesIterator.find(_.startsWith("graft_build_info{"))
+        .getOrElse(fail(s"no graft_build_info sample in:\n$body"))
+      assert(info.endsWith("} 1"))
+      assert(info.contains(s"""version="${BuildInfo.version}""""), info)
+      assert(info.contains(s"""revision="${BuildInfo.revision}""""), info)
+      assert(info.contains(s"""branch="${BuildInfo.branch}""""), info)
+      assert(BuildInfo.version.nonEmpty && BuildInfo.version != "unknown")
+      assert(BuildInfo.revision.nonEmpty && BuildInfo.revision != "unknown")
+      assert(BuildInfo.buildDate.nonEmpty && BuildInfo.buildDate != "unknown")
+      assert(BuildInfo.describe.contains(s"version ${BuildInfo.version}"))
     } finally srv.stop()
   }
 

@@ -284,17 +284,18 @@ class MsgpackSpec extends SparkTestBase {
     assert(rows(0).getAs[Timestamp]("timestamp") == fallback)
   }
 
+  private def chunkFor(day: Int, n: Int): Array[Byte] =
+    MsgpackWire.encodeChunk((0 until n).map { i =>
+      val sec = Timestamp.valueOf(f"2026-01-$day%02d 08:00:00").getTime / 1000
+      (EventTime(sec + i, 0L), ListMap(
+        "kubernetes" -> ListMap("namespace_name" -> s"ns${i % 2}"),
+        "log" -> s"day$day line $i", "n" -> i.toLong))
+    })
+
   test("streaming: chunk files → decode → ingest → date-partitioned parquet") {
     val in = tmp("graft-fb-in")
     val out = tmp("graft-fb-out")
     val ckpt = tmp("graft-fb-ckpt")
-    def chunkFor(day: Int, n: Int): Array[Byte] =
-      MsgpackWire.encodeChunk((0 until n).map { i =>
-        val sec = Timestamp.valueOf(f"2026-01-$day%02d 08:00:00").getTime / 1000
-        (EventTime(sec + i, 0L), ListMap(
-          "kubernetes" -> ListMap("namespace_name" -> s"ns${i % 2}"),
-          "log" -> s"day$day line $i", "n" -> i.toLong))
-      })
     Files.write(Paths.get(in, "chunk1.msgpack"), chunkFor(10, 30))
     Files.write(Paths.get(in, "chunk2.msgpack"), chunkFor(11, 20))
     val q = IngestStream.startFromChunks(spark, in, out, ckpt,
@@ -309,5 +310,49 @@ class MsgpackSpec extends SparkTestBase {
     assert(logs.where(col("log") === "day10 line 7")
       .select(try_element_at(col("fields_number"), lit("n")))
       .collect()(0).getDouble(0) == 7.0)
+  }
+
+  test("streaming restart: wire query killed mid-stream resumes from checkpoint with no loss and no duplication") {
+    val in = tmp("graft-fb-restart-in")
+    val out = tmp("graft-fb-restart-out")
+    val ckpt = tmp("graft-fb-restart-ckpt")
+    // four chunk files, 15 rows each, every log line globally unique so
+    // duplication is detectable per-row, not just by count
+    (10 to 13).foreach(d =>
+      Files.write(Paths.get(in, s"chunk$d.msgpack"), chunkFor(d, 15)))
+
+    // Phase 1 — guarantee the kill lands MID-STREAM deterministically:
+    // one file per micro-batch and a trigger interval far beyond the test,
+    // so exactly the first batch (15 rows) commits before stop() and three
+    // chunks remain unread. (A ProcessingTime(0) race could drain all four
+    // before stop on a fast host, making "mid-stream" flaky.)
+    val q1 = IngestStream.sinkPartitionedParquet(
+      IngestStream.ingestedFromChunks(
+        IngestStream.readFbChunks(spark, in, maxFilesPerTrigger = Some(1))),
+      out, ckpt, trigger = Trigger.ProcessingTime("10 minutes")).start()
+    eventually(timeoutMs = 60000) {
+      q1.recentProgress.exists(_.numInputRows > 0)
+    }
+    q1.stop()
+    assert(LogSchema.readLogs(spark, out).count() == 15,
+      "exactly the first one-file batch must be committed before the kill")
+
+    // harshest restart window: the sink committed batch 0 and wrote its
+    // marker, but the CHECKPOINT commit is gone (crash between sink and
+    // checkpoint) — the source will replay batch 0's file on restart and
+    // the marker must skip it (SURVEY §3.2's upgrade over main.go:364's
+    // at-least-once chunk retry)
+    new java.io.File(ckpt, "commits/0").delete()
+    new java.io.File(ckpt, "commits/.0.crc").delete()
+
+    // Phase 2 — resume from the same checkpoint, drain everything
+    val q2 = IngestStream.startFromChunks(spark, in, out, ckpt,
+      trigger = Trigger.ProcessingTime(0))
+    q2.processAllAvailable()
+    q2.stop()
+    val logs = LogSchema.readLogs(spark, out)
+    assert(logs.count() == 60, "no loss: every chunk row lands exactly once")
+    assert(logs.select("log").distinct().count() == 60,
+      "no duplication: the replayed batch must be marker-skipped")
   }
 }
