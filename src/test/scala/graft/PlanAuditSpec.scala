@@ -112,6 +112,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"only the deterministic ORDER BY may exchange (rangepartitioning):\n$plan")
   }
 
+  test("registry-wide plan snapshot: every query's shuffle-exchange count matches the recorded baseline") {
+    // The seven shape tests above pin hand-picked invariants; this pins the
+    // WHOLE registry, so any refactor that adds an exchange anywhere fails
+    // CI rather than only surfacing as a bench regression. The snapshot is
+    // generated by graft.ProbePlanShape (see its scaladoc) — regenerate and
+    // review the diff when a plan change is intentional.
+    val dir = sf("sf0.01")
+    val in = getClass.getResourceAsStream("/exchange_counts.tsv")
+    assert(in != null, "missing src/test/resources/exchange_counts.tsv — " +
+      "generate with tools/run.sh graft.ProbePlanShape")
+    val recorded = {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map { l =>
+        val Array(n, c) = l.split("\t"); n -> c.toInt
+      }.toMap
+      finally src.close()
+    }
+    val actual = Queries.registry.toSeq.sortBy(_._1).map { case (name, q) =>
+      name -> countExchanges(executed(q.build(spark, dir)))
+    }.toMap
+    val diff = (recorded.keySet ++ actual.keySet).toSeq.sorted
+      .filter(k => recorded.get(k) != actual.get(k))
+      .map(k => s"  $k: recorded=${recorded.get(k).orNull} actual=${actual.get(k).orNull}")
+    assert(diff.isEmpty,
+      s"exchange-count drift in ${diff.size} queries:\n" + diff.mkString("\n") +
+        "\nIf intentional, regenerate the snapshot:\n" +
+        "  tools/run.sh graft.ProbePlanShape /root/testdata/sf0.01 " +
+        "> src/test/resources/exchange_counts.tsv")
+  }
+
   test("promoted-column path: the map-number predicate reaches the parquet scan as a pushed filter") {
     val dir = graft.Queries.Fixtures.logTableDir(spark, sf("sf0.01"))
     val df = graft.model.LogSchema.readLogs(spark, dir)

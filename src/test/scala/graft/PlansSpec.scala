@@ -210,6 +210,37 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("AQE skew-join splits a pathologically skewed SMJ partition at runtime — the built-in half of the salting playbook") {
+    // ARCHITECTURE.md "Skew playbook": AQE's OptimizeSkewedJoin is the
+    // zero-code fix for a skewed shuffle JOIN; SkewJoin.saltedJoin remains
+    // necessary where AQE cannot reach (aggregation-over-join keys, reused
+    // partitionings, streaming state). This pins the AQE half actually
+    // firing, so the playbook's premise stays true under Spark upgrades.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 90% of probe rows share key 1 → one shuffle partition dwarfs the rest
+    val probe = s2.range(0, 100000).select(
+      when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val build = s2.range(0, 1000).select(col("id").as("bk"), (col("id") * 2).as("bv"))
+    val joined = probe.join(build, col("k") === col("bk"))
+    // AQE decides skew at RUNTIME, and only THIS df's own execution
+    // finalizes its adaptive plan (count() would plan a separate query)
+    val n = joined.collect().length
+    assert(n > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"AQE must have re-planned:\n$plan")
+    assert(plan.contains("skew=true"),
+      s"the skewed partition must be split by OptimizeSkewedJoin:\n$plan")
+  }
+
   test("no promoted column in scope → plan unchanged") {
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf()))
