@@ -70,22 +70,40 @@ object ScaleGen {
     def shifted(c: String, off: Long, k: Int): Column =
       (col(c) + lit(off * k)).as(c)
 
-    /** Vowel rotation for copy k: identity at k=0, a per-copy permutation
-      * otherwise. Length- and word-structure-preserving.
+    /** Per-copy letter permutation: vowels rotate by k mod 5, consonants by
+      * k mod 21 — lcm = 105 DISTINCT transforms, so no two copies share
+      * text up to factor 105 (vowels alone repeat every 5 copies, which at
+      * factor 100 would give every document 19 exact twins and inflate
+      * banding candidates quadratically for data reasons). Identity at
+      * k=0; length- and word-structure-preserving either way.
       */
     def perturbText(c: Column, k: Int): Column = {
-      val low = "aeiou"; val up = "AEIOU"
-      val r = k % 5
-      if (r == 0) c
-      else translate(c, low + up,
-        low.drop(r) + low.take(r) + up.drop(r) + up.take(r))
+      val vow = "aeiou"; val con = "bcdfghjklmnpqrstvwxyz"
+      def rot(s: String, r: Int) = s.drop(r) + s.take(r)
+      val (rv, rc) = (k % 5, k % 21)
+      if (rv == 0 && rc == 0) c
+      else {
+        val from = vow + vow.toUpperCase + con + con.toUpperCase
+        val to = rot(vow, rv) + rot(vow.toUpperCase, rv) +
+          rot(con, rc) + rot(con.toUpperCase, rc)
+        translate(c, from, to)
+      }
     }
 
-    /** Dimension rotation by 3k (mod dim) — orthogonal, norm-preserving. */
+    /** Per-copy orthogonal transform: rotate dimensions by 3k (mod dim),
+      * and negate once the rotations wrap (copies k and k+dim share a
+      * rotation — gcd(3, dim)=1 walks all dim offsets first). Norms and
+      * intra-copy pairwise cosines are preserved exactly; cross-copy
+      * directions decorrelate for factors up to 2·dim.
+      */
     def rotateVec(c: Column, k: Int): Column = {
       val r = (3 * k) % embDim
-      if (r == 0) c
-      else concat(slice(c, r + 1, embDim - r), slice(c, 1, r))
+      val rotated =
+        if (r == 0) c
+        else concat(slice(c, r + 1, embDim - r), slice(c, 1, r))
+      if ((k / embDim) % 2 == 1)
+        transform(rotated, x => (-x).cast("float"))
+      else rotated
     }
 
     def replicate(name: String, parts: Int)(
