@@ -72,6 +72,11 @@ object JdbcBatchSink {
         t.setDaemon(true)
         t
       }))
+  /** Live per-sink pools — exposed for tests pinning the drain-time
+    * eviction (a fully-drained sink must not leave idle threads behind).
+    */
+  private[graft] def activePoolCount: Int = pools.size
+
   private val pendingLock = new Object
   // pending futures PER SINK (url#table): one pipeline's drain must not
   // block on — or spin forever because of — another sink's inserts

@@ -70,6 +70,11 @@ class JdbcSinkSpec extends SparkTestBase {
 
     val back = spark.read.jdbc(url, "logs_async", new java.util.Properties())
     assert(back.count() == 60)
+    // a completed global drain must also have EVICTED every sink's pool —
+    // a driver cycling per-tenant sinks would otherwise accumulate two
+    // idle daemon threads per url#table forever
+    assert(JdbcBatchSink.activePoolCount == 0,
+      "drained sinks must not leave executor pools behind")
   }
 
   test("async INSERT failure is observable — onError fires, drain completes, nothing hangs") {
