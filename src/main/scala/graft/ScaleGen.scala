@@ -33,6 +33,42 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
+  /** Per-copy letter permutation: vowels rotate by k mod 5, consonants by
+    * k mod 21 — lcm = 105 DISTINCT transforms, so no two copies share
+    * text up to factor 105 (vowels alone repeat every 5 copies, which at
+    * factor 100 would give every document 19 exact twins and inflate
+    * banding candidates quadratically for data reasons). Identity at
+    * k=0; length- and word-structure-preserving either way.
+    */
+  private[graft] def perturbText(c: Column, k: Int): Column = {
+    val vow = "aeiou"; val con = "bcdfghjklmnpqrstvwxyz"
+    def rot(s: String, r: Int) = s.drop(r) + s.take(r)
+    val (rv, rc) = (k % 5, k % 21)
+    if (rv == 0 && rc == 0) c
+    else {
+      val from = vow + vow.toUpperCase + con + con.toUpperCase
+      val to = rot(vow, rv) + rot(vow.toUpperCase, rv) +
+        rot(con, rc) + rot(con.toUpperCase, rc)
+      translate(c, from, to)
+    }
+  }
+
+  /** Per-copy orthogonal transform: rotate dimensions by 3k (mod dim),
+    * and negate once the rotations wrap (copies k and k+dim share a
+    * rotation — gcd(3, dim)=1 walks all dim offsets first). Norms and
+    * intra-copy pairwise cosines are preserved exactly; cross-copy
+    * directions decorrelate for factors up to 2·dim.
+    */
+  private[graft] def rotateVec(c: Column, k: Int, embDim: Int): Column = {
+    val r = (3 * k) % embDim
+    val rotated =
+      if (r == 0) c
+      else concat(slice(c, r + 1, embDim - r), slice(c, 1, r))
+    if ((k / embDim) % 2 == 1)
+      transform(rotated, x => (-x).cast("float"))
+    else rotated
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/testdata-sf1"
@@ -70,41 +106,8 @@ object ScaleGen {
     def shifted(c: String, off: Long, k: Int): Column =
       (col(c) + lit(off * k)).as(c)
 
-    /** Per-copy letter permutation: vowels rotate by k mod 5, consonants by
-      * k mod 21 — lcm = 105 DISTINCT transforms, so no two copies share
-      * text up to factor 105 (vowels alone repeat every 5 copies, which at
-      * factor 100 would give every document 19 exact twins and inflate
-      * banding candidates quadratically for data reasons). Identity at
-      * k=0; length- and word-structure-preserving either way.
-      */
-    def perturbText(c: Column, k: Int): Column = {
-      val vow = "aeiou"; val con = "bcdfghjklmnpqrstvwxyz"
-      def rot(s: String, r: Int) = s.drop(r) + s.take(r)
-      val (rv, rc) = (k % 5, k % 21)
-      if (rv == 0 && rc == 0) c
-      else {
-        val from = vow + vow.toUpperCase + con + con.toUpperCase
-        val to = rot(vow, rv) + rot(vow.toUpperCase, rv) +
-          rot(con, rc) + rot(con.toUpperCase, rc)
-        translate(c, from, to)
-      }
-    }
-
-    /** Per-copy orthogonal transform: rotate dimensions by 3k (mod dim),
-      * and negate once the rotations wrap (copies k and k+dim share a
-      * rotation — gcd(3, dim)=1 walks all dim offsets first). Norms and
-      * intra-copy pairwise cosines are preserved exactly; cross-copy
-      * directions decorrelate for factors up to 2·dim.
-      */
-    def rotateVec(c: Column, k: Int): Column = {
-      val r = (3 * k) % embDim
-      val rotated =
-        if (r == 0) c
-        else concat(slice(c, r + 1, embDim - r), slice(c, 1, r))
-      if ((k / embDim) % 2 == 1)
-        transform(rotated, x => (-x).cast("float"))
-      else rotated
-    }
+    def perturbText(c: Column, k: Int): Column = ScaleGen.perturbText(c, k)
+    def rotateVec(c: Column, k: Int): Column = ScaleGen.rotateVec(c, k, embDim)
 
     def replicate(name: String, parts: Int)(
         perCopy: (DataFrame, Int) => DataFrame): Unit = {
