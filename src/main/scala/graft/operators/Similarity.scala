@@ -173,12 +173,38 @@ object Similarity {
 
   /** A prebuilt IVF index: the (tiny) centroid set plus the corpus bucketed
     * by its nearest cell. Building is the expensive, AMORTIZABLE step —
-    * production deployments build once, persist, and serve many query
-    * batches against it; [[ivfQuery]] touches only `nprobe` cells per
-    * query.
+    * production deployments build once, persist via [[IvfIndex.save]], and
+    * serve many query batches against [[IvfIndex.load]]; [[ivfQuery]]
+    * touches only `nprobe` cells per query.
     */
   final case class IvfIndex(
       centroids: DataFrame, bucketed: DataFrame, numCells: Int)
+
+  object IvfIndex {
+    /** Persist the index: centroids as one small parquet, the bucketed
+      * corpus PARTITIONED BY CELL — the physical layout the build-time
+      * scaladoc promises. With per-cell directories, a loaded index's
+      * probe join qualifies for dynamic partition pruning: each query
+      * batch reads only its probed cells' files, which is the entire point
+      * of IVF at 100 TB (nprobe/numCells of the corpus per batch instead
+      * of a full scan).
+      */
+    def save(index: IvfIndex, path: String): Unit = {
+      index.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      index.bucketed.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/bucketed")
+    }
+
+    /** Load a persisted index. `numCells` is recovered from the centroid
+      * table (its row count IS the cell count).
+      */
+    def load(spark: SparkSession, path: String): IvfIndex = {
+      val centroids = spark.read.parquet(s"$path/centroids")
+      val bucketed = spark.read.parquet(s"$path/bucketed")
+      IvfIndex(centroids, bucketed, centroids.count().toInt)
+    }
+  }
 
   /** Build an IVF index over the corpus.
     *

@@ -138,6 +138,37 @@ class ExpressionsSpec extends SparkTestBase {
     assert(recall >= 0.4, s"IVF@10 recall $recall vs brute")
   }
 
+  test("IVF index save/load: per-cell layout on disk, loaded index answers identically, probe join prunes partitions dynamically") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val built = Similarity.buildIvfIndex(emb, "vec_id", "embedding", numCells = 8)
+    val dir = tmp("graft-ivf")
+    Similarity.IvfIndex.save(built, dir)
+
+    // the promised physical layout: one directory per cell, so a probed
+    // query batch can skip every other cell's files
+    val cellDirs = new java.io.File(s"$dir/bucketed").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length == 8, s"per-cell dirs: ${cellDirs.mkString(",")}")
+
+    val loaded = Similarity.IvfIndex.load(spark, dir)
+    assert(loaded.numCells == 8)
+    def answers(ix: Similarity.IvfIndex) =
+      Similarity.ivfQuery(ix, queries, "vec_id", "embedding", k = 10, nprobe = 3)
+        .collect().map(_.toString).sorted.toSeq
+    assert(answers(loaded) == answers(built),
+      "a persisted+reloaded index must answer exactly like the in-memory one")
+
+    // the scale property the layout exists for: the probe side is small
+    // (broadcastable), so the cell equi-join plants a dynamic-pruning
+    // subquery in the bucketed scan's partition filters — per batch, only
+    // the probed cells' files are read
+    val plan = Similarity.ivfQuery(loaded, queries, "vec_id", "embedding",
+      k = 10, nprobe = 3).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"partitioned index scan should carry a dynamic partition filter:\n$plan")
+  }
+
   test("ANN plans: partial top-k precedes the shuffle; no single-partition exchange of scored rows") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
