@@ -342,6 +342,32 @@ object Queries {
     Some("""SELECT event_id AS id FROM events
         WHERE concat_ws(' ', event_type, props) LIKE '%purchase%' ORDER BY id"""))
 
+  /** The query-language front-end end-to-end: the filter string a klogs
+    * user types into the reference's documented query UI (kobs,
+    * /root/reference/README.md:6-8), parsed and compiled by
+    * [[graft.query.LogQuery]] to Catalyst predicates over the log view.
+    * Exercises metadata equality, a numeric dynamic field, `_exists_`,
+    * `_not_` + ILIKE, `!=`, regex, and grouping in one expression; the
+    * oracle states the same predicate in SQL over `events`.
+    */
+  private val queryLanguage = Q(
+    (s, dir) => graft.query.LogQuery.filter(logs(s, dir),
+        "cluster='c1' _and_ (event.value>=150 _or_ _exists_ flag.err) " +
+          "_and_ _not_ namespace=~'%view%' _and_ namespace!='signup' " +
+          "_and_ log~'[0-9]'")
+      .select(col("id"), col("namespace"),
+        r(try_element_at(col("fields_number"), lit("event.value")), 2).as("v"))
+      .orderBy("id"),
+    Some("""SELECT event_id AS id, event_type AS namespace,
+          round(value, 2) AS v
+        FROM events
+        WHERE ('c' || CAST(user_id % 2 AS VARCHAR)) = 'c1'
+          AND (value >= 150.0 OR event_type = 'error')
+          AND NOT (event_type ILIKE '%view%')
+          AND event_type != 'signup'
+          AND regexp_matches(concat_ws(' ', event_type, props), '[0-9]')
+        ORDER BY id"""))
+
   /** Reads the WRITTEN, promoted log table — the subscript below is
     * rewritten by PromoteMapKeys to the materialized promoted_event_value
     * column (metadata round-tripped through parquet), so this pair
@@ -1580,6 +1606,7 @@ object Queries {
     "filter_map_number_cmp" -> filterMapNumberCmp,
     "filter_field_exists" -> filterFieldExists,
     "filter_log_contains" -> filterLogContains,
+    "query_language" -> queryLanguage,
     "project_promoted_column" -> projectPromotedColumn,
     "filter_null_elision" -> filterNullElision,
     "flatten_nested" -> flattenNested,

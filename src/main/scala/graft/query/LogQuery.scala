@@ -1,0 +1,328 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The log query language: the filter syntax klogs users type into the
+  * reference's documented query front-end (kobs — /root/reference/README.md:6-8
+  * points there as THE interface over klogs-written data), compiled to a
+  * Catalyst [[Column]] predicate over the [[graft.model.LogSchema]] shape.
+  *
+  * Public, documented surface (kobs klogs plugin docs):
+  *
+  * {{{
+  *   namespace = 'bookinfo' _and_ app = 'productpage'
+  *   content_response_code >= 500
+  *   _exists_ content_upstream_cluster
+  *   content_method =~ '%GET%'           // case-insensitive LIKE
+  *   log ~ 'GET /health.*500'            // regex match
+  *   _not_ (cluster = 'dev' _or_ cluster = 'stage')
+  * }}}
+  *
+  * Operators: `=  !=  <  <=  >  >=  =~  !~  ~`, connectives `_and_ _or_
+  * _not_ _exists_`, parentheses. Precedence: `_not_` binds tightest, then
+  * `_and_`, then `_or_` (parenthesize to override).
+  *
+  * Field resolution mirrors the storage model (schema.sql:3-19): a name
+  * that is a real column of the input frame (the metadata spine,
+  * `timestamp`, `log`, promoted columns, …) resolves directly; any other
+  * name is a dynamic field — string-typed literals and the string operators
+  * (`=~ !~ ~`) read `fields_string[name]`, numeric literals read
+  * `fields_number[name]`. Map access compiles to `try_element_at`, the form
+  * [[graft.plans.PromoteMapKeys]] rewrites to a materialized promoted
+  * column when one is in scope — so a query-language predicate on a
+  * promoted key pushes down to the parquet scan like any hand-written one.
+  *
+  * Missing-key semantics (documented divergence): ClickHouse map access
+  * yields the type's default (`''` / `0`) for an absent key, so in the
+  * reference `f != 'v'` also matches rows without `f` at all. Spark map
+  * access yields NULL. The compiler preserves the reference's observable
+  * behavior by making `!=`/`!~` null-aware (`m[k] != v OR m[k] IS NULL`)
+  * and negation two-valued (`_not_ e` compiles to `NOT coalesce(e, false)`,
+  * so a missing key negates to true instead of null-dropping the row); the
+  * positive operators keep plain comparisons — pushdown-eligible — which
+  * differs from ClickHouse only for literals equal to the type default
+  * (`= ''`, `< 1` on a missing numeric, …), a corner the compiler chooses
+  * to keep well-typed rather than emulate.
+  */
+object LogQuery {
+
+  // ---------------------------------------------------------------- AST
+
+  sealed trait Expr
+  final case class Cmp(field: String, op: String, value: Lit) extends Expr
+  final case class Exists(field: String) extends Expr
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+
+  sealed trait Lit
+  final case class SLit(s: String) extends Lit
+  final case class NLit(d: Double) extends Lit
+
+  final class ParseException(msg: String, val pos: Int)
+    extends IllegalArgumentException(s"$msg (at offset $pos)")
+
+  // ------------------------------------------------------------- lexer
+
+  private sealed trait Tok { def pos: Int }
+  private final case class TIdent(s: String, pos: Int) extends Tok
+  private final case class TStr(s: String, pos: Int) extends Tok
+  private final case class TNum(d: Double, pos: Int) extends Tok
+  private final case class TOp(s: String, pos: Int) extends Tok
+  private final case class TKw(s: String, pos: Int) extends Tok // _and_ _or_ _not_ _exists_
+  private final case class TParen(open: Boolean, pos: Int) extends Tok
+
+  private val keywords = Set("_and_", "_or_", "_not_", "_exists_")
+  // longest-first so `!=`/`=~`/`!~`/`<=`/`>=` win over their prefixes
+  private val operators = Seq("=~", "!~", "!=", "<=", ">=", "=", "<", ">", "~")
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '.' || c == '-' || c == '/'
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += TParen(open = true, i); i += 1 }
+      else if (c == ')') { out += TParen(open = false, i); i += 1 }
+      else if (c == '\'') {
+        val start = i
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < q.length && !closed) {
+          val ch = q(i)
+          // '' inside a string is an escaped quote (the SQL convention the
+          // reference front-end inherits); backslash-quote also accepted
+          if (ch == '\'' && i + 1 < q.length && q(i + 1) == '\'') { sb += '\''; i += 2 }
+          else if (ch == '\\' && i + 1 < q.length && q(i + 1) == '\'') { sb += '\''; i += 2 }
+          else if (ch == '\'') { closed = true; i += 1 }
+          else { sb += ch; i += 1 }
+        }
+        if (!closed) throw new ParseException("unterminated string literal", start)
+        out += TStr(sb.result(), start)
+      }
+      else if (operators.exists(op => q.startsWith(op, i))) {
+        val op = operators.find(o => q.startsWith(o, i)).get
+        out += TOp(op, i)
+        i += op.length
+      }
+      else if (c.isDigit || (c == '-' && i + 1 < q.length && q(i + 1).isDigit)) {
+        val start = i
+        if (c == '-') i += 1
+        while (i < q.length && (q(i).isDigit || q(i) == '.')) i += 1
+        val text = q.substring(start, i)
+        // a trailing identifier char means this was a field like `2xx_rate`,
+        // not a number — rewind and lex as identifier instead
+        if (i < q.length && isIdentChar(q(i))) {
+          while (i < q.length && isIdentChar(q(i))) i += 1
+          out += TIdent(q.substring(start, i), start)
+        } else {
+          val d = text.toDoubleOption.getOrElse(
+            throw new ParseException(s"malformed number '$text'", start))
+          out += TNum(d, start)
+        }
+      }
+      else if (isIdentChar(c)) {
+        val start = i
+        while (i < q.length && isIdentChar(q(i))) i += 1
+        val word = q.substring(start, i)
+        if (keywords.contains(word)) out += TKw(word, start)
+        else out += TIdent(word, start)
+      }
+      else throw new ParseException(s"unexpected character '$c'", i)
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------ parser
+
+  /** Parse a query string to its AST. Throws [[ParseException]] (with the
+    * source offset) on malformed input; an all-whitespace query is the
+    * match-everything filter, returned as None.
+    */
+  def parse(q: String): Option[Expr] = {
+    val toks = lex(q)
+    if (toks.isEmpty) return None
+    var pos = 0
+
+    def peek: Option[Tok] = toks.lift(pos)
+    def next(): Tok = {
+      val t = toks.lift(pos).getOrElse(
+        throw new ParseException("unexpected end of query", q.length))
+      pos += 1
+      t
+    }
+
+    def parseOr(): Expr = {
+      var e = parseAnd()
+      while (peek.exists { case TKw("_or_", _) => true; case _ => false }) {
+        next(); e = Or(e, parseAnd())
+      }
+      e
+    }
+
+    def parseAnd(): Expr = {
+      var e = parseUnary()
+      while (peek.exists { case TKw("_and_", _) => true; case _ => false }) {
+        next(); e = And(e, parseUnary())
+      }
+      e
+    }
+
+    def parseUnary(): Expr = next() match {
+      case TKw("_not_", _) => Not(parseUnary())
+      case TKw("_exists_", p) => next() match {
+        case TIdent(f, _) => Exists(f)
+        case t => throw new ParseException(
+          s"_exists_ needs a field name, got ${describe(t)}", p)
+      }
+      case TParen(true, p) =>
+        val e = parseOr()
+        peek match {
+          case Some(TParen(false, _)) => next(); e
+          case Some(t) => throw new ParseException(
+            s"expected ')' to close group opened here, got ${describe(t)}", p)
+          case None => throw new ParseException(
+            "missing ')' for group opened here", p)
+        }
+      case TIdent(f, p) => next() match {
+        case TOp(op, _) => next() match {
+          case TStr(s, _) => Cmp(f, op, SLit(s))
+          case TNum(d, vp) =>
+            if (op == "=~" || op == "!~" || op == "~")
+              throw new ParseException(
+                s"operator $op needs a quoted pattern, got a number", vp)
+            Cmp(f, op, NLit(d))
+          // bare-word value: the front-end accepts `level=error` as sugar
+          // for `level='error'` as long as the word is not a keyword
+          case TIdent(s, _) => Cmp(f, op, SLit(s))
+          case t => throw new ParseException(
+            s"expected a value after '$f $op', got ${describe(t)}", t.pos)
+        }
+        case t => throw new ParseException(
+          s"expected an operator after field '$f', got ${describe(t)}", p)
+      }
+      case t => throw new ParseException(s"unexpected ${describe(t)}", t.pos)
+    }
+
+    val e = parseOr()
+    if (pos < toks.length)
+      throw new ParseException(
+        s"trailing input after complete query: ${describe(toks(pos))}", toks(pos).pos)
+    Some(e)
+  }
+
+  private def describe(t: Tok): String = t match {
+    case TIdent(s, _) => s"identifier '$s'"
+    case TStr(s, _) => s"string '$s'"
+    case TNum(d, _) => s"number $d"
+    case TOp(s, _) => s"operator '$s'"
+    case TKw(s, _) => s"keyword '$s'"
+    case TParen(true, _) => "'('"
+    case TParen(false, _) => "')'"
+  }
+
+  // ---------------------------------------------------------- compiler
+
+  /** Compile a parsed expression to a predicate over `df`'s schema. */
+  def compile(df: DataFrame, expr: Expr): Column = {
+    val direct = df.columns.toSet
+
+    def strField(f: String): Column =
+      if (direct(f)) col(f)
+      else try_element_at(col("fields_string"), lit(f))
+    def numField(f: String): Column =
+      if (direct(f)) col(f)
+      else try_element_at(col("fields_number"), lit(f))
+
+    def cmp(c: Cmp): Column = (c.op, c.value) match {
+      case ("=", SLit(v)) => strField(c.field) === v
+      case ("=", NLit(v)) => numField(c.field) === v
+      // null-aware: reference semantics — rows without the key DO match !=
+      case ("!=", SLit(v)) =>
+        val e = strField(c.field); e =!= v || e.isNull
+      case ("!=", NLit(v)) =>
+        val e = numField(c.field); e =!= v || e.isNull
+      case ("<" | "<=" | ">" | ">=", _) =>
+        val (e, l) = c.value match {
+          case NLit(v) => (numField(c.field), lit(v))
+          case SLit(v) => (strField(c.field), lit(v))
+        }
+        c.op match {
+          case "<" => e < l
+          case "<=" => e <= l
+          case ">" => e > l
+          case ">=" => e >= l
+        }
+      case ("=~", SLit(v)) => strField(c.field).ilike(v)
+      case ("!~", SLit(v)) =>
+        val e = strField(c.field); !e.ilike(v) || e.isNull
+      case ("~", SLit(v)) => strField(c.field).rlike(v)
+      case (op, v) => throw new ParseException(
+        s"operator $op does not accept $v", 0)
+    }
+
+    def go(e: Expr): Column = e match {
+      case c: Cmp => cmp(c)
+      case Exists(f) =>
+        if (direct(f)) col(f).isNotNull
+        else {
+          // a dynamic field lives in whichever map its type landed it in
+          val inStr =
+            if (direct("fields_string")) map_contains_key(col("fields_string"), lit(f))
+            else lit(false)
+          val inNum =
+            if (direct("fields_number")) map_contains_key(col("fields_number"), lit(f))
+            else lit(false)
+          inStr || inNum
+        }
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+      // two-valued negation: a NULL child (missing map key) must negate to
+      // TRUE, as it does in the reference engine where the key reads as its
+      // type default — under Spark's three-valued logic a bare !NULL stays
+      // NULL and the filter would drop the row instead of keeping it.
+      // AND/OR need no such wrap: NULL and FALSE are indistinguishable to
+      // a WHERE through every non-negated path.
+      case Not(e0) => !coalesce(go(e0), lit(false))
+    }
+    go(expr)
+  }
+
+  /** Parse + compile in one step; the empty query compiles to `true`. */
+  def predicate(df: DataFrame, query: String): Column =
+    parse(query).map(compile(df, _)).getOrElse(lit(true))
+
+  /** `df` filtered by a query string — the core front-end call. */
+  def filter(df: DataFrame, query: String): DataFrame =
+    df.where(predicate(df, query))
+
+  /** The full front-end request shape: query + time range + order + limit
+    * (the reference front-end always brackets a query with a time selector
+    * and renders newest-first pages).
+    *
+    * The time-range predicate stays a plain `timestamp` comparison so it
+    * prunes `date=` partitions and row groups of a
+    * [[graft.model.LogSchema.writePartitioned]] layout.
+    */
+  def logs(
+      df: DataFrame,
+      query: String,
+      start: java.time.Instant,
+      end: java.time.Instant,
+      limit: Int = 100,
+      newestFirst: Boolean = true): DataFrame = {
+    val ts = col("timestamp")
+    val ranged = df.where(
+      ts >= lit(java.sql.Timestamp.from(start)) &&
+      ts <= lit(java.sql.Timestamp.from(end)) &&
+      predicate(df, query))
+    val ordered =
+      if (newestFirst) ranged.orderBy(ts.desc) else ranged.orderBy(ts.asc)
+    ordered.limit(limit)
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import graft.model.LogSchema
+import graft.query.LogQuery
+import graft.query.LogQuery._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The query-language front-end: parser shape, compiled predicate
+  * semantics over the log schema (including the documented ClickHouse
+  * missing-key divergences), and the promoted-column pushdown path.
+  */
+class LogQuerySpec extends SparkTestBase {
+
+  // ------------------------------------------------------------ parser
+
+  test("precedence: _and_ binds tighter than _or_, _not_ tightest") {
+    assert(parse("a='1' _or_ b='2' _and_ c='3'") ===
+      Some(Or(Cmp("a", "=", SLit("1")),
+        And(Cmp("b", "=", SLit("2")), Cmp("c", "=", SLit("3"))))))
+    assert(parse("_not_ a='1' _and_ b='2'") ===
+      Some(And(Not(Cmp("a", "=", SLit("1"))), Cmp("b", "=", SLit("2")))))
+  }
+
+  test("parentheses override precedence") {
+    assert(parse("(a='1' _or_ b='2') _and_ c='3'") ===
+      Some(And(Or(Cmp("a", "=", SLit("1")), Cmp("b", "=", SLit("2"))),
+        Cmp("c", "=", SLit("3")))))
+  }
+
+  test("all comparison operators and literal forms lex correctly") {
+    assert(parse("f>=1.5") === Some(Cmp("f", ">=", NLit(1.5))))
+    assert(parse("f<=-2") === Some(Cmp("f", "<=", NLit(-2.0))))
+    assert(parse("f!='x'") === Some(Cmp("f", "!=", SLit("x"))))
+    assert(parse("f=~'%GET%'") === Some(Cmp("f", "=~", SLit("%GET%"))))
+    assert(parse("f!~'%GET%'") === Some(Cmp("f", "!~", SLit("%GET%"))))
+    assert(parse("f~'a.*b'") === Some(Cmp("f", "~", SLit("a.*b"))))
+    assert(parse("_exists_ content.level") === Some(Exists("content.level")))
+    // bare-word sugar and quote escapes
+    assert(parse("level=error") === Some(Cmp("level", "=", SLit("error"))))
+    assert(parse("msg='it''s'") === Some(Cmp("msg", "=", SLit("it's"))))
+    assert(parse("msg='it\\'s'") === Some(Cmp("msg", "=", SLit("it's"))))
+    // a digit-leading word is a field name, not a malformed number
+    assert(parse("2xx_rate>0.5") === Some(Cmp("2xx_rate", ">", NLit(0.5))))
+    assert(parse("   ") === None)
+  }
+
+  test("malformed queries fail with positioned errors") {
+    def bad(q: String): Int =
+      intercept[ParseException](parse(q)).pos
+    assert(bad("a='unterminated") === 2)
+    assert(bad("(a='1'") === 0) // points at the unclosed '('
+    assert(bad("a='1' b='2'") >= 6) // trailing input
+    assert(bad("a ~ 5") >= 4) // regex needs a pattern
+    assert(bad("_exists_ =") === 0)
+    assert(bad("a=='1'") >= 0) // `==` lexes as `=` then stray `=`
+  }
+
+  // --------------------------------------------------------- semantics
+
+  /** Four hand-built rows in the LogSchema shape:
+    *   id 1: app=web,  level=error present, code=500
+    *   id 2: app=web,  level absent,        code=200
+    *   id 3: app=api,  level=info,          code absent
+    *   id 4: app absent (null),             both maps empty
+    */
+  private lazy val logsDf: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      (1L, "web", Map("level" -> "error"), Map("code" -> 500.0)),
+      (2L, "web", Map.empty[String, String], Map("code" -> 200.0)),
+      (3L, "api", Map("level" -> "info"), Map.empty[String, Double]),
+      (4L, null.asInstanceOf[String], Map.empty[String, String], Map.empty[String, Double]),
+    ).map { case (id, app, fs, fn) =>
+      org.apache.spark.sql.Row(id, app, fs.asJava, fn.asJava)
+    }
+    spark.createDataFrame(
+      rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("app", org.apache.spark.sql.types.StringType),
+        LogSchema.schema("fields_string"),
+        LogSchema.schema("fields_number"))))
+  }
+
+  private def ids(q: String): Seq[Long] =
+    LogQuery.filter(logsDf, q).select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("direct column vs dynamic field resolution") {
+    assert(ids("app='web'") === Seq(1L, 2L))
+    assert(ids("level='error'") === Seq(1L))
+    assert(ids("code>=300") === Seq(1L))
+    assert(ids("code<300") === Seq(2L))
+  }
+
+  test("!= is null-aware: rows missing the key match (reference semantics)") {
+    assert(ids("level!='error'") === Seq(2L, 3L, 4L))
+    assert(ids("code!=500") === Seq(2L, 3L, 4L))
+    // direct columns too: a NULL app is "not web"
+    assert(ids("app!='web'") === Seq(3L, 4L))
+  }
+
+  test("pattern operators: =~ is case-insensitive LIKE, ~ is regex, !~ null-aware") {
+    assert(ids("level=~'%ERR%'") === Seq(1L))
+    assert(ids("level~'^(error|fatal)$'") === Seq(1L))
+    assert(ids("level!~'%info%'") === Seq(1L, 2L, 4L))
+  }
+
+  test("_exists_ checks both maps and direct columns") {
+    assert(ids("_exists_ level") === Seq(1L, 3L))
+    assert(ids("_exists_ code") === Seq(1L, 2L))
+    assert(ids("_exists_ app") === Seq(1L, 2L, 3L))
+  }
+
+  test("connectives compose") {
+    assert(ids("app='web' _and_ code>=500") === Seq(1L))
+    assert(ids("level='info' _or_ code=200") === Seq(2L, 3L))
+    assert(ids("_not_ (level='info' _or_ code=200)") === Seq(1L, 4L))
+    assert(ids("") === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("logs(): time range + order + limit") {
+    val df = logsDf.withColumn("timestamp",
+      to_timestamp(concat(lit("2024-01-0"), col("id"), lit(" 00:00:00"))))
+    val got = LogQuery.logs(df, "app=~'%'",
+      java.time.Instant.parse("2024-01-01T00:00:00Z"),
+      java.time.Instant.parse("2024-01-02T23:00:00Z"),
+      limit = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // range keeps ids 1,2 (3 is outside, 4's app is null); newest-first
+    // limit 1 → id 2
+    assert(got === Seq(2L))
+  }
+
+  // ----------------------------------------------------------- plans
+
+  test("a query-language predicate on a promoted key pushes into the parquet scan") {
+    val dir = tmp("logquery-promoted")
+    LogSchema.writePartitioned(
+      LogSchema.withPromotedColumns(
+        LogSchema.logsFromEvents(
+          graft.sources.Tables.events(spark, sf("sf0.001"))),
+        numberKeys = Seq("event.value")),
+      dir)
+    val back = LogSchema.readLogs(spark, dir)
+    val filtered = LogQuery.filter(back, "event.value>=150")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(promoted_event_value,150.0)") &&
+      plan.contains("PushedFilters: ["),
+      s"promoted predicate must reach the scan:\n$plan")
+  }
+
+  test("query-language filter agrees with the hand-built operator predicates") {
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf("sf0.001")))
+    val viaQl = LogQuery.filter(logs,
+      "namespace='purchase' _and_ event.value>=150 _and_ _not_ cluster='c0'")
+      .select("id")
+    val byHand = logs.where(
+      col("namespace") === "purchase" &&
+        try_element_at(col("fields_number"), lit("event.value")) >= 150.0 &&
+        !(col("cluster") === "c0"))
+      .select("id")
+    assert(viaQl.exceptAll(byHand).isEmpty && byHand.exceptAll(viaQl).isEmpty)
+    assert(viaQl.count() > 0, "fixture must select a non-empty row set")
+  }
+}
