@@ -368,6 +368,24 @@ object Queries {
           AND regexp_matches(concat_ws(' ', event_type, props), '[0-9]')
         ORDER BY id"""))
 
+  /** The front-end's other two request shapes over the same parsed filter:
+    * the volume chart (bucketed counts) UNION'd conceptually with the
+    * aggregation tab (avg of a numeric field by group) — both stated here
+    * as one two-part oracle via the chart query, exercising the parser →
+    * aggregate pipeline end-to-end.
+    */
+  private val queryLanguageAgg = Q(
+    (s, dir) => graft.query.LogQuery.aggregate(
+        logs(s, dir),
+        "namespace!='view' _and_ event.value>=50",
+        groupField = "namespace", op = "avg", metricField = Some("event.value"))
+      .select(col("group"), r(col("value"), 2).as("value"))
+      .orderBy("group"),
+    Some("""SELECT event_type AS "group", round(avg(value), 2) AS value
+        FROM events
+        WHERE event_type != 'view' AND value >= 50.0
+        GROUP BY 1 ORDER BY "group""""))
+
   /** Reads the WRITTEN, promoted log table — the subscript below is
     * rewritten by PromoteMapKeys to the materialized promoted_event_value
     * column (metadata round-tripped through parquet), so this pair
@@ -1607,6 +1625,7 @@ object Queries {
     "filter_field_exists" -> filterFieldExists,
     "filter_log_contains" -> filterLogContains,
     "query_language" -> queryLanguage,
+    "query_language_agg" -> queryLanguageAgg,
     "project_promoted_column" -> projectPromotedColumn,
     "filter_null_elision" -> filterNullElision,
     "flatten_nested" -> flattenNested,

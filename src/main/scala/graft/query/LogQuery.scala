@@ -325,4 +325,57 @@ object LogQuery {
       if (newestFirst) ranged.orderBy(ts.desc) else ranged.orderBy(ts.asc)
     ordered.limit(limit)
   }
+
+  /** The volume chart rendered above every log list in the front-end:
+    * matching-row counts per time bucket. One partial-aggregated shuffle on
+    * the bucket key; the filter evaluates at the scan.
+    *
+    * Returns `(bucket_ms, cnt)` — bucket start as epoch millis, count —
+    * ordered by bucket.
+    */
+  def volume(df: DataFrame, query: String, bucket: String = "hour"): DataFrame =
+    filter(df, query)
+      .groupBy(unix_millis(date_trunc(bucket, col("timestamp"))).as("bucket_ms"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket_ms")
+
+  /** The aggregation tab: a metric over the filtered rows, grouped by a
+    * field. `op` is one of `count | min | max | sum | avg`; `metricField`
+    * (required for all but `count`) resolves numerically — a real column
+    * or `fields_number[...]`. The group field resolves like any query
+    * field (string side for dynamic names).
+    *
+    * Output: `(group, value)` ordered by group — the shape the chart
+    * consumes. Plans as one partial-aggregated shuffle.
+    */
+  def aggregate(
+      df: DataFrame,
+      query: String,
+      groupField: String,
+      op: String,
+      metricField: Option[String] = None): DataFrame = {
+    val direct = df.columns.toSet
+    def strField(f: String): Column =
+      if (direct(f)) col(f) else try_element_at(col("fields_string"), lit(f))
+    def numField(f: String): Column =
+      if (direct(f)) col(f) else try_element_at(col("fields_number"), lit(f))
+    val metric = op match {
+      case "count" => count(lit(1))
+      case "min" | "max" | "sum" | "avg" =>
+        val f = metricField.getOrElse(throw new IllegalArgumentException(
+          s"aggregation '$op' needs a metric field"))
+        op match {
+          case "min" => min(numField(f))
+          case "max" => max(numField(f))
+          case "sum" => sum(numField(f))
+          case "avg" => avg(numField(f))
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown aggregation '$other' (count|min|max|sum|avg)")
+    }
+    filter(df, query)
+      .groupBy(strField(groupField).as("group"))
+      .agg(metric.as("value"))
+      .orderBy("group")
+  }
 }

@@ -132,6 +132,30 @@ class LogQuerySpec extends SparkTestBase {
     assert(got === Seq(2L))
   }
 
+  test("volume: bucketed counts of matching rows") {
+    val df = logsDf.withColumn("timestamp",
+      to_timestamp(concat(lit("2024-01-01 0"), col("id"), lit(":30:00"))))
+    val got = LogQuery.volume(df, "app='web'", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli, 2L)))
+  }
+
+  test("aggregate: count / avg by direct and dynamic group fields") {
+    val byApp = LogQuery.aggregate(logsDf, "", "app", "count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byApp === Seq((null, 1L), ("api", 1L), ("web", 2L)))
+    val avgCode = LogQuery.aggregate(logsDf, "app='web'", "level", "avg",
+      Some("code"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // web rows: (level=error, code=500), (level missing → NULL group, 200)
+    assert(avgCode === Seq((null, 200.0), ("error", 500.0)))
+    intercept[IllegalArgumentException](
+      LogQuery.aggregate(logsDf, "", "app", "avg"))
+    intercept[IllegalArgumentException](
+      LogQuery.aggregate(logsDf, "", "app", "median", Some("code")))
+  }
+
   // ----------------------------------------------------------- plans
 
   test("a query-language predicate on a promoted key pushes into the parquet scan") {
