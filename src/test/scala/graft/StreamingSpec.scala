@@ -155,6 +155,25 @@ class StreamingSpec extends SparkTestBase {
       Seq(("ns0", 15L), ("ns1", 15L)))
   }
 
+  test("query-language filter runs incrementally on the ingest stream (live tail)") {
+    // the front-end's live mode: the same compiled predicate applied to the
+    // micro-batch stream — pure narrow filter, no state
+    val in = tmp("graft-in-ql")
+    writeFixture(in, "b.json", fixtureLines(30))
+    val stream = IngestStream.ingested(
+      IngestStream.readJsonLines(spark, in), IngestConfig())
+    val q = graft.query.LogQuery.filter(stream,
+        "app='app1' _and_ content_n>=25 _and_ _not_ namespace='nsX'")
+      .select("pod_name")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ql_tail_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val pods = spark.sql("SELECT pod_name FROM ql_tail_out ORDER BY pod_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(pods === Seq("pod-25", "pod-28"))
+  }
+
   test("stateful dedup within watermark drops repeated keys") {
     val in = tmp("graft-in3")
     // 20 records but only 4 distinct (pod_name, log) pairs
