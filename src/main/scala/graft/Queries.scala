@@ -1510,16 +1510,10 @@ object Queries {
     * straddle the split surface as contamination — exactly the leak this
     * step exists to catch.
     */
-  private val decontaminate = Q(
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.operators.TrainPipeline.decontaminate(
-          docs.where(col("doc_id") % 25 =!= 0),
-          docs.where(col("doc_id") % 25 === 0),
-          "doc_id", "text", n = 3, minOverlap = 5)
-        .orderBy("doc", "bench")
-    },
-    Some("""WITH toks AS (
+  // shared by both decontamination variants — their output contract is
+  // identical (the bloom prefilter's false positives die in the verify
+  // join), so one SQL statement oracles both
+  private val decontaminateOracle = """WITH toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
             x -> x <> '') AS t
           FROM documents),
@@ -1533,7 +1527,34 @@ object Queries {
           len(list_intersect(c.s, b.s))::BIGINT AS overlap
         FROM corpus c, bench b
         WHERE len(list_intersect(c.s, b.s)) >= 5
-        ORDER BY doc, bench"""))
+        ORDER BY doc, bench"""
+
+  private val decontaminate = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TrainPipeline.decontaminate(
+          docs.where(col("doc_id") % 25 =!= 0),
+          docs.where(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 3, minOverlap = 5)
+        .orderBy("doc", "bench")
+    },
+    Some(decontaminateOracle))
+
+  /** The Bloom-prefiltered decontamination path: same result set as
+    * [[decontaminate]] by construction (exact verify join after the
+    * bloom), checked against the same oracle — the variant for benchmark
+    * shingle sets too large to broadcast as strings.
+    */
+  private val decontaminateBloom = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TrainPipeline.decontaminateBloom(
+          docs.where(col("doc_id") % 25 =!= 0),
+          docs.where(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 3, minOverlap = 5)
+        .orderBy("doc", "bench")
+    },
+    Some(decontaminateOracle))
 
   private val repetitionScore = Q(
     (s, dir) => graft.operators.TextAnalysis.repetitionScore(
@@ -1695,6 +1716,7 @@ object Queries {
     "dedup_survivors" -> dedupSurvivors,
     "text_chunk_tokens" -> textChunkTokens,
     "decontaminate" -> decontaminate,
+    "decontaminate_bloom" -> decontaminateBloom,
     "repetition_score" -> repetitionScore,
   )
 }

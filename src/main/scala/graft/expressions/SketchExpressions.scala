@@ -164,6 +164,74 @@ case class SimHashWide(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_bloom_contains(bloom BINARY, value STRING) → BOOLEAN: membership
+  * probe of a serialized `org.apache.spark.util.sketch.BloomFilter` built
+  * over `xxhash64(value)` longs (seed 42 — the SQL `xxhash64` default, so
+  * the build side is plain `df.select(xxhash64(col))​.stat.bloomFilter`).
+  *
+  * The probe is scan-hot (it guards every corpus shingle in
+  * [[graft.operators.TrainPipeline.decontaminateBloom]]), so unlike the
+  * per-row sketch loops above this expression implements `doGenCode`: the
+  * generated code is one hash + one bit-test through a referenced
+  * deserialized filter — no per-row allocation, no interpreted tree. The
+  * bloom bytes must be FOLDABLE (a literal/broadcast value): the filter is
+  * deserialized once per task via the transient lazy, not per row.
+  */
+case class BloomContainsString(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "graft_bloom_contains"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!left.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bloom_contains needs a constant bloom-filter argument")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def contains(v: UTF8String): Boolean =
+    bloom.mightContainLong(XxHash64Function.hash(v, StringType, 42L))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (bloom == null) return null
+    val v = right.eval(input)
+    if (v == null) null else contains(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("graftBloomExpr", this, classOf[BloomContainsString].getName)
+    val childGen = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.contains(${childGen.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchExprs {
   def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 
@@ -176,4 +244,15 @@ object SketchExprs {
   def simhashWide(tokens: Column, words: Int): Column =
     call_function("graft_simhash_wide", tokens,
       org.apache.spark.sql.functions.lit(words))
+
+  /** Serialize a built BloomFilter for use as the literal bloom argument. */
+  def serialize(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  def bloomContains(bloomBytes: Array[Byte], value: Column): Column =
+    call_function("graft_bloom_contains",
+      org.apache.spark.sql.functions.lit(bloomBytes), value)
 }

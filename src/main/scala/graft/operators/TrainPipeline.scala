@@ -288,29 +288,89 @@ object TrainPipeline {
     require(n >= 1 && minOverlap >= 1,
       s"n/minOverlap must be positive: $n/$minOverlap")
     graft.expressions.GraftFunctions.registerAll(corpus.sparkSession)
-    import graft.functions.{TextFunctions => TF}
-    def shingled(df: DataFrame, out: String) =
-      df.where(size(TF.tokens(col(textCol))) >= n)
-        .select(col(idCol).as(out),
-          explode(array_distinct(TF.shingles(col(textCol), n))).as("sh"))
-    // Scale knob: a shingle appearing in more than maxBenchDf benchmark
-    // docs is boilerplate ("in order to") — each corpus occurrence fans
-    // out to every bench doc carrying it, and at corpus scale that
-    // multiplication dominates the join. Dropping high-df shingles on the
-    // (tiny, pre-broadcast) bench side bounds the fan-out; real
-    // contamination shows in the distinctive n-grams that survive.
-    val benchSh = {
-      val all = shingled(bench, "bench")
-      if (maxBenchDf == Int.MaxValue) all
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-        all.withColumn("_df", count(lit(1)).over(w))
-          .where(col("_df") <= maxBenchDf).drop("_df")
-      }
-    }
+    val benchSh = benchShingles(bench, idCol, textCol, n, maxBenchDf)
     // distinct shingles on both sides ⇒ one joined row per SHARED shingle
     // per pair, so count(*) == |intersection|
-    shingled(corpus, "doc").join(broadcast(benchSh), "sh")
+    shingledDocs(corpus, idCol, textCol, n, "doc").join(broadcast(benchSh), "sh")
+      .groupBy("doc", "bench").agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
+  /** Per-doc distinct word n-grams, one row per (id, shingle). */
+  private def shingledDocs(
+      df: DataFrame, idCol: String, textCol: String, n: Int, out: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    df.where(size(TF.tokens(col(textCol))) >= n)
+      .select(col(idCol).as(out),
+        explode(array_distinct(TF.shingles(col(textCol), n))).as("sh"))
+  }
+
+  /** Benchmark-side shingles with the df fan-out cap.
+    *
+    * Scale knob: a shingle appearing in more than maxBenchDf benchmark
+    * docs is boilerplate ("in order to") — each corpus occurrence fans
+    * out to every bench doc carrying it, and at corpus scale that
+    * multiplication dominates the join. Dropping high-df shingles on the
+    * (small-relative-to-corpus) bench side bounds the fan-out; real
+    * contamination shows in the distinctive n-grams that survive.
+    */
+  private def benchShingles(
+      bench: DataFrame, idCol: String, textCol: String,
+      n: Int, maxBenchDf: Int): DataFrame = {
+    val all = shingledDocs(bench, idCol, textCol, n, "bench")
+    if (maxBenchDf == Int.MaxValue) all
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+      all.withColumn("_df", count(lit(1)).over(w))
+        .where(col("_df") <= maxBenchDf).drop("_df")
+    }
+  }
+
+  /** [[decontaminate]] with a Bloom-filter prefilter — the variant for
+    * benchmark suites whose shingle SET is too large to broadcast as
+    * strings. Same output contract (exact overlap counts; Bloom false
+    * positives are eliminated by the verify join), different data
+    * movement:
+    *
+    *   1. one pass over bench shingles builds an `fpp` Bloom filter over
+    *      `xxhash64(shingle)` (bits, not strings — ~1.2 MB/M shingles at
+    *      1%, broadcastable where the string set is not);
+    *   2. the corpus-side shingle explode is filtered MAP-SIDE through
+    *      [[graft.expressions.SketchExprs.bloomContains]] (codegen'd, one
+    *      hash + bit-test per shingle), so only true matches plus an fpp
+    *      fraction of the corpus ever reach the join;
+    *   3. the exact verify join runs UNHINTED over the survivors — AQE
+    *      broadcasts a small bench side and shuffle-joins a big one, and
+    *      either way its input is orders of magnitude below
+    *      [[decontaminate]]'s full corpus-shingle stream.
+    *
+    * The count()+treeAggregate to size/build the filter are two extra
+    * bench-side passes — the side that is small relative to the corpus by
+    * construction; at 100 TB the corpus-side scan they avoid shuffling
+    * dominates both.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, minOverlap: Int = 5,
+      fpp: Double = 0.01,
+      maxBenchDf: Int = Int.MaxValue): DataFrame = {
+    require(n >= 1 && minOverlap >= 1,
+      s"n/minOverlap must be positive: $n/$minOverlap")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    graft.expressions.GraftFunctions.registerAll(corpus.sparkSession)
+    import graft.expressions.SketchExprs
+    val benchSh = benchShingles(bench, idCol, textCol, n, maxBenchDf)
+    val distinctSh = benchSh.select("sh").distinct()
+    // exact sizing keeps the fpp honest; the bloom is built over the SQL
+    // xxhash64 (seed 42) of each shingle, matching the probe expression
+    val expected = math.max(distinctSh.count(), 64L)
+    val bloom = distinctSh.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val bloomBytes = SketchExprs.serialize(bloom)
+    val survivors = shingledDocs(corpus, idCol, textCol, n, "doc")
+      .where(SketchExprs.bloomContains(bloomBytes, col("sh")))
+    survivors.join(benchSh, "sh")
       .groupBy("doc", "bench").agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
   }

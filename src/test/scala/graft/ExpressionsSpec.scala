@@ -74,6 +74,42 @@ class ExpressionsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("graft_bloom_contains: no false negatives, honest fpp, null/constant contract") {
+    import graft.expressions.SketchExprs
+    val members = (0 until 1000).map(i => s"member-$i")
+    val bloom = members.toDF("sh")
+      .select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", 1000, 0.01)
+    val bytes = SketchExprs.serialize(bloom)
+    // every member hits (bloom guarantee: zero false negatives)
+    val hits = members.toDF("sh")
+      .where(SketchExprs.bloomContains(bytes, col("sh"))).count()
+    assert(hits == 1000L)
+    // fpp stays near the configured 1% on a disjoint probe set
+    val fp = (0 until 10000).map(i => s"absent-$i").toDF("sh")
+      .where(SketchExprs.bloomContains(bytes, col("sh"))).count()
+    assert(fp < 300L, s"false-positive count $fp implies fpp far above 1%")
+    // null value → null (filter drops it), and the codegen + interpreted
+    // paths agree (the where above ran codegen; eval() runs interpreted)
+    val row = Seq(Option.empty[String]).toDF("sh")
+      .select(SketchExprs.bloomContains(bytes, col("sh")).as("m")).collect()
+    assert(row.head.isNullAt(0))
+    val expr = graft.expressions.BloomContainsString(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        bytes, BinaryType),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString("member-7"), StringType))
+    assert(expr.eval(null) == true)
+    // a non-constant bloom argument is rejected at analysis time
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", Array[Byte](1))).toDF("sh", "b")
+        .where(call_function("graft_bloom_contains", col("b"), col("sh")))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("constant bloom"),
+      s"unexpected analysis error: ${err.getMessage}")
+  }
+
   test("minhash signature: jaccard estimate tracks exact jaccard") {
     // two token sets with known overlap 50/150 = 1/3
     val x = (0 until 100).map(i => s"t$i")

@@ -200,6 +200,35 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(uncapped.count() == 2, "without the cap both bench docs flag")
   }
 
+  test("decontaminateBloom matches the broadcast variant exactly (planted leak + sf0.001 docs)") {
+    import spark.implicits._
+    // planted case first — same fixture as the broadcast test
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every single day")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day indeed"),
+      (2L, "completely different content about catalyst optimizers and shuffle plans"),
+      (3L, "fox dog day")).toDF("doc_id", "text")
+    val got = TrainPipeline.decontaminateBloom(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 100L, 10L)), s"bloom variant must flag the leak: $got")
+    // real-data equivalence: identical (doc, bench, overlap) sets — bloom
+    // false positives must never survive the verify join
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc", "bench").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows(TrainPipeline.decontaminate(
+      docs.where(col("doc_id") % 25 =!= 0), docs.where(col("doc_id") % 25 === 0),
+      "doc_id", "text", n = 3, minOverlap = 5))
+    val bloom = rows(TrainPipeline.decontaminateBloom(
+      docs.where(col("doc_id") % 25 =!= 0), docs.where(col("doc_id") % 25 === 0),
+      "doc_id", "text", n = 3, minOverlap = 5))
+    assert(bloom == exact, "bloom-prefiltered output must equal the exact variant")
+    assert(exact.nonEmpty, "fixture must plant at least one contaminated pair")
+  }
+
   test("repetitionScore: repeated text scores high, varied text low") {
     import spark.implicits._
     val df = Seq(
