@@ -339,6 +339,22 @@ object LogQuery {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket_ms")
 
+  /** Field-name discovery — the autocomplete endpoint behind the query
+    * editor: every dynamic field name in scope with its type. One
+    * map-side-combined distinct; at scale run it over a bounded recent
+    * time slice, not the full table.
+    */
+  def fields(df: DataFrame, query: String = ""): DataFrame = {
+    val base = filter(df, query)
+    def keysOf(mapCol: String, t: String) =
+      base.select(explode(map_keys(col(mapCol))).as("field"))
+        .withColumn("ftype", lit(t))
+    keysOf("fields_string", "string")
+      .union(keysOf("fields_number", "number"))
+      .distinct()
+      .orderBy("field", "ftype")
+  }
+
   /** The aggregation tab: a metric over the filtered rows, grouped by a
     * field. `op` is one of `count | min | max | sum | avg`; `metricField`
     * (required for all but `count`) resolves numerically — a real column

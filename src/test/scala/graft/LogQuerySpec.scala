@@ -141,6 +141,15 @@ class LogQuerySpec extends SparkTestBase {
       java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli, 2L)))
   }
 
+  test("fields: dynamic field names with types, filter-scoped") {
+    val all = LogQuery.fields(logsDf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(all === Seq(("code", "number"), ("level", "string")))
+    val scoped = LogQuery.fields(logsDf, "app='api'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(scoped === Seq(("level", "string")))
+  }
+
   test("aggregate: count / avg by direct and dynamic group fields") {
     val byApp = LogQuery.aggregate(logsDf, "", "app", "count")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
