@@ -138,6 +138,30 @@ object LogQuery {
     out.result()
   }
 
+  /** Canonical query text for an AST — `parse(render(e)) == Some(e)` for
+    * every expressible tree (property-tested). Strings escape quotes by
+    * doubling (the SQL convention); a value whose backslash immediately
+    * precedes a quote position is the one documented non-expressible
+    * corner (the lexer's `\'` compatibility escape claims it).
+    */
+  def render(e: Expr): String = {
+    def atom(x: Expr): String = x match {
+      case _: And | _: Or => "(" + render(x) + ")"
+      case _ => render(x)
+    }
+    def num(d: Double): String =
+      if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString
+      else new java.math.BigDecimal(d).toPlainString
+    e match {
+      case And(l, r) => atom(l) + " _and_ " + atom(r)
+      case Or(l, r) => atom(l) + " _or_ " + atom(r)
+      case Not(x) => "_not_ " + atom(x)
+      case Exists(f) => "_exists_ " + f
+      case Cmp(f, op, SLit(s)) => s"$f $op '${s.replace("'", "''")}'"
+      case Cmp(f, op, NLit(d)) => s"$f $op ${num(d)}"
+    }
+  }
+
   // ------------------------------------------------------------ parser
 
   /** Parse a query string to its AST. Throws [[ParseException]] (with the
