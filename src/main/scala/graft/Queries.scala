@@ -386,6 +386,22 @@ object Queries {
         WHERE event_type != 'view' AND value >= 50.0
         GROUP BY 1 ORDER BY "group""""))
 
+  /** The per-series chart shape: metric per (time bucket, group) over the
+    * parsed filter — count of error/high-value events per hour per
+    * namespace.
+    */
+  private val queryLanguageSeries = Q(
+    (s, dir) => graft.query.LogQuery.series(
+        logs(s, dir),
+        "namespace='error' _or_ event.value>=180",
+        groupField = "namespace", bucket = "hour")
+      .orderBy("bucket_ms", "group"),
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+          event_type AS "group", count(*) AS value
+        FROM events
+        WHERE event_type = 'error' OR value >= 180.0
+        GROUP BY 1, 2 ORDER BY bucket_ms, "group""""))
+
   /** Reads the WRITTEN, promoted log table — the subscript below is
     * rewritten by PromoteMapKeys to the materialized promoted_event_value
     * column (metadata round-tripped through parquet), so this pair
@@ -1647,6 +1663,7 @@ object Queries {
     "filter_log_contains" -> filterLogContains,
     "query_language" -> queryLanguage,
     "query_language_agg" -> queryLanguageAgg,
+    "query_language_series" -> queryLanguageSeries,
     "project_promoted_column" -> projectPromotedColumn,
     "filter_null_elision" -> filterNullElision,
     "flatten_nested" -> flattenNested,

@@ -379,6 +379,49 @@ object LogQuery {
       .orderBy("field", "ftype")
   }
 
+  /** The per-series chart: a metric per (time bucket, group) — what the
+    * front-end draws when an aggregation is split by a field over time.
+    * Same one-shuffle shape as [[aggregate]] with the bucket in the key.
+    */
+  def series(
+      df: DataFrame,
+      query: String,
+      groupField: String,
+      bucket: String = "hour",
+      op: String = "count",
+      metricField: Option[String] = None): DataFrame = {
+    val direct = df.columns.toSet
+    def strField(f: String): Column =
+      if (direct(f)) col(f) else try_element_at(col("fields_string"), lit(f))
+    filter(df, query)
+      .groupBy(
+        unix_millis(date_trunc(bucket, col("timestamp"))).as("bucket_ms"),
+        strField(groupField).as("group"))
+      .agg(metricFor(df, op, metricField).as("value"))
+      .orderBy("bucket_ms", "group")
+  }
+
+  private def metricFor(
+      df: DataFrame, op: String, metricField: Option[String]): Column = {
+    val direct = df.columns.toSet
+    def numField(f: String): Column =
+      if (direct(f)) col(f) else try_element_at(col("fields_number"), lit(f))
+    op match {
+      case "count" => count(lit(1))
+      case "min" | "max" | "sum" | "avg" =>
+        val f = metricField.getOrElse(throw new IllegalArgumentException(
+          s"aggregation '$op' needs a metric field"))
+        op match {
+          case "min" => min(numField(f))
+          case "max" => max(numField(f))
+          case "sum" => sum(numField(f))
+          case "avg" => avg(numField(f))
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown aggregation '$other' (count|min|max|sum|avg)")
+    }
+  }
+
   /** The aggregation tab: a metric over the filtered rows, grouped by a
     * field. `op` is one of `count | min | max | sum | avg`; `metricField`
     * (required for all but `count`) resolves numerically — a real column
@@ -397,25 +440,9 @@ object LogQuery {
     val direct = df.columns.toSet
     def strField(f: String): Column =
       if (direct(f)) col(f) else try_element_at(col("fields_string"), lit(f))
-    def numField(f: String): Column =
-      if (direct(f)) col(f) else try_element_at(col("fields_number"), lit(f))
-    val metric = op match {
-      case "count" => count(lit(1))
-      case "min" | "max" | "sum" | "avg" =>
-        val f = metricField.getOrElse(throw new IllegalArgumentException(
-          s"aggregation '$op' needs a metric field"))
-        op match {
-          case "min" => min(numField(f))
-          case "max" => max(numField(f))
-          case "sum" => sum(numField(f))
-          case "avg" => avg(numField(f))
-        }
-      case other => throw new IllegalArgumentException(
-        s"unknown aggregation '$other' (count|min|max|sum|avg)")
-    }
     filter(df, query)
       .groupBy(strField(groupField).as("group"))
-      .agg(metric.as("value"))
+      .agg(metricFor(df, op, metricField).as("value"))
       .orderBy("group")
   }
 }

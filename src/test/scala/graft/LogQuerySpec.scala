@@ -150,6 +150,16 @@ class LogQuerySpec extends SparkTestBase {
     assert(scoped === Seq(("level", "string")))
   }
 
+  test("series: metric per (bucket, group)") {
+    val df = logsDf.withColumn("timestamp",
+      to_timestamp(concat(lit("2024-01-0"), col("id"), lit(" 10:00:00"))))
+    val got = LogQuery.series(df, "_exists_ code", "app", bucket = "day",
+        op = "sum", metricField = Some("code"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    def day(d: Int) = java.time.Instant.parse(f"2024-01-0$d%dT00:00:00Z").toEpochMilli
+    assert(got === Seq((day(1), "web", 500.0), (day(2), "web", 200.0)))
+  }
+
   test("aggregate: count / avg by direct and dynamic group fields") {
     val byApp = LogQuery.aggregate(logsDf, "", "app", "count")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
