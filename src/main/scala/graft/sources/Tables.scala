@@ -27,6 +27,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  // Session-scoped reader cache: `spark.read.parquet` costs a file listing
+  // plus footer schema inference PER CALL (~tens of ms warm), and the
+  // query registry re-reads the same immutable tables on every build —
+  // hundreds of times across a bench run. A DataFrame is an immutable
+  // logical plan, safe to share across queries of one session. Entries of
+  // stopped sessions are evicted on access (same rationale as
+  // Queries.Fixtures.sessionScoped: value→key back-references rule out a
+  // WeakHashMap). Staleness contract: a cached table pins the file listing
+  // it was resolved with — correct for immutable datasets (the loader's
+  // purpose); call [[invalidate]] after appending files to a cached dir.
+  private val readers =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (SparkSession, DataFrame)]
+
+  private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    readers.filterInPlace { case (_, (owner, _)) => !owner.sparkContext.isStopped }
+    val k = (System.identityHashCode(spark), key)
+    readers.get(k) match {
+      case Some((owner, df)) if owner eq spark => df
+      case _ =>
+        val df = build
+        readers.put(k, (spark, df))
+        df
+    }
+  }
+
+  /** Drop cached readers for `dir` (all sessions) — required after
+    * appending or rewriting files under a cached path.
+    */
+  def invalidate(dir: String): Unit =
+    readers.filterInPlace { case ((_, key), _) => !key.startsWith(s"$dir/") }
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // ms-precision timestamps in the testdata carry isAdjustedToUTC=false;
     // read them as session-TZ (UTC) TimestampType, not TIMESTAMP_NTZ, so
@@ -34,16 +65,20 @@ object Tables {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     name match {
       case "events" => events(spark, dir)
-      case n        => spark.read.parquet(s"$dir/$n.parquet")
+      case n => cached(spark, s"$dir/$n.parquet") {
+        spark.read.parquet(s"$dir/$n.parquet")
+      }
     }
   }
 
   /** `events` with `ts` as a proper TimestampType (µs, truncated from ns). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    cached(spark, s"$dir/events.parquet") {
+      spark.read
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
