@@ -344,28 +344,35 @@ object TrainPipeline {
     *      either way its input is orders of magnitude below
     *      [[decontaminate]]'s full corpus-shingle stream.
     *
-    * The count()+treeAggregate to size/build the filter are two extra
-    * bench-side passes — the side that is small relative to the corpus by
-    * construction; at 100 TB the corpus-side scan they avoid shuffling
-    * dominates both.
+    * Sizing + build cost at most two bench-side passes (one with an
+    * `expectedShingles` hint) — the side that is small relative to the
+    * corpus by construction; at 100 TB the corpus-side shuffle they avoid
+    * dominates both. Neither pass shuffles: sizing is a
+    * map-side-combined approx_count_distinct, the build a treeAggregate.
     */
   def decontaminateBloom(
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, minOverlap: Int = 5,
       fpp: Double = 0.01,
-      maxBenchDf: Int = Int.MaxValue): DataFrame = {
+      maxBenchDf: Int = Int.MaxValue,
+      expectedShingles: Long = -1L): DataFrame = {
     require(n >= 1 && minOverlap >= 1,
       s"n/minOverlap must be positive: $n/$minOverlap")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     graft.expressions.GraftFunctions.registerAll(corpus.sparkSession)
     import graft.expressions.SketchExprs
     val benchSh = benchShingles(bench, idCol, textCol, n, maxBenchDf)
-    val distinctSh = benchSh.select("sh").distinct()
-    // exact sizing keeps the fpp honest; the bloom is built over the SQL
-    // xxhash64 (seed 42) of each shingle, matching the probe expression
-    val expected = math.max(distinctSh.count(), 64L)
-    val bloom = distinctSh.select(xxhash64(col("sh")).as("h"))
+    // Bloom insertion is idempotent, so the build runs over the RAW
+    // (id, shingle) stream — no distinct shuffle. Sizing: a caller hint
+    // (a benchmark suite's shingle count is typically known), else one
+    // map-side-combined approx_count_distinct pass; the +10% headroom
+    // covers the sketch's error band — an overestimate only wastes bloom
+    // bits, an underestimate would inflate the real fpp.
+    val expected = math.max(64L,
+      if (expectedShingles > 0) expectedShingles
+      else (benchSh.agg(approx_count_distinct(col("sh"))).head.getLong(0) * 11L) / 10L)
+    val bloom = benchSh.select(xxhash64(col("sh")).as("h"))
       .stat.bloomFilter("h", expected, fpp)
     val bloomBytes = SketchExprs.serialize(bloom)
     val survivors = shingledDocs(corpus, idCol, textCol, n, "doc")
