@@ -379,6 +379,31 @@ object LogQuery {
       .orderBy("field", "ftype")
   }
 
+  /** Value autocomplete for one field: its distinct values (as strings)
+    * under an optional filter scope and prefix, capped at `limit` — the
+    * suggestion list the query editor shows after `field =`. Resolution
+    * matches the compiler: direct column or the string map, falling back
+    * to the number map when the name only exists there.
+    */
+  def values(
+      df: DataFrame,
+      field: String,
+      query: String = "",
+      prefix: String = "",
+      limit: Int = 100): DataFrame = {
+    val direct = df.columns.toSet
+    val raw: Column =
+      if (direct(field)) col(field).cast("string")
+      else coalesce(
+        try_element_at(col("fields_string"), lit(field)),
+        try_element_at(col("fields_number"), lit(field)).cast("string"))
+    val v = filter(df, query).select(raw.as("value")).where(col("value").isNotNull)
+    val scoped =
+      if (prefix.isEmpty) v
+      else v.where(col("value").startsWith(prefix))
+    scoped.distinct().orderBy("value").limit(limit)
+  }
+
   /** The per-series chart: a metric per (time bucket, group) — what the
     * front-end draws when an aggregation is split by a field over time.
     * Same one-shuffle shape as [[aggregate]] with the bucket in the key.

@@ -150,6 +150,17 @@ class LogQuerySpec extends SparkTestBase {
     assert(scoped === Seq(("level", "string")))
   }
 
+  test("values: distinct field values, prefix- and filter-scoped") {
+    def vs(field: String, q: String = "", prefix: String = "") =
+      LogQuery.values(logsDf, field, q, prefix)
+        .collect().map(_.getString(0)).toSeq
+    assert(vs("app") === Seq("api", "web"))
+    assert(vs("level") === Seq("error", "info"))
+    assert(vs("level", q = "app='web'") === Seq("error"))
+    assert(vs("code", prefix = "5") === Seq("500.0"))
+    assert(vs("app", prefix = "w") === Seq("web"))
+  }
+
   test("series: metric per (bucket, group)") {
     val df = logsDf.withColumn("timestamp",
       to_timestamp(concat(lit("2024-01-0"), col("id"), lit(" 10:00:00"))))
