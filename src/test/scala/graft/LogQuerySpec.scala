@@ -186,6 +186,28 @@ class LogQuerySpec extends SparkTestBase {
       LogQuery.aggregate(logsDf, "", "app", "median", Some("code")))
   }
 
+  test("ClickHouse emission: the same AST compiles to the reference dialect") {
+    import graft.query.ClickHouseSql
+    assert(ClickHouseSql.where("namespace='bookinfo' _and_ content.level='error'") ===
+      "(namespace = 'bookinfo' AND fields_string['content.level'] = 'error')")
+    assert(ClickHouseSql.where("content.code>=500") ===
+      "fields_number['content.code'] >= 500")
+    assert(ClickHouseSql.where("log=~'%GET%' _or_ log~'5..'") ===
+      "(log ILIKE '%GET%' OR match(log, '5..'))")
+    assert(ClickHouseSql.where("_not_ (app!='web' _or_ _exists_ content.trace)") ===
+      "NOT (app != 'web' OR (mapContains(fields_string, 'content.trace')" +
+        " OR mapContains(fields_number, 'content.trace')))")
+    // value `it's a 100\% match`: the quote doubles on parse; emission
+    // escapes both the quote and the literal backslash CH-style
+    assert(ClickHouseSql.where("msg='it''s a 100\\% match'") ===
+      "fields_string['msg'] = 'it\\'s a 100\\\\% match'")
+    assert(ClickHouseSql.where("") === "1")
+    // field names that cannot be safely emitted are rejected, not quoted
+    intercept[IllegalArgumentException](
+      ClickHouseSql.emit(graft.query.LogQuery.Cmp(
+        "x'; DROP TABLE logs --", "=", graft.query.LogQuery.SLit("v"))))
+  }
+
   // ----------------------------------------------------------- plans
 
   test("a query-language predicate on a promoted key pushes into the parquet scan") {
