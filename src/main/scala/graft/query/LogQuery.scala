@@ -391,13 +391,9 @@ object LogQuery {
       query: String = "",
       prefix: String = "",
       limit: Int = 100): DataFrame = {
-    val direct = df.columns.toSet
-    val raw: Column =
-      if (direct(field)) col(field).cast("string")
-      else coalesce(
-        try_element_at(col("fields_string"), lit(field)),
-        try_element_at(col("fields_number"), lit(field)).cast("string"))
-    val v = filter(df, query).select(raw.as("value")).where(col("value").isNotNull)
+    val v = filter(df, query)
+      .select(groupCol(df, field).cast("string").as("value"))
+      .where(col("value").isNotNull)
     val scoped =
       if (prefix.isEmpty) v
       else v.where(col("value").startsWith(prefix))
@@ -415,15 +411,24 @@ object LogQuery {
       bucket: String = "hour",
       op: String = "count",
       metricField: Option[String] = None): DataFrame = {
-    val direct = df.columns.toSet
-    def strField(f: String): Column =
-      if (direct(f)) col(f) else try_element_at(col("fields_string"), lit(f))
     filter(df, query)
       .groupBy(
         unix_millis(date_trunc(bucket, col("timestamp"))).as("bucket_ms"),
-        strField(groupField).as("group"))
+        groupCol(df, groupField).as("group"))
       .agg(metricFor(df, op, metricField).as("value"))
       .orderBy("bucket_ms", "group")
+  }
+
+  /** Group-key resolution for aggregate/series/values: direct column, else
+    * the string map with a number-map fallback (so grouping by a numeric
+    * dynamic field yields its rendered values, not an all-null group).
+    */
+  private def groupCol(df: DataFrame, field: String): Column = {
+    val direct = df.columns.toSet
+    if (direct(field)) col(field)
+    else coalesce(
+      try_element_at(col("fields_string"), lit(field)),
+      try_element_at(col("fields_number"), lit(field)).cast("string"))
   }
 
   private def metricFor(
@@ -462,11 +467,8 @@ object LogQuery {
       groupField: String,
       op: String,
       metricField: Option[String] = None): DataFrame = {
-    val direct = df.columns.toSet
-    def strField(f: String): Column =
-      if (direct(f)) col(f) else try_element_at(col("fields_string"), lit(f))
     filter(df, query)
-      .groupBy(strField(groupField).as("group"))
+      .groupBy(groupCol(df, groupField).as("group"))
       .agg(metricFor(df, op, metricField).as("value"))
       .orderBy("group")
   }

@@ -184,6 +184,10 @@ class LogQuerySpec extends SparkTestBase {
       LogQuery.aggregate(logsDf, "", "app", "avg"))
     intercept[IllegalArgumentException](
       LogQuery.aggregate(logsDf, "", "app", "median", Some("code")))
+    // a numeric dynamic group field renders via the number-map fallback
+    val byCode = LogQuery.aggregate(logsDf, "", "code", "count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byCode === Seq((null, 2L), ("200.0", 1L), ("500.0", 1L)))
   }
 
   test("ClickHouse emission: the same AST compiles to the reference dialect") {
