@@ -329,9 +329,14 @@ object LogQuery {
     * (the reference front-end always brackets a query with a time selector
     * and renders newest-first pages).
     *
-    * The time-range predicate stays a plain `timestamp` comparison so it
-    * prunes `date=` partitions and row groups of a
-    * [[graft.model.LogSchema.writePartitioned]] layout.
+    * The `timestamp` comparisons push to the scan for row-group skipping,
+    * but Spark does NOT infer bounds on a derived partition column from
+    * them — so when the frame carries the layout's `date` column
+    * ([[graft.model.LogSchema.writePartitioned]]), an explicit date-range
+    * predicate is added too. That is what turns the range into directory
+    * pruning (PartitionFilters, plan-asserted in LogQuerySpec): without
+    * it a one-hour query would still list and touch every day of a
+    * 100 TB table.
     */
   def logs(
       df: DataFrame,
@@ -341,10 +346,22 @@ object LogQuery {
       limit: Int = 100,
       newestFirst: Boolean = true): DataFrame = {
     val ts = col("timestamp")
-    val ranged = df.where(
+    val base =
       ts >= lit(java.sql.Timestamp.from(start)) &&
       ts <= lit(java.sql.Timestamp.from(end)) &&
-      predicate(df, query))
+      predicate(df, query)
+    val withDate =
+      if (!df.columns.contains("date")) base
+      else {
+        // day bounds reckoned in the session timezone — the zone
+        // writePartitioned's to_date() used to name the partitions
+        val tz = java.time.ZoneId.of(df.sparkSession.conf.get(
+          "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+        base &&
+          col("date") >= lit(java.sql.Date.valueOf(start.atZone(tz).toLocalDate)) &&
+          col("date") <= lit(java.sql.Date.valueOf(end.atZone(tz).toLocalDate))
+      }
+    val ranged = df.where(withDate)
     val ordered =
       if (newestFirst) ranged.orderBy(ts.desc) else ranged.orderBy(ts.asc)
     ordered.limit(limit)

@@ -230,6 +230,22 @@ class LogQuerySpec extends SparkTestBase {
       s"promoted predicate must reach the scan:\n$plan")
   }
 
+  test("logs(): the time range prunes date partitions of the written layout") {
+    val dir = tmp("logquery-pruning")
+    LogSchema.writePartitioned(
+      LogSchema.logsFromEvents(
+        graft.sources.Tables.events(spark, sf("sf0.001"))), dir)
+    val back = LogSchema.readLogs(spark, dir)
+    val df = LogQuery.logs(back, "namespace='error'",
+      java.time.Instant.parse("2024-01-10T00:00:00Z"),
+      java.time.Instant.parse("2024-01-12T00:00:00Z"), limit = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*date[^\\]]*\\].*"),
+      s"the range must reach the scan as a date partition filter:\n$plan")
+    assert(df.count() > 0, "range must select rows at sf0.001")
+  }
+
   test("query-language filter agrees with the hand-built operator predicates") {
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf("sf0.001")))
