@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - arbitrary input never throws anything but the positioned
   *    [[LogQuery.ParseException]].
   */
-class LogQueryPropertySpec extends AnyFunSuite {
+class LogQueryPropertySpec extends SparkTestBase {
 
   private def run(p: Prop, n: Int = 300): Unit = {
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
@@ -76,6 +76,45 @@ class LogQueryPropertySpec extends AnyFunSuite {
         case None => Prop(false) :| s"q=$q parsed to None"
       }
     })
+  }
+
+  test("every expressible AST compiles to an analyzable predicate over the log schema") {
+    import org.apache.spark.sql.functions.col
+    val logsShaped = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.model.LogSchema.schema)
+    run(Prop.forAll(astGen(3)) { ast =>
+      // analysis (not execution) is the contract: resolution + typing of
+      // whatever field names the query invents must always succeed
+      val analyzed = logsShaped.where(LogQuery.compile(logsShaped, ast))
+        .queryExecution.analyzed
+      Prop(analyzed != null)
+    }, n = 120)
+  }
+
+  test("ClickHouse emission is total over expressible ASTs and stays paren-balanced") {
+    import graft.query.ClickHouseSql
+    run(Prop.forAll(astGen(3)) { ast =>
+      val sql = ClickHouseSql.emit(ast)
+      // paren balance OUTSIDE string literals (the emitter's backslash
+      // escaping makes quoted regions skippable deterministically);
+      // totality — emit never throwing — is the other half of the property
+      var depth = 0
+      var ok = true
+      var inStr = false
+      var i = 0
+      while (i < sql.length) {
+        sql(i) match {
+          case '\\' if inStr => i += 1 // skip the escaped char
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1; if (depth < 0) ok = false
+          case _ =>
+        }
+        i += 1
+      }
+      Prop(sql.nonEmpty && ok && !inStr && depth == 0) :| sql
+    }, n = 200)
   }
 
   test("arbitrary input only ever throws ParseException") {
