@@ -214,6 +214,16 @@ case class BloomContainsString(left: Expression, right: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    // the bloom side is foldable, so a NULL filter is known HERE — emit
+    // the constant-null expression instead of code that would NPE in
+    // contains() (eval() returns null for this case; codegen must agree)
+    if (bloom == null) {
+      return ev.copy(
+        code = code"""
+          boolean ${ev.isNull} = true;
+          boolean ${ev.value} = false;
+        """)
+    }
     val ref = ctx.addReferenceObj("graftBloomExpr", this, classOf[BloomContainsString].getName)
     val childGen = right.genCode(ctx)
     ev.copy(code =

@@ -24,13 +24,16 @@ object ClickHouseSql {
   private val directColumns: Set[String] =
     LogSchema.schema.fieldNames.toSet - "fields_string" - "fields_number"
 
+  // comparison operators legal in a Cmp node, by literal kind — emit() is
+  // a public API over a stringly-typed AST, so the operator must be
+  // validated like the field name is: an unknown op (or a pattern op with
+  // a numeric literal) is rejected, never interpolated into SQL
+  private val strOps = Set("=", "!=", "<", "<=", ">", ">=", "=~", "!~", "~")
+  private val numOps = Set("=", "!=", "<", "<=", ">", ">=")
+
   /** `'` and `\` escaped the ClickHouse way (backslash escapes). */
   private def sqlString(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-  private def num(d: Double): String =
-    if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString
-    else new java.math.BigDecimal(d).toPlainString
 
   private def ident(f: String): String = {
     require(f.nonEmpty && f.forall(c =>
@@ -50,14 +53,24 @@ object ClickHouseSql {
     case Or(l, r) => s"(${emit(l)} OR ${emit(r)})"
     case Not(x) => s"NOT ${emit(x)}"
     case Exists(f) =>
-      if (directColumns(ident(f))) s"$f IS NOT NULL"
+      // CH string spine columns are non-nullable LowCardinality(String)
+      // storing '' for absent values (schema.sql:5-11) — "exists" there
+      // means non-empty, matching the Spark compiler's isNotNull on its
+      // nullable reading of the same column. timestamp (DateTime64,
+      // non-nullable, never "absent") keeps the vacuously-true type-safe
+      // form.
+      if (ident(f) == "timestamp") "timestamp IS NOT NULL"
+      else if (directColumns(f)) s"$f != ''"
       else s"(mapContains(fields_string, ${sqlString(f)})" +
         s" OR mapContains(fields_number, ${sqlString(f)}))"
     case Cmp(f, "=~", SLit(v)) => s"${strField(f)} ILIKE ${sqlString(v)}"
     case Cmp(f, "!~", SLit(v)) => s"${strField(f)} NOT ILIKE ${sqlString(v)}"
     case Cmp(f, "~", SLit(v)) => s"match(${strField(f)}, ${sqlString(v)})"
-    case Cmp(f, op, SLit(v)) => s"${strField(f)} $op ${sqlString(v)}"
-    case Cmp(f, op, NLit(v)) => s"${numField(f)} $op ${num(v)}"
+    case Cmp(f, op, SLit(v)) if strOps(op) => s"${strField(f)} $op ${sqlString(v)}"
+    case Cmp(f, op, NLit(v)) if numOps(op) =>
+      s"${numField(f)} $op ${LogQuery.formatNum(v)}"
+    case Cmp(f, op, v) => throw new IllegalArgumentException(
+      s"operator '$op' is not emittable with $v (field '$f')")
   }
 
   /** Parse a query string and emit its WHERE clause; the empty query is

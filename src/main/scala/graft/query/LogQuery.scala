@@ -40,10 +40,12 @@ import org.apache.spark.sql.functions._
   * behavior by making `!=`/`!~` null-aware (`m[k] != v OR m[k] IS NULL`)
   * and negation two-valued (`_not_ e` compiles to `NOT coalesce(e, false)`,
   * so a missing key negates to true instead of null-dropping the row); the
-  * positive operators keep plain comparisons — pushdown-eligible — which
-  * differs from ClickHouse only for literals equal to the type default
-  * (`= ''`, `< 1` on a missing numeric, …), a corner the compiler chooses
-  * to keep well-typed rather than emulate.
+  * positive operators keep plain comparisons — pushdown-eligible. The
+  * residual divergence, in BOTH polarities, is literals equal to the type
+  * default on a missing key: ClickHouse's `''`/`0` read makes `= ''`
+  * match and `!= ''` / `!~ '%'` not match such rows, where this compiler
+  * respectively drops and keeps them — a corner kept well-typed rather
+  * than emulated.
   */
 object LogQuery {
 
@@ -123,6 +125,11 @@ object LogQuery {
         } else {
           val d = text.toDoubleOption.getOrElse(
             throw new ParseException(s"malformed number '$text'", start))
+          // an overflowing literal (hundreds of digits) parses to ±Inf and
+          // would crash BigDecimal formatting downstream — reject it HERE,
+          // with a position, per the module's error contract
+          if (d.isInfinite)
+            throw new ParseException(s"numeric literal out of range", start)
           out += TNum(d, start)
         }
       }
@@ -149,17 +156,26 @@ object LogQuery {
       case _: And | _: Or => "(" + render(x) + ")"
       case _ => render(x)
     }
-    def num(d: Double): String =
-      if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString
-      else new java.math.BigDecimal(d).toPlainString
     e match {
       case And(l, r) => atom(l) + " _and_ " + atom(r)
       case Or(l, r) => atom(l) + " _or_ " + atom(r)
       case Not(x) => "_not_ " + atom(x)
       case Exists(f) => "_exists_ " + f
       case Cmp(f, op, SLit(s)) => s"$f $op '${s.replace("'", "''")}'"
-      case Cmp(f, op, NLit(d)) => s"$f $op ${num(d)}"
+      case Cmp(f, op, NLit(d)) => s"$f $op ${formatNum(d)}"
     }
+  }
+
+  /** Plain-decimal literal formatting shared by [[render]] and
+    * [[ClickHouseSql]] — one definition so the round-trip identity and the
+    * emitted SQL can never format the same literal differently. The lexer
+    * rejects non-finite input; a programmatically built NLit(inf/nan) gets
+    * a clear error instead of BigDecimal's.
+    */
+  private[query] def formatNum(d: Double): String = {
+    require(!d.isInfinite && !d.isNaN, s"non-finite literal: $d")
+    if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString
+    else new java.math.BigDecimal(d).toPlainString
   }
 
   // ------------------------------------------------------------ parser
@@ -252,9 +268,19 @@ object LogQuery {
 
   // ---------------------------------------------------------- compiler
 
+  /** The two map columns are never addressable as comparison fields
+    * themselves — `fields_string = 'x'` means a DYNAMIC field that happens
+    * to carry that name (comparing a MapType column to a string would only
+    * fail analysis), matching how the reference front-end treats any
+    * non-spine name.
+    */
+  private def directSet(df: DataFrame): Set[String] =
+    df.columns.toSet - "fields_string" - "fields_number"
+
   /** Compile a parsed expression to a predicate over `df`'s schema. */
   def compile(df: DataFrame, expr: Expr): Column = {
-    val direct = df.columns.toSet
+    val direct = directSet(df)
+    val hasMaps = df.columns.toSet
 
     def strField(f: String): Column =
       if (direct(f)) col(f)
@@ -297,10 +323,10 @@ object LogQuery {
         else {
           // a dynamic field lives in whichever map its type landed it in
           val inStr =
-            if (direct("fields_string")) map_contains_key(col("fields_string"), lit(f))
+            if (hasMaps("fields_string")) map_contains_key(col("fields_string"), lit(f))
             else lit(false)
           val inNum =
-            if (direct("fields_number")) map_contains_key(col("fields_number"), lit(f))
+            if (hasMaps("fields_number")) map_contains_key(col("fields_number"), lit(f))
             else lit(false)
           inStr || inNum
         }
@@ -441,8 +467,7 @@ object LogQuery {
     * dynamic field yields its rendered values, not an all-null group).
     */
   private def groupCol(df: DataFrame, field: String): Column = {
-    val direct = df.columns.toSet
-    if (direct(field)) col(field)
+    if (directSet(df)(field)) col(field)
     else coalesce(
       try_element_at(col("fields_string"), lit(field)),
       try_element_at(col("fields_number"), lit(field)).cast("string"))
@@ -450,9 +475,9 @@ object LogQuery {
 
   private def metricFor(
       df: DataFrame, op: String, metricField: Option[String]): Column = {
-    val direct = df.columns.toSet
     def numField(f: String): Column =
-      if (direct(f)) col(f) else try_element_at(col("fields_number"), lit(f))
+      if (directSet(df)(f)) col(f)
+      else try_element_at(col("fields_number"), lit(f))
     op match {
       case "count" => count(lit(1))
       case "min" | "max" | "sum" | "avg" =>

@@ -53,10 +53,15 @@ object Tables {
   }
 
   /** Drop cached readers for `dir` (all sessions) — required after
-    * appending or rewriting files under a cached path.
+    * appending or rewriting files under a cached path. Accepts the dir
+    * with or without trailing slashes, or an exact cached table path —
+    * a spelling mismatch must not silently leave the stale listing live.
     */
-  def invalidate(dir: String): Unit =
-    readers.filterInPlace { case ((_, key), _) => !key.startsWith(s"$dir/") }
+  def invalidate(dir: String): Unit = {
+    val norm = dir.reverse.dropWhile(_ == '/').reverse
+    readers.filterInPlace { case ((_, key), _) =>
+      !(key == norm || key.startsWith(s"$norm/")) }
+  }
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // ms-precision timestamps in the testdata carry isAdjustedToUTC=false;

@@ -100,6 +100,13 @@ class ExpressionsSpec extends SparkTestBase {
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         org.apache.spark.unsafe.types.UTF8String.fromString("member-7"), StringType))
     assert(expr.eval(null) == true)
+    // a foldable NULL bloom yields null rows in BOTH execution paths (the
+    // codegen path emits the constant-null form instead of NPE-ing)
+    val nullBloom = members.take(3).toDF("sh")
+      .select(call_function("graft_bloom_contains",
+        lit(null).cast(BinaryType), col("sh")).as("m"))
+    assert(nullBloom.collect().forall(_.isNullAt(0)))
+    assert(nullBloom.where(col("m")).count() == 0)
     // a non-constant bloom argument is rejected at analysis time
     val err = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(("a", Array[Byte](1))).toDF("sh", "b")

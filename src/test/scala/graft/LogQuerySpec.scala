@@ -54,6 +54,17 @@ class LogQuerySpec extends SparkTestBase {
     assert(bad("a ~ 5") >= 4) // regex needs a pattern
     assert(bad("_exists_ =") === 0)
     assert(bad("a=='1'") >= 0) // `==` lexes as `=` then stray `=`
+    // a double-overflowing literal is rejected with a position, not
+    // deferred to a formatting crash in render/emission
+    assert(bad("f>" + "9" * 400) === 2)
+  }
+
+  test("the map columns themselves resolve as dynamic field names, not as columns") {
+    // `fields_string='x'` must not build MapType === String (analysis
+    // error); it reads a dynamic field named fields_string — absent here
+    assert(ids("fields_string!='x'") === Seq(1L, 2L, 3L, 4L))
+    assert(ids("fields_number<1") === Seq())
+    assert(LogQuery.filter(logsDf, "fields_string='x'").count() === 0)
   }
 
   // --------------------------------------------------------- semantics
@@ -201,6 +212,16 @@ class LogQuerySpec extends SparkTestBase {
     assert(ClickHouseSql.where("_not_ (app!='web' _or_ _exists_ content.trace)") ===
       "NOT (app != 'web' OR (mapContains(fields_string, 'content.trace')" +
         " OR mapContains(fields_number, 'content.trace')))")
+    // direct spine columns are non-nullable '' -defaulted in CH: exists =
+    // non-empty; timestamp keeps the type-safe vacuous form
+    assert(ClickHouseSql.where("_exists_ app") === "app != ''")
+    assert(ClickHouseSql.where("_exists_ timestamp") === "timestamp IS NOT NULL")
+    // stringly-typed AST nodes built directly: unknown or mismatched
+    // operators are rejected, never interpolated
+    intercept[IllegalArgumentException](ClickHouseSql.emit(
+      graft.query.LogQuery.Cmp("f", "= '' OR 1=1 --", graft.query.LogQuery.SLit("v"))))
+    intercept[IllegalArgumentException](ClickHouseSql.emit(
+      graft.query.LogQuery.Cmp("f", "=~", graft.query.LogQuery.NLit(5))))
     // value `it's a 100\% match`: the quote doubles on parse; emission
     // escapes both the quote and the literal backslash CH-style
     assert(ClickHouseSql.where("msg='it''s a 100\\% match'") ===

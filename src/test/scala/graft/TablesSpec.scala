@@ -24,5 +24,14 @@ class TablesSpec extends SparkTestBase {
     val fresh = Tables.read(spark, dir, "region")
     assert(!(fresh eq first))
     assert(fresh.count() == 5, "invalidate() must pick up appended files")
+    // spelling variants must not silently no-op
+    Seq(6L).toDF("v").write.mode("append").parquet(s"$dir/region.parquet")
+    Tables.invalidate(s"$dir///")
+    assert(Tables.read(spark, dir, "region").count() == 6,
+      "trailing slashes must still invalidate")
+    Seq(7L).toDF("v").write.mode("append").parquet(s"$dir/region.parquet")
+    Tables.invalidate(s"$dir/region.parquet")
+    assert(Tables.read(spark, dir, "region").count() == 7,
+      "an exact table path must invalidate its own entry")
   }
 }
