@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing (schema, partition-local batching, output
   * shape) is real and tested. Images decode LIVE via the JDK's built-in
-  * `javax.imageio` readers ([[ImageIoDecoder]] — JPEG/PNG/GIF/BMP, no
-  * added dependency); audio/video codecs are not available in this
-  * environment, so those payloads take the deterministic [[StubDecoder]]
-  * path — swap in a codec-backed [[MediaDecoder]] to go live.
+  * `javax.imageio` readers ([[ImageIoDecoder]] — JPEG/PNG/GIF/BMP) and
+  * `javax.sound.sampled` providers ([[AudioSystemDecoder]] — WAV/AIFF/AU),
+  * both JDK-bundled, no added dependency; video codecs are not available
+  * in this environment, so those payloads take the deterministic
+  * [[StubDecoder]] path — swap in a codec-backed [[MediaDecoder]] to go
+  * live.
   */
 object Multimodal {
 
@@ -157,6 +159,89 @@ object Multimodal {
       val n = (w.toLong * h).toFloat
       if (n > 0) { var i = 0; while (i < dim) { acc(i) /= n; i += 1 } }
       acc
+    }
+  }
+
+  /** A LIVE audio codec over the JDK's built-in `javax.sound.sampled`
+    * providers (WAV/AIFF/AU ship with every JRE — no added dependency):
+    * payloads that parse as audio get REAL features — a normalized
+    * amplitude histogram over the decoded PCM stream — while everything
+    * else falls back to the [[StubDecoder]], mirroring
+    * [[ImageIoDecoder]]'s contract (checksum stays byte-level FNV-1a in
+    * both paths; content identity must not depend on the path taken).
+    * Decoding is streamed frame-wise, never materializing the PCM buffer.
+    */
+  class AudioSystemDecoder(featureDim: Int = 8) extends MediaDecoder {
+    private val fallback = new StubDecoder(featureDim)
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        AudioSystemDecoder.amplitudeHistogram(bytes, featureDim) match {
+          case Some(hist) =>
+            var checksum = 1469598103934665603L // FNV-1a 64 offset basis
+            var i = 0
+            while (i < bytes.length) {
+              checksum = (checksum ^ (bytes(i) & 0xFFL)) * 1099511628211L
+              i += 1
+            }
+            MediaFeatures(r.id, r.kind, bytes.length.toLong, checksum, hist)
+          case None => fallback.decodeBatch(Seq(r)).head
+        }
+      }
+  }
+
+  object AudioSystemDecoder {
+    /** Header-only metadata probe: (sampleRate, channels, frames) without
+      * decoding samples — the audio analogue of
+      * [[ImageIoDecoder.dimensions]].
+      */
+    def metadata(bytes: Array[Byte]): Option[(Float, Int, Long)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        Some((f.getFormat.getSampleRate, f.getFormat.getChannels,
+          f.getFrameLength.toLong))
+      } catch { case _: Exception => None }
+    }
+
+    /** `dim`-bin normalized |amplitude| histogram over the PCM frames
+      * (16-bit signed assumed — the WAV default the JRE providers emit);
+      * None when no installed provider recognizes the bytes.
+      */
+    private[operators] def amplitudeHistogram(
+        bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+      if (bytes == null || bytes.length == 0) return None
+      var in: javax.sound.sampled.AudioInputStream = null
+      try {
+        in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val bigEndian = fmt.isBigEndian
+        val acc = new Array[Float](dim)
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        var read = in.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s =
+              if (bigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+              else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+            val mag = math.abs(s.toInt) // 0..32768
+            acc(math.min(mag * dim / 32769, dim - 1)) += 1f
+            total += 1
+            i += 2
+          }
+          read = in.read(buf)
+        }
+        if (total == 0) return None
+        var i = 0
+        while (i < dim) { acc(i) /= total.toFloat; i += 1 }
+        Some(acc)
+      } catch { case _: Exception => None }
+      finally if (in != null) in.close()
     }
   }
 

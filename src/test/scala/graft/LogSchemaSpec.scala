@@ -157,6 +157,51 @@ class LogSchemaSpec extends SparkTestBase {
     assert(feats(2L).features.toSeq == stub.features.toSeq)
   }
 
+  test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
+    // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
+    // square wave, so the amplitude histogram must mass in the top bin
+    val rate = 8000f
+    val frames = 800
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s: Short = if ((i / 8) % 2 == 0) 32000 else -32000
+      pcm(2 * i) = (s & 0xFF).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wavBytes = baos.toByteArray
+
+    // header-only probe: true rate/channels/frames without sample decode
+    assert(Multimodal.AudioSystemDecoder.metadata(wavBytes) ===
+      Some((rate, 1, frames.toLong)))
+    assert(Multimodal.AudioSystemDecoder.metadata("nope".getBytes) === None)
+
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wavBytes, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "text", "not audio".getBytes("UTF-8"), 0, 0, 0),
+    ).toDS()
+    val feats = Multimodal.decode(media, new Multimodal.AudioSystemDecoder(8))
+      .collect().map(f => f.id -> f).toMap
+    val hist = feats(1L).features
+    assert(math.abs(hist.sum - 1f) < 1e-3, s"normalized: ${hist.mkString(",")}")
+    assert(hist(7) > 0.95f,
+      s"full-scale square wave must mass in the top bin: ${hist.mkString(",")}")
+    // the non-audio record took the stub path: bit-identical to StubDecoder
+    val stub = new Multimodal.StubDecoder(8)
+      .decodeBatch(Seq(Multimodal.MediaRecord(
+        2L, "text", "not audio".getBytes("UTF-8"), 0, 0, 0))).head
+    assert(feats(2L).checksum == stub.checksum)
+    assert(feats(2L).features.toSeq == stub.features.toSeq)
+  }
+
   test("multimodal: resize transform keeps stride-th bytes and stamps target dims") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs)
