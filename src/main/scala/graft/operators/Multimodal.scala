@@ -245,6 +245,21 @@ object Multimodal {
     }
   }
 
+  /** Metadata backfill, audio: stamp the REAL sample rate onto records
+    * whose payloads parse as audio (header-only probe via
+    * [[AudioSystemDecoder.metadata]]); everything else passes through
+    * untouched — the audio analogue of [[ImageDimensionProbe]].
+    */
+  class AudioMetadataProbe extends MediaTransform {
+    override def transformBatch(batch: Seq[MediaRecord]): Seq[MediaRecord] =
+      batch.map { r =>
+        AudioSystemDecoder.metadata(r.media) match {
+          case Some((rate, _, _)) => r.copy(sampleRateHz = rate.toInt)
+          case None => r
+        }
+      }
+  }
+
   /** Metadata backfill: stamp REAL pixel dimensions onto records whose
     * payloads decode as images (header-only probe via
     * [[ImageIoDecoder.dimensions]]); non-image payloads pass through

@@ -182,6 +182,18 @@ class LogSchemaSpec extends SparkTestBase {
     assert(Multimodal.AudioSystemDecoder.metadata(wavBytes) ===
       Some((rate, 1, frames.toLong)))
     assert(Multimodal.AudioSystemDecoder.metadata("nope".getBytes) === None)
+    // the metadata-backfill transform stamps the real rate, non-audio
+    // untouched
+    locally {
+      import spark.implicits._
+      val stamped = Multimodal.transform(
+        Seq(
+          Multimodal.MediaRecord(1L, "audio", wavBytes, 0, 0, 0),
+          Multimodal.MediaRecord(2L, "text", "nah".getBytes, 0, 0, 0),
+        ).toDS(), new Multimodal.AudioMetadataProbe())
+        .collect().map(r => r.id -> r.sampleRateHz).toMap
+      assert(stamped === Map(1L -> 8000, 2L -> 0))
+    }
 
     import spark.implicits._
     val media = Seq(
