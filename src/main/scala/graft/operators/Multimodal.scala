@@ -52,6 +52,20 @@ object Multimodal {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
   }
 
+  /** Byte-level FNV-1a 64 — THE content identity every decoder stamps,
+    * live or stub ("content identity must not depend on which path ran").
+    * One definition so the contract holds by construction.
+    */
+  private[operators] def fnv1a(bytes: Array[Byte]): Long = {
+    var checksum = 1469598103934665603L // offset basis
+    var i = 0
+    while (i < bytes.length) {
+      checksum = (checksum ^ (bytes(i) & 0xFFL)) * 1099511628211L
+      i += 1
+    }
+    checksum
+  }
+
   /** Deterministic stand-in for the real codec: features derive only from
     * the bytes (rolling checksum folded into a fixed-width vector), so
     * tests are reproducible and the full pipeline shape is exercised.
@@ -60,15 +74,13 @@ object Multimodal {
     override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
         val bytes = if (r.media == null) Array.empty[Byte] else r.media
-        var checksum = 1469598103934665603L // FNV-1a 64 offset basis
         val acc = new Array[Float](featureDim)
         var i = 0
         while (i < bytes.length) {
-          checksum = (checksum ^ (bytes(i) & 0xFFL)) * 1099511628211L
           acc(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
           i += 1
         }
-        MediaFeatures(r.id, r.kind, bytes.length.toLong, checksum, acc)
+        MediaFeatures(r.id, r.kind, bytes.length.toLong, fnv1a(bytes), acc)
       }
   }
 
@@ -83,24 +95,29 @@ object Multimodal {
     * Scale shape is unchanged from the stub: partition-local batched map,
     * no shuffle; the decode cost is per-payload CPU where the bytes sit.
     */
-  class ImageIoDecoder(featureDim: Int = 8) extends MediaDecoder {
+  /** Template for live decoders: a feature extractor over the payload,
+    * stub fallback when it declines, FNV-1a identity on both paths.
+    */
+  private[operators] abstract class LiveDecoder(featureDim: Int)
+      extends MediaDecoder {
     private val fallback = new StubDecoder(featureDim)
+    /** None = not this decoder's modality → stub fallback. */
+    protected def extract(bytes: Array[Byte]): Option[Array[Float]]
     override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
         val bytes = if (r.media == null) Array.empty[Byte] else r.media
-        ImageIoDecoder.readImage(bytes) match {
-          case Some(img) =>
-            var checksum = 1469598103934665603L // FNV-1a 64 offset basis
-            var i = 0
-            while (i < bytes.length) {
-              checksum = (checksum ^ (bytes(i) & 0xFFL)) * 1099511628211L
-              i += 1
-            }
-            MediaFeatures(r.id, r.kind, bytes.length.toLong, checksum,
-              ImageIoDecoder.luminanceHistogram(img, featureDim))
+        extract(bytes) match {
+          case Some(features) =>
+            MediaFeatures(r.id, r.kind, bytes.length.toLong, fnv1a(bytes), features)
           case None => fallback.decodeBatch(Seq(r)).head
         }
       }
+  }
+
+  class ImageIoDecoder(featureDim: Int = 8) extends LiveDecoder(featureDim) {
+    override protected def extract(bytes: Array[Byte]): Option[Array[Float]] =
+      ImageIoDecoder.readImage(bytes)
+        .map(ImageIoDecoder.luminanceHistogram(_, featureDim))
   }
 
   object ImageIoDecoder {
@@ -171,23 +188,22 @@ object Multimodal {
     * both paths; content identity must not depend on the path taken).
     * Decoding is streamed frame-wise, never materializing the PCM buffer.
     */
-  class AudioSystemDecoder(featureDim: Int = 8) extends MediaDecoder {
-    private val fallback = new StubDecoder(featureDim)
-    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-      batch.map { r =>
-        val bytes = if (r.media == null) Array.empty[Byte] else r.media
-        AudioSystemDecoder.amplitudeHistogram(bytes, featureDim) match {
-          case Some(hist) =>
-            var checksum = 1469598103934665603L // FNV-1a 64 offset basis
-            var i = 0
-            while (i < bytes.length) {
-              checksum = (checksum ^ (bytes(i) & 0xFFL)) * 1099511628211L
-              i += 1
-            }
-            MediaFeatures(r.id, r.kind, bytes.length.toLong, checksum, hist)
-          case None => fallback.decodeBatch(Seq(r)).head
-        }
-      }
+  class AudioSystemDecoder(featureDim: Int = 8) extends LiveDecoder(featureDim) {
+    override protected def extract(bytes: Array[Byte]): Option[Array[Float]] =
+      AudioSystemDecoder.amplitudeHistogram(bytes, featureDim)
+  }
+
+  /** One decoder for a MIXED corpus — the shape [[mediaSchema]] models
+    * (`kind: image|audio|video|text`): tries the image readers, then the
+    * audio providers, then the stub, so JPEGs and WAVs in one `decode`
+    * pass both get live features. Per-payload dispatch cost is a header
+    * sniff for the losing modality — negligible against the decode.
+    */
+  class JdkMediaDecoder(featureDim: Int = 8) extends LiveDecoder(featureDim) {
+    override protected def extract(bytes: Array[Byte]): Option[Array[Float]] =
+      ImageIoDecoder.readImage(bytes)
+        .map(ImageIoDecoder.luminanceHistogram(_, featureDim))
+        .orElse(AudioSystemDecoder.amplitudeHistogram(bytes, featureDim))
   }
 
   object AudioSystemDecoder {
@@ -205,19 +221,31 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
-    /** `dim`-bin normalized |amplitude| histogram over the PCM frames
-      * (16-bit signed assumed — the WAV default the JRE providers emit);
-      * None when no installed provider recognizes the bytes.
+    /** `dim`-bin normalized |amplitude| histogram over the PCM frames.
+      * Streams recognized by a provider but not already 16-bit SIGNED PCM
+      * (8/24-bit, u-law/a-law AU, …) are TRANSCODED to it through
+      * `AudioSystem.getAudioInputStream(target, in)` — so every payload
+      * [[metadata]] recognizes gets live features and the probe and the
+      * decoder can never disagree on what counts as audio. None only when
+      * no provider recognizes the bytes (or no conversion path exists).
       */
     private[operators] def amplitudeHistogram(
         bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
       if (bytes == null || bytes.length == 0) return None
       var in: javax.sound.sampled.AudioInputStream = null
       try {
-        in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
+        val pcm16 = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        in =
+          if (raw.getFormat.getEncoding == pcm16 &&
+              raw.getFormat.getSampleSizeInBits == 16) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(pcm16,
+              raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+              raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate,
+              false), raw)
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) return None
         val bigEndian = fmt.isBigEndian
         val acc = new Array[Float](dim)
         val buf = new Array[Byte](8192)
@@ -254,8 +282,11 @@ object Multimodal {
     override def transformBatch(batch: Seq[MediaRecord]): Seq[MediaRecord] =
       batch.map { r =>
         AudioSystemDecoder.metadata(r.media) match {
-          case Some((rate, _, _)) => r.copy(sampleRateHz = rate.toInt)
-          case None => r
+          // a header may omit the rate (AudioSystem.NOT_SPECIFIED = -1);
+          // the record then stays at its untouched 0 sentinel rather than
+          // carrying a negative "rate"
+          case Some((rate, _, _)) if rate > 0 => r.copy(sampleRateHz = rate.toInt)
+          case _ => r
         }
       }
   }

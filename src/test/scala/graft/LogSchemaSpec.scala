@@ -212,6 +212,57 @@ class LogSchemaSpec extends SparkTestBase {
         2L, "text", "not audio".getBytes("UTF-8"), 0, 0, 0))).head
     assert(feats(2L).checksum == stub.checksum)
     assert(feats(2L).features.toSeq == stub.features.toSeq)
+
+    // an 8-bit WAV is TRANSCODED to 16-bit PCM, not stubbed — the decoder
+    // must agree with the metadata probe on what counts as audio
+    val pcm8 = Array.fill[Byte](400)(0xFF.toByte) // u8 max ≈ full scale
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8),
+      new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false), 400L)
+    val baos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos8)
+    val feats8 = new Multimodal.AudioSystemDecoder(8)
+      .decodeBatch(Seq(Multimodal.MediaRecord(
+        9L, "audio", baos8.toByteArray, 0, 0, 0))).head
+    assert(feats8.features(7) > 0.9f,
+      "8-bit WAV must transcode to a full-scale amplitude histogram, " +
+        s"not fall back to the stub: ${feats8.features.mkString(",")}")
+  }
+
+  test("multimodal: JdkMediaDecoder serves a mixed image+audio corpus live in one pass") {
+    import spark.implicits._
+    // tiny all-white JPEG + the square-wave WAV + garbage, one decode call
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0xFFFFFF)
+    val jb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jb))
+    val pcm = new Array[Byte](400 * 2)
+    for (i <- 0 until 400) {
+      val s: Short = if ((i / 8) % 2 == 0) 32000 else -32000
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm),
+      new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), 400L)
+    val wb = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wb)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", jb.toByteArray, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "audio", wb.toByteArray, 0, 0, 0),
+      Multimodal.MediaRecord(3L, "text", "neither".getBytes("UTF-8"), 0, 0, 0),
+    ).toDS()
+    val feats = Multimodal.decode(media, new Multimodal.JdkMediaDecoder(8))
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(1L).features(7) > 0.9f, "white image: luminance in top bin")
+    assert(feats(2L).features(7) > 0.9f, "square wave: amplitude in top bin")
+    val stub = new Multimodal.StubDecoder(8)
+      .decodeBatch(Seq(Multimodal.MediaRecord(
+        3L, "text", "neither".getBytes("UTF-8"), 0, 0, 0))).head
+    assert(feats(3L).features.toSeq == stub.features.toSeq)
   }
 
   test("multimodal: resize transform keeps stride-th bytes and stamps target dims") {
