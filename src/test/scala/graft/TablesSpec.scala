@@ -34,4 +34,30 @@ class TablesSpec extends SparkTestBase {
     assert(Tables.read(spark, dir, "region").count() == 7,
       "an exact table path must invalidate its own entry")
   }
+
+  test("raw SQL surface: the reference's logs.logs queries run verbatim over a written layout") {
+    val dir = tmp("views-logdb")
+    graft.model.LogSchema.writePartitioned(
+      graft.model.LogSchema.logsFromEvents(
+        graft.sources.Tables.events(spark, sf("sf0.001"))), dir)
+    graft.sources.Views.registerLogDatabase(spark, dir)
+    // the exact commands from /root/reference/README.md:146-151
+    val n = spark.sql("SELECT count(*) FROM logs.logs").collect()(0).getLong(0)
+    assert(n > 0 && n ==
+      graft.sources.Tables.events(spark, sf("sf0.001")).count())
+    assert(spark.sql("SELECT * FROM logs.logs LIMIT 10").collect().length == 10)
+    assert(spark.sql("SELECT count(*) FROM logs.logs_local")
+      .collect()(0).getLong(0) == n)
+    // partition pruning works through the catalog table
+    val pruned = spark.sql(
+      "SELECT count(*) FROM logs.logs WHERE date = DATE'2024-01-10'")
+    assert(pruned.queryExecution.executedPlan.toString
+      .matches("(?s).*PartitionFilters: \\[[^\\]]*date[^\\]]*\\].*"))
+
+    graft.sources.Views.register(spark, sf("sf0.001"))
+    assert(spark.sql(
+      "SELECT count(*) FROM logs WHERE namespace = 'error'")
+      .collect()(0).getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0) > 0)
+  }
 }
