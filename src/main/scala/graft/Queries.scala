@@ -386,6 +386,23 @@ object Queries {
         WHERE event_type != 'view' AND value >= 50.0
         GROUP BY 1 ORDER BY "group""""))
 
+  /** The paged log-list request itself: range + filter + newest-first
+    * order + limit, tiebroken on id so pagination (and this hash compare)
+    * is deterministic under same-millisecond timestamps.
+    */
+  private val queryLanguageLogs = Q(
+    (s, dir) => graft.query.LogQuery.logs(
+        logs(s, dir), "namespace='purchase' _and_ event.value>=100",
+        java.time.Instant.parse("2024-01-05T00:00:00Z"),
+        java.time.Instant.parse("2024-01-25T00:00:00Z"),
+        limit = 50, tieBreak = Seq("id"))
+      .select(col("id"), unix_millis(col("timestamp")).as("ts_ms")),
+    Some(s"""SELECT event_id AS id, $msEv AS ts_ms FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+          AND event_type = 'purchase' AND value >= 100.0
+        ORDER BY ts DESC, id LIMIT 50"""))
+
   /** The per-series chart shape: metric per (time bucket, group) over the
     * parsed filter — count of error/high-value events per hour per
     * namespace.
@@ -1664,6 +1681,7 @@ object Queries {
     "query_language" -> queryLanguage,
     "query_language_agg" -> queryLanguageAgg,
     "query_language_series" -> queryLanguageSeries,
+    "query_language_logs" -> queryLanguageLogs,
     "project_promoted_column" -> projectPromotedColumn,
     "filter_null_elision" -> filterNullElision,
     "flatten_nested" -> flattenNested,

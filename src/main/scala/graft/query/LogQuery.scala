@@ -363,6 +363,11 @@ object LogQuery {
     * pruning (PartitionFilters, plan-asserted in LogQuerySpec): without
     * it a one-hour query would still list and touch every day of a
     * 100 TB table.
+    *
+    * `tieBreak` columns order rows WITHIN a timestamp: without them two
+    * rows on the same millisecond sort arbitrarily and LIMIT pages can
+    * repeat or skip rows across calls — pass a unique column (an id, or
+    * the sort-key tail) whenever results paginate.
     */
   def logs(
       df: DataFrame,
@@ -370,7 +375,8 @@ object LogQuery {
       start: java.time.Instant,
       end: java.time.Instant,
       limit: Int = 100,
-      newestFirst: Boolean = true): DataFrame = {
+      newestFirst: Boolean = true,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val ts = col("timestamp")
     val base =
       ts >= lit(java.sql.Timestamp.from(start)) &&
@@ -388,9 +394,9 @@ object LogQuery {
           col("date") <= lit(java.sql.Date.valueOf(end.atZone(tz).toLocalDate))
       }
     val ranged = df.where(withDate)
-    val ordered =
-      if (newestFirst) ranged.orderBy(ts.desc) else ranged.orderBy(ts.asc)
-    ordered.limit(limit)
+    val order = (if (newestFirst) ts.desc else ts.asc) +:
+      tieBreak.map(col(_).asc)
+    ranged.orderBy(order: _*).limit(limit)
   }
 
   /** The volume chart rendered above every log list in the front-end:
