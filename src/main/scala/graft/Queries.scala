@@ -1663,6 +1663,65 @@ object Queries {
         SELECT cluster AS doc_id, count(*)::BIGINT AS cluster_size
         FROM labels GROUP BY cluster ORDER BY doc_id"""))
 
+  private val dedupExactSubstring = Q(
+    (s, dir) => Dedup.exactSubstringStats(t(s, dir, "documents"), "doc_id",
+        "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents),
+        wins AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+            i -> array_to_string(t[i:i+7], ' '))) AS w
+          FROM tk WHERE len(t) >= 8),
+        dups AS (SELECT w FROM wins GROUP BY w
+          HAVING count(DISTINCT doc_id) >= 2),
+        per AS (SELECT doc_id, count(*) AS dup_windows FROM wins
+          WHERE w IN (SELECT w FROM dups) GROUP BY doc_id)
+        SELECT tk.doc_id,
+          greatest(len(tk.t) - 7, 0)::BIGINT AS windows,
+          coalesce(per.dup_windows, 0)::BIGINT AS dup_windows,
+          round(coalesce(per.dup_windows, 0)::DOUBLE /
+            greatest(len(tk.t) - 7, 1), 4) AS dup_frac
+        FROM tk LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+
+  private val dedupSemantic = Q(
+    // kmeans cell assignments are engine-specific → no SQL oracle; parity
+    // with a brute-force per-cell oracle and planted-dup recall are
+    // asserted in DedupSpec. Consumes the shared IVF fixture (the real
+    // pipeline clusters once and derives both ANN search and semantic
+    // dedup from the same assignment).
+    (s, dir) => Dedup.semDedupFromCells(
+        Fixtures.ivfIndex(s, dir).bucketed, threshold = 0.4)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id"),
+    None)
+
+  private val embeddingQuantize = Q(
+    (s, dir) => graft.operators.TrainPipeline.quantizeInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id"),
+    Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        sc AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+        q AS (SELECT vec_id, v, scale,
+          CASE WHEN scale = 0 THEN list_transform(v, x -> 0::INTEGER)
+            ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+              floor(x / scale + 0.5))) AS INTEGER)) END AS q
+          FROM sc)
+        SELECT vec_id, round(scale, 6) AS scale, q,
+          CASE WHEN scale = 0 THEN NULL ELSE
+            round(list_sum(list_transform(list_zip(v, q),
+              p -> p[1] * p[2]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(v, x -> x * x))) *
+             sqrt(list_sum(list_transform(q, x -> x::DOUBLE * x::DOUBLE)))), 4)
+          END AS cos_fidelity
+        FROM q ORDER BY vec_id"""))
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -1753,5 +1812,8 @@ object Queries {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "repetition_score" -> repetitionScore,
+    "dedup_exact_substring" -> dedupExactSubstring,
+    "dedup_semantic" -> dedupSemantic,
+    "embedding_quantize" -> embeddingQuantize,
   )
 }

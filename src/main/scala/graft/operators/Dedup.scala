@@ -3,6 +3,7 @@ package graft.operators
 import graft.expressions.{SketchExprs, VectorExprs}
 import graft.functions.{Rounding, TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -296,6 +297,108 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(first(col("cosine")).as("cosine"))
       .where(col("cosine") >= threshold)
+  }
+
+  /** Exact duplicated-substring statistics at k-token granularity (the
+    * span-level dedup of Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): hash every k-token window of every
+    * document; a window whose hash occurs in ≥ 2 distinct documents is a
+    * duplicated span. Returns one row per document: total windows,
+    * duplicated windows, and the duplicated fraction — the signal used to
+    * drop or trim boilerplate-heavy documents.
+    *
+    * Scale design: window generation is a narrow map-side explode, and only
+    * the 8-byte xxhash64 of each window leaves the scan — never window
+    * text. "Appears in ≥ 2 distinct documents" is evaluated as
+    * `min(id) OVER (hash) ≠ max(id) OVER (hash)` — a window frame, NOT a
+    * count-distinct aggregate joined back: the join-back formulation
+    * generates and shuffles the window set twice (its probe exchanges on
+    * (hash) but count-distinct's first level on (hash, id), so the
+    * exchanges never canonicalize together and ReuseExchange cannot fire).
+    * Here the corpus-sized window set is generated once and crosses the
+    * wire exactly twice: the (hash) exchange that co-locates copies, then
+    * the per-doc rollup of the qualifying subset.
+    */
+  def exactSubstringStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val toks = docs.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("t"))
+    // docs shorter than k tokens yield zero windows (a span shorter than
+    // the window cannot be a duplicated SPAN; whole-short-doc dup is
+    // dedup_exact's job)
+    val wins = toks.select(col("id"),
+      explode(when(size(col("t")) >= k,
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => xxhash64(array_join(slice(col("t"), i, lit(k)), " "))))
+        .otherwise(array().cast("array<bigint>"))).as("h"))
+    val byHash = Window.partitionBy("h")
+    val dupPerDoc = wins
+      .withColumn("is_dup",
+        min(col("id")).over(byHash) =!= max(col("id")).over(byHash))
+      .where(col("is_dup"))
+      .groupBy("id").agg(count(lit(1)).as("dup_windows"))
+    toks.select(col("id"),
+        greatest(size(col("t")) - (k - 1), lit(0)).cast(LongType).as("windows"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        Rounding.r4(coalesce(col("dup_windows"), lit(0L)).cast(DoubleType) /
+          greatest(col("windows"), lit(1L)).cast(DoubleType)).as("dup_frac"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * removal via clustered cosine. KMeans cells bound the candidate set;
+    * within each cell a vector is a duplicate iff it has cosine ≥
+    * `threshold` to some LOWER-id vector of the same cell (deterministic
+    * exemplar rule: the minimum id of each within-cell near-dup group
+    * always survives). Returns (id, is_dup) for every input vector.
+    *
+    * Scale design: the iterative KMeans fit runs on a bounded sample
+    * ([[Similarity.buildIvfIndex]]); full-corpus assignment is one narrow
+    * pass. The only shuffle is the cell-key exchange; within-cell pairing
+    * is quadratic in CELL size, so `numCells` must grow ∝ corpus size —
+    * SemDeDup's own deployment recipe — keeping per-partition pair work
+    * constant at 100 TB.
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCells: Int = 16,
+      seed: Long = 42L,
+      trainRows: Long = 100000L): DataFrame = {
+    val idx = Similarity.buildIvfIndex(emb, idCol, vecCol, numCells, seed, trainRows)
+    semDedupFromCells(idx.bucketed, threshold)
+  }
+
+  /** Within-cell duplicate marking over precomputed `(nid, nv, cell)`
+    * assignments (the [[Similarity.IvfIndex.bucketed]] layout) — split out
+    * so parity with a brute-force per-cell oracle can be tested on planted
+    * assignments, independent of the KMeans fit.
+    */
+  def semDedupFromCells(bucketed: DataFrame, threshold: Double): DataFrame = {
+    VectorExprs.register(bucketed.sparkSession)
+    val cells = bucketed
+      .select(col("nid"), col("cell"), col("nv").cast("array<double>").as("v"))
+      .withColumn("n", VectorExprs.norm(col("v")))
+    // aliased self-join on the cell key + shuffle hint (corpus-sized build
+    // side must not broadcast; identical branches → one exchange); the
+    // cosine is evaluated map-side on the joined pair so only qualifying
+    // ids reach the distinct
+    val dups = cells.as("l").hint("shuffle_merge")
+      .join(cells.as("r").hint("shuffle_merge"), Seq("cell"))
+      .where(col("l.nid") < col("r.nid"))
+      .where(VectorExprs.cosineFromNorms(col("l.v"), col("r.v"),
+        col("l.n"), col("r.n")) >= threshold)
+      .select(col("r.nid").as("nid")).distinct()
+    cells.select("nid")
+      .join(dups.withColumn("is_dup", lit(true)), Seq("nid"), "left")
+      .select(col("nid").as("id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
   /** Exact (non-LSH) embedding cosine pairs — the oracle-checkable variant;

@@ -108,6 +108,42 @@ object TrainPipeline {
       digits, "<NUM>")
   }
 
+  /** Symmetric int8 embedding quantization — the standard ANN compression
+    * step (4× memory over float32; at 100 TB of vectors the difference
+    * between an in-memory and a spilled index). Per vector:
+    * `scale = max|x| / 127`, `q_i = clamp(floor(x_i/scale + 0.5), ±127)`.
+    * `floor(x + 0.5)` — not `round()` — so Spark and the SQL oracle share
+    * one deterministic tie rule. Emits the quantized vector, its scale,
+    * and the cosine fidelity cos(v, q) — equal to cos(v, dequantized)
+    * since dequantization is a positive scalar multiple. All-zero vectors
+    * quantize to zeros with scale 0 and null fidelity.
+    *
+    * Narrow per-row expressions only: no shuffle, stays in whole-stage
+    * codegen, scales linearly with input splits.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.expressions.VectorExprs.register(emb.sparkSession)
+    val scaled = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0d))
+    scaled
+      .withColumn("q",
+        when(col("scale") === 0.0d,
+          transform(col("v"), _ => lit(0).cast(IntegerType)))
+        .otherwise(transform(col("v"), x =>
+          greatest(lit(-127.0d), least(lit(127.0d),
+            floor(x / col("scale") + lit(0.5d)))).cast(IntegerType))))
+      .select(col("id"),
+        graft.functions.Rounding.r(col("scale"), 6).as("scale"),
+        col("q"),
+        when(col("scale") === 0.0d, lit(null).cast(DoubleType))
+          .otherwise(graft.functions.Rounding.r4(
+            graft.expressions.VectorExprs.cosine(col("v"),
+              transform(col("q"), _.cast(DoubleType)))))
+          .as("cos_fidelity"))
+  }
+
   /** Greedy sequence packing: within each group, walk items in `idCol`
     * order and assign consecutive bin ids, opening a new bin whenever
     * adding the item would exceed `budget` (items above `budget` get a bin

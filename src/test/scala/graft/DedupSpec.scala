@@ -201,4 +201,59 @@ class DedupSpec extends SparkTestBase {
       assert(counts.max - counts.min <= 1, s"$label: per-word band counts $counts")
     }
   }
+
+  test("exact substring: planted shared 8-token run counted on both docs; unique and short docs report zero") {
+    // docs 1 and 2 share a 10-token run (3 interior 8-windows); the run
+    // sits at opposite ends so boundary-crossing windows differ; doc 3 is
+    // fully unique; doc 4 is shorter than the window
+    val shared = (0 until 10).map(j => s"s$j").mkString(" ")
+    val d = Seq(
+      (1L, shared + " " + (0 until 20).map(j => s"a$j").mkString(" ")),
+      (2L, (0 until 20).map(j => s"b$j").mkString(" ") + " " + shared),
+      (3L, (0 until 30).map(j => s"c$j").mkString(" ")),
+      (4L, "tiny doc under the window")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringStats(d, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // 30-token docs → 23 windows; the shared run contributes exactly the
+    // 3 windows fully inside it; frac = round(3/23, 4)
+    assert(out(1L) == ((23L, 3L, 0.1304)))
+    assert(out(2L) == ((23L, 3L, 0.1304)))
+    assert(out(3L) == ((23L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("semDedupFromCells matches the brute-force per-cell lower-id rule; cross-cell pairs out of scope") {
+    val rows = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0f), 0),    // same cell, cosine 1 to lower id 1 → dup
+      (3L, Array(0f, 1f), 0),    // orthogonal → kept
+      (4L, Array(1f, 0.01f), 1)  // near-dup of 1 but another cell → kept
+    ).toDF("nid", "nv", "cell")
+    val out = Dedup.semDedupFromCells(rows, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
+  }
+
+  test("semDedup e2e: planted near-identical vectors are flagged and the lowest id survives") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    // three jittered copies of one vector — kmeans co-locates them, the
+    // exemplar rule keeps exactly the lowest id
+    val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val planted = Seq(100L, 101L, 102L).map(id =>
+      (id, v.map(x => x + (id - 100) * 1e-4f)))
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", threshold = 0.99,
+        numCells = 4, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 43)
+    assert(!out(100L) && out(101L) && out(102L))
+    // random 8-dim gaussians virtually never hit cosine 0.99 — a dup count
+    // beyond the planted pair would mean the rule leaks
+    assert(out.values.count(identity) <= 3)
+  }
 }

@@ -277,4 +277,37 @@ class TrainPipelineSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("maxIter=1"))
   }
+
+  test("quantizeInt8: max element pins ±127, reconstruction within scale/2, zero vector safe") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 0.0f)),
+      (2L, Array(-1.0f, 1.0f, 0.5f, -0.5f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = TrainPipeline.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy("id").collect()
+    val (r1, r2, r3) = (rows(0), rows(1), rows(2))
+    val q1 = r1.getSeq[Int](2); val q2 = r2.getSeq[Int](2)
+    // the largest-magnitude element maps to exactly ±127
+    assert(q1.max == 127, s"q1=$q1")
+    assert(q2.min == -127 && q2.max == 127, s"q2=$q2")
+    // elementwise reconstruction bound: |x - q*scale| <= scale/2
+    for ((r, orig) <- Seq(r1 -> Seq(0.5, -0.25, 0.125, 0.0),
+        r2 -> Seq(-1.0, 1.0, 0.5, -0.5))) {
+      // the emitted scale is rounded for display; the bound holds against
+      // the true scale (floor(x/s + 0.5) can land exactly on a half-step)
+      val scale = orig.map(math.abs).max / 127.0
+      assert(math.abs(r.getDouble(1) - scale) < 1e-6, "emitted scale drifted")
+      val q = r.getSeq[Int](2)
+      q.zip(orig).foreach { case (qi, xi) =>
+        assert(math.abs(xi - qi * scale) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: $xi vs $qi*$scale")
+      }
+      assert(r.getDouble(3) > 0.999, "int8 cosine fidelity")
+    }
+    // all-zero vector: scale 0, zero q, null fidelity (cosine undefined)
+    assert(r3.getDouble(1) == 0.0 && r3.getSeq[Int](2).forall(_ == 0) &&
+      r3.isNullAt(3))
+  }
 }
