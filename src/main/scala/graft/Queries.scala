@@ -104,6 +104,26 @@ object Queries {
         out
       })
 
+    /** A fragmented-then-compacted copy of the log table: the streaming
+      * sink's one-file-per-flush layout merged by
+      * [[LogSchema.compactPartitions]] (the MergeTree background-merge
+      * analogue). The oracle on top checks content survives the
+      * merge-and-swap byte-for-byte at the aggregate level.
+      */
+    def compactedLogTableDir(s: SparkSession, dir: String): String =
+      logTables.getOrElseUpdate(dir + "#compacted", {
+        val out = java.nio.file.Files.createTempDirectory("graft-compacted").toString
+        deleteOnExit(out)
+        LogSchema.logsFromEvents(t(s, dir, "events"))
+          .withColumn("date", to_date(col("timestamp")))
+          .repartition(8)
+          .write.mode("overwrite").partitionBy("date").parquet(out)
+        val stats = LogSchema.compactPartitions(s, out,
+          targetBytes = 1L << 40, minFiles = 2, jobParallelism = 8)
+        require(stats.nonEmpty, "compaction fixture must see fragmented days")
+        out
+      })
+
     /** One shared ingest of the nested-JSON rendering of `events` — the
       * parse is the expensive step and both flatten_nested and
       * map_build_split consume the identical result.
@@ -1663,6 +1683,20 @@ object Queries {
         SELECT cluster AS doc_id, count(*)::BIGINT AS cluster_size
         FROM labels GROUP BY cluster ORDER BY doc_id"""))
 
+  private val maintenanceCompact = Q(
+    // read side of the compacted fixture: per-day counts + a distinct
+    // metadata rollup must equal the source table's, proving the
+    // merge+swap preserved every row and column
+    (s, dir) =>
+      LogSchema.readLogs(s, Fixtures.compactedLogTableDir(s, dir))
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col("pod_name")).as("pods"))
+        .orderBy("day"),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
+        count(DISTINCT 'pod-' || user_id::VARCHAR) AS pods
+        FROM events GROUP BY 1 ORDER BY day"""))
+
   private val dedupExactSubstring = Q(
     (s, dir) => Dedup.exactSubstringStats(t(s, dir, "documents"), "doc_id",
         "text", k = 8)
@@ -1815,5 +1849,6 @@ object Queries {
     "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_semantic" -> dedupSemantic,
     "embedding_quantize" -> embeddingQuantize,
+    "maintenance_compact" -> maintenanceCompact,
   )
 }

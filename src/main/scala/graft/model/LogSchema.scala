@@ -125,20 +125,28 @@ object LogSchema {
     // bloom filter answers "definitely absent" for ~1 byte/ndv — the
     // parquet analogue of a MergeTree bloom_filter skip index. (ndv is a
     // per-ROW-GROUP estimate, not table-wide.)
-    val bloomCols = Seq("pod_name", "host")
     val w0 = df.withColumn("date", to_date(col("timestamp")))
       .repartition(col("date"), col("cluster"), col("namespace"), col("app"))
       .sortWithinPartitions(("date" +: sortKey).map(col): _*)
       .write
       .mode(mode)
       .option("compression", "zstd")
-    bloomCols.foldLeft(w0) { (w, c) =>
-        w.option(s"parquet.bloom.filter.enabled#$c", "true")
-          .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
-      }
+    withBloomOptions(w0)
       .partitionBy("date")
       .parquet(path)
   }
+
+  /** Bloom filters on the high-cardinality spine columns — shared between
+    * the initial write and compaction rewrites so the physical contract
+    * (point-predicate skipping on pod/host) survives merges.
+    */
+  private val bloomCols = Seq("pod_name", "host")
+  private def withBloomOptions[T](
+      w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] =
+    bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
+    }
 
   def readLogs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -160,6 +168,140 @@ object LogSchema {
     val doomed = expiredPartitions(spark, path, days)
     doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
     doomed
+  }
+
+  /** A daily partition's compaction outlook: current fragment count, total
+    * bytes, and how many files a rewrite would produce.
+    */
+  final case class CompactionStat(
+      dir: String, files: Int, bytes: Long, targetFiles: Int)
+
+  /** Partitions whose file count exceeds both `minFiles` and what
+    * `targetBytes`-sized outputs need — the merge-selection half of the
+    * job, split from the rewrite so it can be tested (and dry-run)
+    * independently. Hidden files (`.`/`_` prefixes: in-flight compaction
+    * dirs, `_SUCCESS` markers, checksums) never count.
+    */
+  def compactionPlan(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long,
+      minFiles: Int): Seq[CompactionStat] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("date="))
+      .map { p =>
+        val files = fs.listStatus(p).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        CompactionStat(p.toString, files.size, bytes, target)
+      }
+      .filter(st => st.files >= minFiles && st.files > st.targetFiles)
+      .sortBy(_.dir)
+  }
+
+  /** Compact fragmented daily partitions — the Spark analogue of MergeTree
+    * background part merges (the reference's storage engine merges parts
+    * continuously, cluster/clickhouse.yaml:31-34; a parquet lake runs this
+    * as a maintenance job because streaming ingest emits one file per
+    * micro-batch flush and a hot day accumulates hundreds of sub-row-group
+    * files whose per-file open/footer cost comes to dominate scans).
+    *
+    * Each selected partition is rewritten to `ceil(bytes/targetBytes)`
+    * files, re-clustered on the reference sort key with the same zstd +
+    * bloom-filter options as [[writePartitioned]] — row-group skipping and
+    * point-predicate blooms survive the merge. Partitions are processed
+    * independently (at scale: schedule one job per hot partition; cold
+    * partitions are selected out by the plan, making the job incremental).
+    *
+    * Swap protocol per partition: write to a hidden sibling dir, rename
+    * live → hidden trash, rename sibling → live, delete trash. A crash
+    * before the first rename leaves the old data live (a stale sibling is
+    * cleaned on re-run); a crash between the renames is repaired on re-run
+    * by restoring the trash dir. Data is never lost. Readers racing the
+    * swap see the partition vanish for the instant between renames — the
+    * same listing race any non-transactional object-store layout has; a
+    * table format with atomic commits is the upgrade path when readers
+    * cannot tolerate it.
+    *
+    * `jobParallelism` submits that many partition rewrites as CONCURRENT
+    * Spark jobs (driver threads): one fragmented day is a small job that
+    * cannot fill a large cluster, and running rewrites back-to-back leaves
+    * executors idle between them. Partitions are still swapped
+    * independently — a failure in one leaves every other partition either
+    * untouched or fully published.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20,
+      minFiles: Int = 4,
+      jobParallelism: Int = 1): Seq[CompactionStat] = {
+    require(jobParallelism >= 1, s"jobParallelism must be >= 1, got $jobParallelism")
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedCompaction(fs, base)
+    def compactOne(st: CompactionStat): CompactionStat = {
+      val live = new org.apache.hadoop.fs.Path(st.dir)
+      val tmp = new org.apache.hadoop.fs.Path(base, s".compact-tmp-${live.getName}")
+      val trash = new org.apache.hadoop.fs.Path(base, s".compact-old-${live.getName}")
+      fs.delete(tmp, true) // stale sibling from a crashed run
+      // hash-cluster on the sort-key prefix then sort: same within-day
+      // physical layout writePartitioned produces
+      val part = spark.read.parquet(st.dir)
+      withBloomOptions(
+          part.repartition(st.targetFiles,
+            Seq("cluster", "namespace", "app").map(col): _*)
+            .sortWithinPartitions(sortKey.map(col): _*)
+            .write.mode("overwrite").option("compression", "zstd"))
+        .parquet(tmp.toString)
+      if (!fs.rename(live, trash))
+        throw new java.io.IOException(s"compaction: cannot move $live aside")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(trash, live) // roll back; partition stays on old files
+        throw new java.io.IOException(s"compaction: cannot publish $tmp")
+      }
+      fs.delete(trash, true)
+      st
+    }
+    val plan = compactionPlan(spark, path, targetBytes, minFiles)
+    if (jobParallelism == 1 || plan.size <= 1) plan.map(compactOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(jobParallelism, plan.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val done = scala.concurrent.Future.sequence(
+          plan.map(st => scala.concurrent.Future(compactOne(st))))
+        scala.concurrent.Await.result(done, scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+  }
+
+  /** Repair the swap protocol's one non-atomic window: a trash dir with no
+    * live partition means a crash happened between the two renames —
+    * restore it. A trash dir WITH a live partition is debris from after a
+    * successful publish — drop it.
+    */
+  private def recoverInterruptedCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(base)) return
+    fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(".compact-old-"))
+      .foreach { trash =>
+        val live = new org.apache.hadoop.fs.Path(base,
+          trash.getName.stripPrefix(".compact-old-"))
+        if (!fs.exists(live)) fs.rename(trash, live)
+        else fs.delete(trash, true)
+      }
   }
 
   def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {

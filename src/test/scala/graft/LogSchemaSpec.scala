@@ -92,6 +92,84 @@ class LogSchemaSpec extends SparkTestBase {
     assert(dirs.isEmpty && before > 0)
   }
 
+  test("compactPartitions: fragmented days merge to the planned count; content, pruning and clustering survive") {
+    val out = tmp("graft-compact")
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf())).drop("id")
+    // fragment the table the way a streaming sink does: several small
+    // files per daily dir (bypass writePartitioned's clustering on purpose)
+    logs.withColumn("date", to_date(col("timestamp")))
+      .repartition(6)
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    val beforeRows = LogSchema.readLogs(spark, out).count()
+    val beforeContent = LogSchema.readLogs(spark, out)
+      .select(col("timestamp"), col("pod_name"), col("log")).collect()
+      .map(_.toString).sorted
+    def dataFiles(dir: String) =
+      new java.io.File(dir.stripPrefix("file:")).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val plan = LogSchema.compactionPlan(spark, out,
+      targetBytes = 1L << 40, minFiles = 2)
+    assert(plan.nonEmpty && plan.forall(st => st.files >= 2 && st.targetFiles == 1),
+      s"fixture must be fragmented: $plan")
+    // concurrent rewrite jobs (the scale path) — results must match the
+    // sequential plan exactly
+    val stats = LogSchema.compactPartitions(spark, out,
+      targetBytes = 1L << 40, minFiles = 2, jobParallelism = 3)
+    assert(stats.sortBy(_.dir) == plan)
+    stats.foreach { st =>
+      assert(dataFiles(st.dir).length == 1,
+        s"${st.dir} must compact to one file, had ${st.files}")
+    }
+    // content parity and pruning after the swap
+    val after = LogSchema.readLogs(spark, out)
+    assert(after.count() == beforeRows)
+    val afterContent = after.select(col("timestamp"), col("pod_name"), col("log"))
+      .collect().map(_.toString).sorted
+    assert(afterContent.sameElements(beforeContent))
+    val pruned = after.where(col("date") === "2024-01-05")
+    assert(pruned.queryExecution.executedPlan.collectLeaves().head.toString
+      .contains("2024-01-05"))
+    // clustering: each compacted file is sorted by the reference sort key
+    val oneFile = spark.read.parquet(
+      dataFiles(stats.head.dir).head.getAbsolutePath)
+    val keys = oneFile.select(LogSchema.sortKey.map(col): _*).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getTimestamp(6).getTime)
+    }
+    assert(keys.zip(keys.drop(1)).forall { case (a, b) =>
+      Ordering[(String, String, String, String, String, String, Long)].lteq(a, b)
+    }, "compacted file must stay clustered on the sort key")
+    // idempotence: a compacted table yields an empty plan
+    assert(LogSchema.compactPartitions(spark, out,
+      targetBytes = 1L << 40, minFiles = 2).isEmpty)
+  }
+
+  test("compaction swap recovery: trash-without-live restores the partition; debris next to a live dir is dropped") {
+    val out = tmp("graft-compact2")
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf())).drop("id")
+    logs.withColumn("date", to_date(col("timestamp")))
+      .repartition(3)
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    val beforeRows = LogSchema.readLogs(spark, out).count()
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("date=")).sortBy(_.getName)
+    // crash between the two renames: live dir moved aside, nothing published
+    val victim = dirs.head
+    val trash = new java.io.File(out, ".compact-old-" + victim.getName)
+    assert(victim.renameTo(trash))
+    // debris case: a stale trash dir NEXT TO a live partition
+    val debris = new java.io.File(out, ".compact-old-" + dirs.last.getName)
+    assert(debris.mkdir())
+    val stats = LogSchema.compactPartitions(spark, out,
+      targetBytes = 1L << 40, minFiles = 2)
+    assert(stats.nonEmpty)
+    assert(new java.io.File(out, victim.getName).exists(), "victim restored")
+    assert(!trash.exists() && !debris.exists(), "recovery leaves no hidden dirs")
+    assert(LogSchema.readLogs(spark, out).count() == beforeRows)
+  }
+
   test("approximate sketches land within tolerance of exact answers") {
     val ev = graft.sources.Tables.events(spark, sf())
     val row = ev.agg(
