@@ -8,7 +8,7 @@ object ProbeSubstr {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.01")
     for (name <- Seq("dedup_exact_substring", "dedup_semantic", "embedding_quantize");
          i <- 1 to 3) {
       val t0 = System.nanoTime()

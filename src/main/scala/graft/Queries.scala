@@ -232,6 +232,7 @@ object Queries {
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     Fixtures.logTableDir(s, dir)
     Fixtures.fbChunkDir(s, dir)
+    Fixtures.compactedLogTableDir(s, dir)
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
     Fixtures.clusters(s, dir).count()
