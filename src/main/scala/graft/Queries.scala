@@ -124,6 +124,24 @@ object Queries {
         out
       })
 
+    /** A partitioned log table with retention already enforced: the TTL
+      * drop (schema.sql:19) reckoned against the DATA's own "now" (its
+      * max day) so the fixture is deterministic across wall-clock time —
+      * keep the newest 7 days, drop the 23 older partition dirs.
+      */
+    def retainedLogTableDir(s: SparkSession, dir: String): String =
+      logTables.getOrElseUpdate(dir + "#retained", {
+        val out = java.nio.file.Files.createTempDirectory("graft-retained").toString
+        deleteOnExit(out)
+        val logs = LogSchema.logsFromEvents(t(s, dir, "events"))
+          .withColumn("date", to_date(col("timestamp")))
+        logs.write.mode("overwrite").partitionBy("date").parquet(out)
+        val maxDay = logs.agg(max(col("date"))).head.getDate(0).toLocalDate
+        val dropped = LogSchema.dropPartitionsBefore(s, out, maxDay.minusDays(6))
+        require(dropped.nonEmpty, "retention fixture must drop expired days")
+        out
+      })
+
     /** One shared ingest of the nested-JSON rendering of `events` — the
       * parse is the expensive step and both flatten_nested and
       * map_build_split consume the identical result.
@@ -233,6 +251,7 @@ object Queries {
     Fixtures.logTableDir(s, dir)
     Fixtures.fbChunkDir(s, dir)
     Fixtures.compactedLogTableDir(s, dir)
+    Fixtures.retainedLogTableDir(s, dir)
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
     Fixtures.clusters(s, dir).count()
@@ -1698,6 +1717,23 @@ object Queries {
         count(DISTINCT 'pod-' || user_id::VARCHAR) AS pods
         FROM events GROUP BY 1 ORDER BY day"""))
 
+  private val maintenanceRetention = Q(
+    // read side of the TTL-enforced fixture: surviving days must be
+    // exactly the newest 7 of the source table, with per-day content
+    // intact (the drop is directory-level — nothing inside a surviving
+    // partition may change)
+    (s, dir) =>
+      LogSchema.readLogs(s, Fixtures.retainedLogTableDir(s, dir))
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col("pod_name")).as("pods"))
+        .orderBy("day"),
+    Some("""WITH mx AS (SELECT max(ts::DATE) AS m FROM events)
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
+          count(DISTINCT 'pod-' || user_id::VARCHAR) AS pods
+        FROM events, mx WHERE ts::DATE >= m - INTERVAL 6 DAY
+        GROUP BY 1 ORDER BY day"""))
+
   private val dedupExactSubstring = Q(
     (s, dir) => Dedup.exactSubstringStats(t(s, dir, "documents"), "doc_id",
         "text", k = 8)
@@ -1851,5 +1887,6 @@ object Queries {
     "dedup_semantic" -> dedupSemantic,
     "embedding_quantize" -> embeddingQuantize,
     "maintenance_compact" -> maintenanceCompact,
+    "maintenance_retention" -> maintenanceRetention,
   )
 }

@@ -151,21 +151,27 @@ object LogSchema {
   def readLogs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Retention: drop partitions older than `days` (the TTL job,
-    * /root/reference/schema.sql:19 `TTL ... + INTERVAL 30 DAY`). At scale
-    * this is a metadata-only directory drop, not a rewrite.
-    */
   /** Execute retention: delete expired daily partition directories and
-    * return what was dropped. Metadata/directory-level, no data rewrite —
-    * the O(1)-per-partition equivalent of MergeTree TTL part drops.
+    * return what was dropped (the TTL job, /root/reference/schema.sql:19
+    * `TTL ... + INTERVAL 30 DAY`). Metadata/directory-level, no data
+    * rewrite — the O(1)-per-partition equivalent of MergeTree TTL part
+    * drops.
     */
-  def dropExpiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {
+  def dropExpiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] =
+    dropPartitionsBefore(spark, path, retentionCutoff(spark, days))
+
+  /** Retention against an EXPLICIT cutoff date (exclusive): compliance
+    * holds, backfill trims, and tests all need "drop before this date"
+    * decoupled from the wall clock; the `days` form above is the
+    * production TTL sugar over this.
+    */
+  def dropPartitionsBefore(spark: SparkSession, path: String, cutoff: java.time.LocalDate): Seq[String] = {
     // resolve the filesystem FROM the path — FileSystem.get(conf) returns
     // the default FS, which breaks (or silently no-ops) when the log table
     // lives on a different store (s3a:// table with hdfs:// defaultFS)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val doomed = expiredPartitions(spark, path, days)
+    val doomed = partitionsBefore(spark, path, cutoff)
     doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
     doomed
   }
@@ -304,15 +310,27 @@ object LogSchema {
       }
   }
 
-  def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] = {
-    // "today" must be reckoned in the SESSION timezone — partition names
-    // come from to_date() under spark.sql.session.timeZone, and a skewed
-    // JVM default zone (e.g. UTC+13 host, UTC session) would move the
-    // cutoff a day forward and delete a still-live partition
+  def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] =
+    partitionsBefore(spark, path, retentionCutoff(spark, days))
+
+  /** The `days`-TTL cutoff. "Today" must be reckoned in the SESSION
+    * timezone — partition names come from to_date() under
+    * spark.sql.session.timeZone, and a skewed JVM default zone (e.g.
+    * UTC+13 host, UTC session) would move the cutoff a day forward and
+    * delete a still-live partition.
+    */
+  private def retentionCutoff(spark: SparkSession, days: Int): java.time.LocalDate = {
     val tz = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone",
         java.util.TimeZone.getDefault.getID))
-    val cutoff = java.time.LocalDate.now(tz).minusDays(days.toLong)
+    java.time.LocalDate.now(tz).minusDays(days.toLong)
+  }
+
+  /** Daily partition dirs strictly before `cutoff` — the selection half
+    * of retention, split from the delete so it can be dry-run (and
+    * tested) independently, mirroring [[compactionPlan]]/[[compactPartitions]].
+    */
+  def partitionsBefore(spark: SparkSession, path: String, cutoff: java.time.LocalDate): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Seq.empty

@@ -92,6 +92,28 @@ class LogSchemaSpec extends SparkTestBase {
     assert(dirs.isEmpty && before > 0)
   }
 
+  test("dropPartitionsBefore: explicit cutoff keeps newer days byte-identical, survivors intact") {
+    val out = tmp("graft-ttl3")
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf())).drop("id")
+    LogSchema.writePartitioned(logs, out)
+    val cutoff = java.time.LocalDate.parse("2024-01-25")
+    val expectKeep = LogSchema.readLogs(spark, out)
+      .where(col("date") >= lit(java.sql.Date.valueOf(cutoff))).count()
+    assert(expectKeep > 0, "fixture must span the cutoff")
+    // dry-run selection and the actual drop must agree
+    val planned = LogSchema.partitionsBefore(spark, out, cutoff).toSet
+    val dropped = LogSchema.dropPartitionsBefore(spark, out, cutoff).toSet
+    assert(planned == dropped && dropped.nonEmpty)
+    assert(dropped.forall { p =>
+      java.time.LocalDate.parse(
+        p.split("date=").last).isBefore(cutoff)
+    })
+    val surviving = LogSchema.readLogs(spark, out)
+    assert(surviving.count() == expectKeep)
+    assert(surviving.agg(min(col("date"))).head.getDate(0).toLocalDate == cutoff)
+  }
+
   test("compactPartitions: fragmented days merge to the planned count; content, pruning and clustering survive") {
     val out = tmp("graft-compact")
     val logs = LogSchema.logsFromEvents(
