@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.functions.Rounding.r
-import graft.model.LogSchema
+import graft.model.{LogSchema, NgramIndex}
 import graft.operators.{Dedup, Ingest, IngestConfig, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -142,6 +142,18 @@ object Queries {
         out
       })
 
+    /** The partitioned log table with its n-gram bloom skip index built
+      * (sidecar only — the underscore dir is invisible to table reads, so
+      * sharing [[logTableDir]]'s physical table is safe). Small blooms:
+      * fixture files hold a few thousand distinct grams each.
+      */
+    def indexedLogTableDir(s: SparkSession, dir: String): String =
+      logTables.getOrElseUpdate(dir + "#ngramidx", {
+        val base = logTableDir(s, dir)
+        NgramIndex.build(s, base, n = 4, expectedNdv = 1L << 16, fpp = 0.02)
+        base
+      })
+
     /** One shared ingest of the nested-JSON rendering of `events` — the
       * parse is the expensive step and both flatten_nested and
       * map_build_split consume the identical result.
@@ -252,6 +264,7 @@ object Queries {
     Fixtures.fbChunkDir(s, dir)
     Fixtures.compactedLogTableDir(s, dir)
     Fixtures.retainedLogTableDir(s, dir)
+    Fixtures.indexedLogTableDir(s, dir)
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
     Fixtures.clusters(s, dir).count()
@@ -379,6 +392,20 @@ object Queries {
     // concat_ws (null-skipping), not `||` (null-propagating): the log view
     // builds its line with concat_ws, and a NULL props row would LIKE-drop
     // under || while Spark keeps it
+    Some("""SELECT event_id AS id FROM events
+        WHERE concat_ws(' ', event_type, props) LIKE '%purchase%' ORDER BY id"""))
+
+  /** The same substring search THROUGH the n-gram bloom skip index
+    * ([[graft.model.NgramIndex]], the ngrambf_v1 analogue): prune files by
+    * needle-gram bloom membership, scan survivors, re-apply the exact
+    * filter. Oracle-identical to [[filterLogContains]] by construction —
+    * that equivalence (pruned scan ≡ full scan) is exactly what the
+    * hash-match proves.
+    */
+  private val filterLogContainsIndexed = Q(
+    (s, dir) => NgramIndex.searchLogs(
+        s, Fixtures.indexedLogTableDir(s, dir), "purchase")
+      .select("id").orderBy("id"),
     Some("""SELECT event_id AS id FROM events
         WHERE concat_ws(' ', event_type, props) LIKE '%purchase%' ORDER BY id"""))
 
@@ -1888,5 +1915,6 @@ object Queries {
     "embedding_quantize" -> embeddingQuantize,
     "maintenance_compact" -> maintenanceCompact,
     "maintenance_retention" -> maintenanceRetention,
+    "filter_log_contains_indexed" -> filterLogContainsIndexed,
   )
 }

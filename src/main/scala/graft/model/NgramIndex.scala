@@ -1,0 +1,176 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{GraftFunctions, NgramBloomAgg, NgramBloomExprs, NgramHash}
+
+/** A file-skipping n-gram bloom index for substring search over `log` —
+  * the Spark-lake analogue of ClickHouse's `ngrambf_v1` MergeTree skip
+  * index (the upgrade klogs deployments bolt onto the reference's table,
+  * /root/reference/schema.sql:15-19, when `log LIKE '%needle%'` at scale
+  * starts reading every granule).
+  *
+  * Shape: one sidecar row per data file — `(file, n, bloom)` where the
+  * bloom holds every byte n-gram of every log line in that file — stored
+  * as parquet under `_graft_ngram_index/` INSIDE the table directory
+  * (underscore-prefixed, so Spark's file listing never surfaces it to
+  * table reads). A search hashes the needle's n-grams and keeps only the
+  * files whose bloom might contain ALL of them, then re-applies the exact
+  * `contains` filter — bloom false positives cost I/O, never correctness.
+  *
+  * Scale contract (the reason this exists):
+  *   - The index build is one partial-combined aggregate keyed by
+  *     `input_file_name()`: tasks gram their own rows locally and the
+  *     shuffle carries one bloom per file, never row data. Incremental by
+  *     construction — only files absent from the index are read.
+  *   - The probe scans the INDEX (O(files) rows of ~ndv/8 bytes), with the
+  *     blooms evaluated DISTRIBUTED ([[NgramBloomExprs.bloomContainsAll]]);
+  *     only matching file PATHS reach the driver, and a path list is
+  *     already driver-scale state (Spark's own FileIndex holds one).
+  *   - Staleness is safe, not corrupting: a live file missing from the
+  *     index (fresh ingest, compaction rewrite) is always scanned; an
+  *     index row whose file is gone (TTL drop, compaction) is ignored.
+  *     Re-running [[build]] converges the index; [[vacuum]] drops dead rows.
+  */
+object NgramIndex {
+  val IndexDirName = "_graft_ngram_index"
+
+  /** Pruning decision for one search: which live data files must be read,
+    * and why. `candidates` = bloom-passing indexed files + unindexed
+    * files; `pruned` = live files the index proved cannot match.
+    */
+  case class Pruning(candidates: Seq[String], pruned: Long, unindexed: Long)
+
+  private def indexPath(tablePath: String) =
+    new org.apache.hadoop.fs.Path(tablePath, IndexDirName)
+
+  /** Scheme-insensitive file identity: `input_file_name()`, `inputFiles`
+    * and Hadoop listings render the same local file as `file:///p`,
+    * `file:/p` or `/p` depending on the producer.
+    */
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def indexExists(spark: SparkSession, tablePath: String): Boolean = {
+    val p = indexPath(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  private def readIndex(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(indexPath(tablePath).toString)
+
+  /** Index every live data file not yet indexed; returns the newly indexed
+    * files. `rebuild = true` starts from scratch (also the way to change
+    * `n`/sizing, and implicitly vacuums dead rows).
+    *
+    * `expectedNdv` sizes each per-file bloom for the file's DISTINCT
+    * n-gram count: ~0.7·ndv·|ln fpp| bits, so the 1M/2% default is
+    * ~700 KB per data file — sidecar overhead well under 0.1% of a
+    * target-size compacted file, the ngrambf_v1 trade.
+    */
+  def build(
+      spark: SparkSession,
+      tablePath: String,
+      n: Int = 4,
+      expectedNdv: Long = 1L << 20,
+      fpp: Double = 0.02,
+      rebuild: Boolean = false): Seq[String] = {
+    GraftFunctions.registerAll(spark)
+    val live = LogSchema.readLogs(spark, tablePath).inputFiles.toSeq
+    val have: Set[String] =
+      if (rebuild || !indexExists(spark, tablePath)) Set.empty
+      else readIndex(spark, tablePath).select("file")
+        .collect().map(r => norm(r.getString(0))).toSet
+    val todo = live.filterNot(f => have(norm(f)))
+    if (todo.isEmpty) return Seq.empty
+    val rows = spark.read
+      .option("basePath", tablePath)
+      .parquet(todo: _*)
+      .select(input_file_name().as("file"), col("log"))
+      .groupBy("file")
+      .agg(NgramBloomAgg.ngramBloom(col("log"), n, expectedNdv, fpp).as("bloom"))
+      .withColumn("n", lit(n))
+    rows.write.mode(if (rebuild) "overwrite" else "append")
+      .parquet(indexPath(tablePath).toString)
+    todo
+  }
+
+  /** Drop index rows whose data file no longer exists (post-compaction /
+    * post-TTL hygiene; correctness never needs it — dead rows are ignored
+    * by [[prune]] — but they cost probe I/O forever).
+    */
+  def vacuum(spark: SparkSession, tablePath: String): Long = {
+    if (!indexExists(spark, tablePath)) return 0L
+    val liveSet = LogSchema.readLogs(spark, tablePath).inputFiles.map(norm).toSet
+    val all = readIndex(spark, tablePath).collect()
+    val keep = all.filter(r => liveSet(norm(r.getString(r.fieldIndex("file")))))
+    val dead = all.length - keep.length
+    if (dead > 0) {
+      val kept = spark.createDataFrame(
+        java.util.Arrays.asList(keep: _*),
+        readIndex(spark, tablePath).schema)
+      // stage-then-swap so a crash mid-vacuum leaves a usable index
+      val ip = indexPath(tablePath)
+      val staged = new org.apache.hadoop.fs.Path(tablePath, "." + IndexDirName + ".vacuum")
+      kept.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ip, true)
+      fs.rename(staged, ip)
+    }
+    dead.toLong
+  }
+
+  /** The pruning decision for `needle`, or None when the index cannot help
+    * (missing, or the needle is shorter than the gram width — no gram of
+    * the needle exists to demand of a file).
+    */
+  def prune(
+      spark: SparkSession,
+      tablePath: String,
+      needle: String,
+      n: Int = 4): Option[Pruning] = {
+    GraftFunctions.registerAll(spark)
+    if (!indexExists(spark, tablePath)) return None
+    val hashes = NgramHash.needleHashes(needle, n)
+    if (hashes.isEmpty) return None
+    // distributed probe: blooms never leave the executors — one scan of
+    // the index brings back (path, verdict) pairs only
+    val verdicts = readIndex(spark, tablePath).where(col("n") === lit(n))
+      .select(col("file"),
+        NgramBloomExprs.bloomContainsAll(col("bloom"), hashes).as("ok"))
+      .collect().map(r => norm(r.getString(0)) -> r.getBoolean(1)).toMap
+    val passing = verdicts.collect { case (f, true) => f }.toSet
+    val indexed = verdicts.keySet
+    val live = LogSchema.readLogs(spark, tablePath).inputFiles.toSeq
+    val (known, unindexed) = live.partition(f => indexed(norm(f)))
+    val candidates = known.filter(f => passing(norm(f))) ++ unindexed
+    Some(Pruning(candidates, pruned = (live.size - candidates.size).toLong,
+      unindexed = unindexed.size.toLong))
+  }
+
+  /** Substring search over the table's `log` column, skip-reading via the
+    * index when it can prove files irrelevant. Exactly equivalent to
+    * `readLogs(...).where($"log".contains(needle))` for every needle and
+    * every index state — the bloom only ever shrinks the file list, and
+    * the exact filter is re-applied on what remains.
+    */
+  def searchLogs(
+      spark: SparkSession,
+      tablePath: String,
+      needle: String,
+      n: Int = 4): DataFrame = {
+    val full = LogSchema.readLogs(spark, tablePath)
+      .where(col("log").contains(needle))
+    prune(spark, tablePath, needle, n) match {
+      case Some(p) if p.pruned > 0 =>
+        if (p.candidates.isEmpty) full.limit(0)
+        else spark.read
+          .option("basePath", tablePath) // keep the `date` partition column
+          .parquet(p.candidates: _*)
+          .where(col("log").contains(needle))
+      case _ => full
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.expressions.NgramHash
+import graft.model.{LogSchema, NgramIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The n-gram bloom skip index (NgramIndex, the ngrambf_v1 analogue):
+  * search-equivalence for every needle shape, real file skipping, and
+  * safety under the two staleness producers (fresh unindexed files,
+  * compaction rewriting indexed files away).
+  */
+class NgramIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String = {
+    val out = tmp(prefix)
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf()))
+    LogSchema.writePartitioned(logs, out)
+    out
+  }
+
+  private def fullScan(path: String, needle: String): DataFrame =
+    LogSchema.readLogs(spark, path).where(col("log").contains(needle))
+
+  private def sameIds(a: DataFrame, b: DataFrame): Unit = {
+    val l = a.select("id").as[Long].collect().sorted.toSeq
+    val r = b.select("id").as[Long].collect().sorted.toSeq
+    assert(l == r)
+  }
+
+  test("gram hashing: needle grams are a subset of any containing line's grams") {
+    val line = "error: purchase cart failed for pod-17"
+    val lineGrams = NgramHash.gramHashes(
+      line.getBytes("UTF-8"), 4).toSet
+    for (needle <- Seq("purchase", "pod-17", "error: p", "口口口口grams")) {
+      if (line.contains(needle))
+        assert(NgramHash.needleHashes(needle, 4).forall(lineGrams))
+    }
+    assert(NgramHash.needleHashes("abc", 4).isEmpty, "needle shorter than n has no grams")
+  }
+
+  test("searchLogs == full scan for present, rare, absent, and too-short needles") {
+    val table = freshTable("graft-ngidx")
+    val indexed = NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    assert(indexed.nonEmpty)
+    for (needle <- Seq("purchase", "view", "no-such-needle-xyzzy", "pur", "")) {
+      sameIds(NgramIndex.searchLogs(spark, table, needle), fullScan(table, needle))
+    }
+    // too-short needle: the index must decline, not guess
+    assert(NgramIndex.prune(spark, table, "pur").isEmpty)
+    assert(NgramIndex.prune(spark, table, "purchase").isDefined)
+  }
+
+  test("a needle unique to one partition reads fewer files than the table has") {
+    val table = freshTable("graft-ngidx-prune")
+    // plant a unique marker in exactly one day by appending a one-row file
+    val one = LogSchema.readLogs(spark, table).limit(1)
+      .withColumn("log", lit("zqxjkwv-marker-row only here"))
+      .drop("date").withColumn("date", lit(java.sql.Date.valueOf("2024-01-03")))
+    one.write.mode("append").partitionBy("date").parquet(table)
+    NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    val total = LogSchema.readLogs(spark, table).inputFiles.length
+    val p = NgramIndex.prune(spark, table, "zqxjkwv-marker").get
+    assert(p.unindexed == 0, "everything was indexed")
+    assert(p.candidates.size < total && p.pruned > 0,
+      s"index must skip files: ${p.candidates.size} of $total")
+    val hits = NgramIndex.searchLogs(spark, table, "zqxjkwv-marker")
+    assert(hits.count() == 1)
+    // the read itself (not just the decision) touched only candidate files
+    assert(hits.inputFiles.length == p.candidates.size)
+  }
+
+  test("empty candidate set short-circuits to an empty result with the right schema") {
+    val table = freshTable("graft-ngidx-empty")
+    NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    val p = NgramIndex.prune(spark, table, "no-such-needle-xyzzy").get
+    // with per-file ndv this small the fpp makes all-files-pruned near
+    // certain; tolerate a stray false positive rather than flake
+    if (p.candidates.isEmpty) {
+      val res = NgramIndex.searchLogs(spark, table, "no-such-needle-xyzzy")
+      assert(res.isEmpty)
+      assert(res.schema == LogSchema.readLogs(spark, table).schema)
+    }
+  }
+
+  test("staleness: unindexed fresh files are scanned; compaction-rewritten files stay searchable; vacuum drops dead rows") {
+    val table = tmp("graft-ngidx-stale")
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf()))
+      .withColumn("date", to_date(col("timestamp")))
+    // fragmented layout so compaction has work to do
+    logs.repartition(6).write.mode("overwrite").partitionBy("date").parquet(table)
+    val first = NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    assert(first.nonEmpty)
+    // incremental: nothing new => no-op
+    assert(NgramIndex.build(spark, table, expectedNdv = 1L << 14).isEmpty)
+
+    // fresh unindexed partition: search must still see it (sound fallback)
+    val extra = LogSchema.readLogs(spark, table).limit(1)
+      .withColumn("log", lit("fresh purchase row after indexing"))
+      .drop("date").withColumn("date", lit(java.sql.Date.valueOf("2024-02-27")))
+    extra.write.mode("append").partitionBy("date").parquet(table)
+    // collect the truth ONCE: a kept DataFrame's lineage would pin the
+    // pre-compaction file list and fail the re-read after the swap
+    def ids(df: DataFrame): Seq[Long] = df.select("id").as[Long].collect().sorted.toSeq
+    val expected = ids(fullScan(table, "purchase"))
+    assert(ids(NgramIndex.searchLogs(spark, table, "purchase")) == expected)
+    val p1 = NgramIndex.prune(spark, table, "purchase").get
+    assert(p1.unindexed > 0, "the fresh file must be flagged unindexed")
+
+    // incremental build indexes exactly the fresh file
+    val second = NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    assert(second.size == 1)
+
+    // compaction rewrites indexed files away: dead index rows must be
+    // ignored, new files scanned unconditionally => still exact
+    val stats = LogSchema.compactPartitions(spark, table,
+      targetBytes = 1L << 40, minFiles = 2, jobParallelism = 2)
+    assert(stats.nonEmpty, "compaction must have merged fragmented days")
+    assert(ids(NgramIndex.searchLogs(spark, table, "purchase")) == expected)
+
+    // vacuum reports the dead rows and the index still works after
+    val dead = NgramIndex.vacuum(spark, table)
+    assert(dead > 0)
+    val third = NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    assert(third.nonEmpty, "post-compaction files get re-indexed")
+    assert(ids(NgramIndex.searchLogs(spark, table, "purchase")) == expected)
+    assert(NgramIndex.prune(spark, table, "purchase").get.unindexed == 0)
+  }
+}
