@@ -409,6 +409,23 @@ object Queries {
     Some("""SELECT event_id AS id FROM events
         WHERE concat_ws(' ', event_type, props) LIKE '%purchase%' ORDER BY id"""))
 
+  /** The front-end riding the skip index: the parsed query's provable
+    * log-needles ([[graft.query.LogQuery.requiredLogNeedles]]) prune
+    * files before the full compiled predicate runs. The klogs user types
+    * a word plus metadata filters; the engine reads only files whose
+    * gram blooms admit the word.
+    */
+  private val queryLanguageIndexed = Q(
+    (s, dir) => NgramIndex.searchLogsQuery(
+        s, Fixtures.indexedLogTableDir(s, dir),
+        "log~'purchase' _and_ cluster='c1' _and_ namespace!='signup'")
+      .select("id").orderBy("id"),
+    Some("""SELECT event_id AS id FROM events
+        WHERE concat_ws(' ', event_type, props) LIKE '%purchase%'
+          AND ('c' || CAST(user_id % 2 AS VARCHAR)) = 'c1'
+          AND event_type != 'signup'
+        ORDER BY id"""))
+
   /** The query-language front-end end-to-end: the filter string a klogs
     * user types into the reference's documented query UI (kobs,
     * /root/reference/README.md:6-8), parsed and compiled by
@@ -1916,5 +1933,6 @@ object Queries {
     "maintenance_compact" -> maintenanceCompact,
     "maintenance_retention" -> maintenanceRetention,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
+    "query_language_indexed" -> queryLanguageIndexed,
   )
 }

@@ -173,4 +173,30 @@ object NgramIndex {
       case _ => full
     }
   }
+
+  /** The query front-end through the skip index: any needle the parsed
+    * query provably requires of `log` ([[graft.query.LogQuery.
+    * requiredLogNeedles]]) prunes files; several needles are ALL required,
+    * so their candidate sets intersect (unindexed files sit in every set
+    * and survive — the staleness contract carries over). The full compiled
+    * predicate then runs over the surviving files, so the index never
+    * changes an answer, only the bytes read to produce it.
+    */
+  def searchLogsQuery(
+      spark: SparkSession,
+      tablePath: String,
+      query: String,
+      n: Int = 4): DataFrame = {
+    import graft.query.LogQuery
+    val full = LogQuery.filter(LogSchema.readLogs(spark, tablePath), query)
+    val prunings = LogQuery.requiredLogNeedles(query)
+      .flatMap(prune(spark, tablePath, _, n))
+    if (prunings.isEmpty) return full
+    val cand = prunings.map(_.candidates.toSet).reduce(_ intersect _)
+    if (prunings.forall(_.pruned == 0) && cand.nonEmpty) full
+    else if (cand.isEmpty) full.limit(0)
+    else LogQuery.filter(
+      spark.read.option("basePath", tablePath).parquet(cand.toSeq: _*),
+      query)
+  }
 }

@@ -351,6 +351,27 @@ object LogQuery {
   def filter(df: DataFrame, query: String): DataFrame =
     df.where(predicate(df, query))
 
+  /** Substrings that every matching row's `log` line PROVABLY contains —
+    * the needles a skip index ([[graft.model.NgramIndex]]) may prune
+    * files with. Deliberately conservative, since pruning on a wrong
+    * needle silently loses rows: only `log = 'v'` (equality implies
+    * containment) and `log ~ 'v'` with a metacharacter-free pattern (a
+    * literal regex matches iff the line contains it) contribute, and only
+    * through AND paths — an OR/NOT branch requires nothing of a row, and
+    * `=~` ILIKE is case-insensitive where the byte-gram index is not.
+    */
+  def requiredLogNeedles(query: String): Seq[String] = {
+    def literalRegex(s: String): Boolean =
+      s.nonEmpty && !s.exists(".\\[](){}*+?^$|".contains(_))
+    def go(e: Expr): Seq[String] = e match {
+      case Cmp("log", "=", SLit(v)) if v.nonEmpty => Seq(v)
+      case Cmp("log", "~", SLit(v)) if literalRegex(v) => Seq(v)
+      case And(l, r) => go(l) ++ go(r)
+      case _ => Nil
+    }
+    parse(query).map(go).getOrElse(Nil).distinct
+  }
+
   /** The full front-end request shape: query + time range + order + limit
     * (the reference front-end always brackets a query with a time selector
     * and renders newest-first pages).

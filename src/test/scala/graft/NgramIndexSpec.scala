@@ -85,6 +85,51 @@ class NgramIndexSpec extends SparkTestBase {
     }
   }
 
+  test("requiredLogNeedles: only provable AND-path log needles, never OR/NOT/ILIKE/regex branches") {
+    import graft.query.LogQuery.requiredLogNeedles
+    assert(requiredLogNeedles("log~'purchase' _and_ cluster='c1'") == Seq("purchase"))
+    assert(requiredLogNeedles("log='exact line'") == Seq("exact line"))
+    assert(requiredLogNeedles("log~'abc' _and_ log~'def'") == Seq("abc", "def"))
+    // regex metacharacters: containment is not provable
+    assert(requiredLogNeedles("log~'[0-9]+'").isEmpty)
+    // OR: neither branch is required of every row
+    assert(requiredLogNeedles("log~'abc' _or_ log~'def'").isEmpty)
+    // NOT: requires absence, prunes nothing
+    assert(requiredLogNeedles("_not_ log~'abc'").isEmpty)
+    // ILIKE is case-insensitive; the byte-gram index is not
+    assert(requiredLogNeedles("log=~'%abc%'").isEmpty)
+    // other fields do not live in the log grams
+    assert(requiredLogNeedles("namespace='purchase'").isEmpty)
+  }
+
+  test("searchLogsQuery: front-end parity with the unindexed filter, and real pruning on a planted needle") {
+    val table = freshTable("graft-ngidx-fe")
+    val one = LogSchema.readLogs(spark, table).limit(1)
+      .withColumn("log", lit("vbnqpzw-feneedle purchase row"))
+      .withColumn("cluster", lit("c1"))
+      .drop("date").withColumn("date", lit(java.sql.Date.valueOf("2024-01-05")))
+    one.write.mode("append").partitionBy("date").parquet(table)
+    NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    val total = LogSchema.readLogs(spark, table).inputFiles.length
+
+    // mixed query: needle + metadata; parity against the plain front-end
+    val q = "log~'purchase' _and_ cluster='c1' _and_ namespace!='signup'"
+    sameIds(
+      NgramIndex.searchLogsQuery(spark, table, q),
+      graft.query.LogQuery.filter(LogSchema.readLogs(spark, table), q))
+
+    // the planted-needle query reads fewer files than the table holds
+    val planted = NgramIndex.searchLogsQuery(
+      spark, table, "log~'vbnqpzw-feneedle' _and_ cluster='c1'")
+    assert(planted.count() == 1)
+    assert(planted.inputFiles.length < total)
+
+    // a query with no provable needle falls back to the full scan
+    val noNeedle = NgramIndex.searchLogsQuery(spark, table, "log~'[0-9]+'")
+    sameIds(noNeedle,
+      graft.query.LogQuery.filter(LogSchema.readLogs(spark, table), "log~'[0-9]+'"))
+  }
+
   test("staleness: unindexed fresh files are scanned; compaction-rewritten files stay searchable; vacuum drops dead rows") {
     val table = tmp("graft-ngidx-stale")
     val logs = LogSchema.logsFromEvents(
