@@ -36,6 +36,12 @@ import graft.expressions.{GraftFunctions, NgramBloomAgg, NgramBloomExprs, NgramH
 object NgramIndex {
   val IndexDirName = "_graft_ngram_index"
 
+  /** Index sizing, bundled so callers that thread it through (the
+    * streaming sink, maintenance jobs) cannot mix one build's `n` with
+    * another's bloom dimensions.
+    */
+  case class Config(n: Int = 4, expectedNdv: Long = 1L << 20, fpp: Double = 0.02)
+
   /** Pruning decision for one search: which live data files must be read,
     * and why. `candidates` = bloom-passing indexed files + unindexed
     * files; `pruned` = live files the index proved cannot match.
@@ -69,6 +75,12 @@ object NgramIndex {
     * n-gram count: ~0.7·ndv·|ln fpp| bits, so the 1M/2% default is
     * ~700 KB per data file — sidecar overhead well under 0.1% of a
     * target-size compacted file, the ngrambf_v1 trade.
+    *
+    * `partitions` scopes discovery to those `date=` partition DIRS (full
+    * paths): both the live-file listing and the already-indexed probe
+    * touch only the named days, so a caller that knows what it just wrote
+    * (the streaming sink indexes per micro-batch) pays O(hot partitions),
+    * not O(table), per invocation. Empty = whole table.
     */
   def build(
       spark: SparkSession,
@@ -76,13 +88,37 @@ object NgramIndex {
       n: Int = 4,
       expectedNdv: Long = 1L << 20,
       fpp: Double = 0.02,
-      rebuild: Boolean = false): Seq[String] = {
+      rebuild: Boolean = false,
+      partitions: Seq[String] = Nil): Seq[String] = {
     GraftFunctions.registerAll(spark)
-    val live = LogSchema.readLogs(spark, tablePath).inputFiles.toSeq
+    val live: Seq[String] =
+      if (partitions.isEmpty) LogSchema.readLogs(spark, tablePath).inputFiles.toSeq
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        partitions.flatMap { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(conf)
+          if (!fs.exists(p)) Nil
+          else fs.listStatus(p).toSeq.collect {
+            case f if f.isFile && !f.getPath.getName.startsWith(".") &&
+              !f.getPath.getName.startsWith("_") => f.getPath.toString
+          }
+        }
+      }
     val have: Set[String] =
       if (rebuild || !indexExists(spark, tablePath)) Set.empty
-      else readIndex(spark, tablePath).select("file")
-        .collect().map(r => norm(r.getString(0))).toSet
+      else {
+        // scoped probe: a parquet string predicate per named day keeps the
+        // collected path set proportional to the partitions being indexed
+        val idx = readIndex(spark, tablePath).select("file")
+        val scoped =
+          if (partitions.isEmpty) idx
+          else partitions
+            .map(d => "/" + new org.apache.hadoop.fs.Path(d).getName + "/")
+            .map(seg => idx.where(col("file").contains(seg)))
+            .reduce(_ unionAll _)
+        scoped.collect().map(r => norm(r.getString(0))).toSet
+      }
     val todo = live.filterNot(f => have(norm(f)))
     if (todo.isEmpty) return Seq.empty
     val rows = spark.read
@@ -95,6 +131,21 @@ object NgramIndex {
     rows.write.mode(if (rebuild) "overwrite" else "append")
       .parquet(indexPath(tablePath).toString)
     todo
+  }
+
+  /** Post-maintenance convergence in one call: index whatever compaction /
+    * retention / ingest left unindexed, then drop rows for files they
+    * removed. Returns (newly indexed files, dead rows vacuumed). Safe to
+    * run at any time — both halves are idempotent no-ops on a converged
+    * index.
+    */
+  def maintain(
+      spark: SparkSession,
+      tablePath: String,
+      cfg: Config = Config()): (Seq[String], Long) = {
+    val indexed = build(spark, tablePath, cfg.n, cfg.expectedNdv, cfg.fpp)
+    val dead = vacuum(spark, tablePath)
+    (indexed, dead)
   }
 
   /** Drop index rows whose data file no longer exists (post-compaction /

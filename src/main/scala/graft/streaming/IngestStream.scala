@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.model.LogSchema
+import graft.model.{LogSchema, NgramIndex}
 import graft.operators.{Ingest, IngestConfig}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -132,7 +132,8 @@ object IngestStream {
       outPath: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-      queryName: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+      queryName: Option[String] = None,
+      ngramIndex: Option[NgramIndex.Config] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     // resolved once per writer, on the driver (foreachBatch runs there):
     // the checkpoint metadata file exists before the first batch fires
     var generationId: String = null
@@ -149,13 +150,36 @@ object IngestStream {
           s"_graft_batches/$generationId")
         val marker = new org.apache.hadoop.fs.Path(ns, batchId.toString)
         if (!fs.exists(marker)) {
-          LogSchema.writePartitioned(batch, outPath, mode = "append")
-          fs.create(marker, true).close()
-          if (batchId >= MarkerRetention) {
-            val old = new org.apache.hadoop.fs.Path(ns,
-              (batchId - MarkerRetention).toString)
-            try { fs.delete(old, false); () } catch { case _: Exception => }
-          }
+          // cached only when indexing needs a second pass over the batch
+          // (the distinct-day probe); otherwise the write is the sole pass
+          if (ngramIndex.isDefined) batch.persist()
+          try {
+            LogSchema.writePartitioned(batch, outPath, mode = "append")
+            fs.create(marker, true).close()
+            if (batchId >= MarkerRetention) {
+              val old = new org.apache.hadoop.fs.Path(ns,
+                (batchId - MarkerRetention).toString)
+              try { fs.delete(old, false); () } catch { case _: Exception => }
+            }
+            // Index-at-ingest (ClickHouse builds ngrambf_v1 granules as
+            // part of every INSERT, schema.sql:15-19): incrementally index
+            // the days this batch touched — O(hot partitions) per batch,
+            // not O(table). Runs AFTER the commit marker on purpose: an
+            // index failure must not re-append the batch's data on replay,
+            // and a crash in between merely leaves files unindexed (they
+            // are scanned, not lost — NgramIndex's staleness contract)
+            // until the next batch's build converges them.
+            ngramIndex.foreach { cfg =>
+              // same day derivation as writePartitioned: date=to_date(ts)
+              val days = batch
+                .select(to_date(col("timestamp")).cast("string").as("d"))
+                .distinct().collect().map(_.getString(0))
+              val dirs = days.map(d =>
+                new org.apache.hadoop.fs.Path(base, s"date=$d").toString).toSeq
+              NgramIndex.build(batch.sparkSession, outPath,
+                cfg.n, cfg.expectedNdv, cfg.fpp, partitions = dirs)
+            }
+          } finally if (ngramIndex.isDefined) { batch.unpersist(); () }
         }
         ()
       }

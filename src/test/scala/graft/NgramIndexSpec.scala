@@ -130,6 +130,85 @@ class NgramIndexSpec extends SparkTestBase {
       graft.query.LogQuery.filter(LogSchema.readLogs(spark, table), "log~'[0-9]+'"))
   }
 
+  test("maintain: one call converges the index after compaction; scoped build touches only the named day") {
+    val table = tmp("graft-ngidx-maint")
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf()))
+      .withColumn("date", to_date(col("timestamp")))
+    logs.repartition(4).write.mode("overwrite").partitionBy("date").parquet(table)
+    NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    val stats = LogSchema.compactPartitions(spark, table,
+      targetBytes = 1L << 40, minFiles = 2, jobParallelism = 2)
+    assert(stats.nonEmpty)
+
+    // compaction left fresh files unindexed and dead rows behind; one
+    // maintain() call must close both gaps
+    val (indexed, dead) = NgramIndex.maintain(spark, table,
+      NgramIndex.Config(expectedNdv = 1L << 14))
+    assert(indexed.nonEmpty && dead > 0)
+    assert(NgramIndex.prune(spark, table, "purchase").get.unindexed == 0)
+    // ...and is an idempotent no-op on a converged index
+    assert(NgramIndex.maintain(spark, table,
+      NgramIndex.Config(expectedNdv = 1L << 14)) == ((Seq.empty, 0L)))
+
+    // scoped build: plant one fresh file in each of two days, index only one
+    def plant(day: String, marker: String): Unit =
+      LogSchema.readLogs(spark, table).limit(1)
+        .withColumn("log", lit(marker))
+        .drop("date").withColumn("date", lit(java.sql.Date.valueOf(day)))
+        .write.mode("append").partitionBy("date").parquet(table)
+    plant("2024-03-01", "scoped-day-a row")
+    plant("2024-03-02", "scoped-day-b row")
+    val dirA = new java.io.File(table, "date=2024-03-01").getAbsolutePath
+    val onlyA = NgramIndex.build(spark, table, expectedNdv = 1L << 14,
+      partitions = Seq(dirA))
+    assert(onlyA.size == 1 && onlyA.head.contains("date=2024-03-01"))
+    // day B's file is still unindexed (scanned, not lost); day A's is not
+    assert(NgramIndex.prune(spark, table, "purchase").get.unindexed == 1)
+    // re-running the same scoped build is a no-op (the scoped have-probe
+    // sees day A's fresh row)
+    assert(NgramIndex.build(spark, table, expectedNdv = 1L << 14,
+      partitions = Seq(dirA)).isEmpty)
+  }
+
+  test("index-at-ingest: the streaming sink indexes each micro-batch's days; search stays exact with zero manual builds") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.IngestStream
+    val in = tmp("graft-ngidx-sin"); val out = tmp("graft-ngidx-sout")
+    val ckpt = tmp("graft-ngidx-sckpt")
+    def lines(n: Int, day: Int, text: Int => String): Seq[String] =
+      (0 until n).map { i =>
+        s"""{"ts":"2026-01-${f"$day%02d"}T08:00:${f"${i % 60}%02d"}Z","cluster":"c1","kubernetes":{"namespace_name":"ns${i % 2}","pod_name":"pod-$i","container_name":"main","host":"h1","labels":{"app":"a"}},"log":"${text(i)}","content":{"level":"info"}}"""
+      }
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b1.json"),
+      lines(30, 10, i => s"plain line $i").mkString("\n").getBytes("UTF-8"))
+    val q = IngestStream.sinkPartitionedParquet(
+      IngestStream.ingested(IngestStream.readJsonLines(spark, in)),
+      out, ckpt, Trigger.ProcessingTime(0),
+      ngramIndex = Some(NgramIndex.Config(expectedNdv = 1L << 14))).start()
+    q.processAllAvailable()
+    // second batch lands a marker row in a DIFFERENT day
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b2.json"),
+      lines(10, 11, i => if (i == 3) "kwxqzvy-stream-needle here" else s"late line $i")
+        .mkString("\n").getBytes("UTF-8"))
+    q.processAllAvailable()
+    q.stop()
+
+    // the sink indexed everything itself — no NgramIndex.build in this test
+    val p = NgramIndex.prune(spark, out, "kwxqzvy-stream-needle").get
+    assert(p.unindexed == 0, "every streamed file must be indexed at ingest")
+    val total = LogSchema.readLogs(spark, out).inputFiles.length
+    assert(p.candidates.size < total && p.pruned > 0,
+      s"planted needle must skip files: ${p.candidates.size} of $total")
+    val hits = NgramIndex.searchLogs(spark, out, "kwxqzvy-stream-needle")
+    assert(hits.count() == 1)
+    // exactness over the streamed table (no `id` column here: compare logs)
+    def logLines(df: DataFrame): Seq[String] =
+      df.select("log").as[String].collect().sorted.toSeq
+    assert(logLines(NgramIndex.searchLogs(spark, out, "line")) ==
+      logLines(fullScan(out, "line")))
+  }
+
   test("staleness: unindexed fresh files are scanned; compaction-rewritten files stay searchable; vacuum drops dead rows") {
     val table = tmp("graft-ngidx-stale")
     val logs = LogSchema.logsFromEvents(
