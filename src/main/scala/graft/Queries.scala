@@ -1815,9 +1815,15 @@ object Queries {
     None)
 
   private val embeddingQuantize = Q(
+    // `q` is serialized to a CSV string for the dump: the driver's compare
+    // sorts result rows with pandas, which cannot order/hash array cells —
+    // an array column in the output fails the WHOLE oracle row (r6
+    // `embedding_quantize` err), so the codes travel as a scalar digest
+    // that still pins every element exactly.
     (s, dir) => graft.operators.TrainPipeline.quantizeInt8(
         t(s, dir, "embeddings"), "vec_id", "embedding")
       .withColumnRenamed("id", "vec_id")
+      .withColumn("q", concat_ws(",", transform(col("q"), _.cast("string"))))
       .orderBy("vec_id"),
     Some("""WITH v AS (SELECT vec_id,
           list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -1828,7 +1834,8 @@ object Queries {
             ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
               floor(x / scale + 0.5))) AS INTEGER)) END AS q
           FROM sc)
-        SELECT vec_id, round(scale, 6) AS scale, q,
+        SELECT vec_id, round(scale, 6) AS scale,
+          array_to_string(q, ',') AS q,
           CASE WHEN scale = 0 THEN NULL ELSE
             round(list_sum(list_transform(list_zip(v, q),
               p -> p[1] * p[2]::DOUBLE)) /

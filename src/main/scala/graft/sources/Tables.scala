@@ -76,13 +76,26 @@ object Tables {
     }
   }
 
-  /** `events` with `ts` as a proper TimestampType (µs, truncated from ns). */
+  /** `events` with `ts` as a proper TimestampType (µs precision).
+    *
+    * The driver's generator has shipped `ts` two ways across rounds:
+    * parquet TIMESTAMP(NANOS) — surfaced as int64 nanos under the
+    * `nanosAsLong` conf — and plain TIMESTAMP(MICROS). Dispatch on the
+    * RESOLVED type rather than assuming either: an unconditional
+    * `ts div 1000` on a MICROS file is an analysis error that takes the
+    * whole events-derived registry down with it (round-6 bench failure).
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cached(spark, s"$dir/events.parquet") {
-      spark.read
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already session-TZ TimestampType
+      }
     }
   }
 

@@ -35,6 +35,28 @@ class TablesSpec extends SparkTestBase {
       "an exact table path must invalidate its own entry")
   }
 
+  test("events() adapts to either ts encoding the driver has shipped") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    // TIMESTAMP(MICROS): the current generator output — must pass through
+    val micros = tmp("tables-ts-micros")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-10 12:00:00")))
+      .toDF("event_id", "ts").write.parquet(s"$micros/events.parquet")
+    val m = Tables.events(spark, micros)
+    assert(m.schema("ts").dataType == TimestampType)
+    assert(m.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .head.getString(0) == "2024-01-10 12:00:00")
+    // int64 nanos (the TIMESTAMP(NANOS)-under-nanosAsLong shape of earlier
+    // rounds): must be truncated to a µs TimestampType, not passed raw
+    val nanos = tmp("tables-ts-nanos")
+    val epochNs = 1704888000123456789L // 2024-01-10 12:00:00.123456789 UTC
+    Seq((1L, epochNs)).toDF("event_id", "ts")
+      .write.parquet(s"$nanos/events.parquet")
+    val n = Tables.events(spark, nanos)
+    assert(n.schema("ts").dataType == TimestampType)
+    assert(n.select(unix_micros(col("ts"))).head.getLong(0) == epochNs / 1000)
+  }
+
   test("raw SQL surface: the reference's logs.logs queries run verbatim over a written layout") {
     val dir = tmp("views-logdb")
     graft.model.LogSchema.writePartitioned(
