@@ -154,6 +154,56 @@ object Queries {
         base
       })
 
+    /** A log table plus its incrementally-maintained rollup
+      * ([[graft.model.Rollup]]): ingest lands in two batches — everything
+      * except a deterministic third of the newest day, then that remainder
+      * appended — with a refresh after each, so the fixture PROVES the
+      * incremental contract: the second refresh must touch exactly the one
+      * day whose source files changed. Returns (logDir, rollupDir).
+      */
+    def rollupDirs(s: SparkSession, dir: String): (String, String) = {
+      val key = dir + "#rollup"
+      logTables.getOrElseUpdate(key, {
+        val src = java.nio.file.Files.createTempDirectory("graft-rollup-src").toString
+        val out = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+        deleteOnExit(src); deleteOnExit(out)
+        val logs = LogSchema.logsFromEvents(t(s, dir, "events"))
+        val maxDay = logs.agg(max(to_date(col("timestamp")))).head
+          .getDate(0).toString
+        val late = to_date(col("timestamp")) === lit(maxDay) &&
+          col("id") % 3 === 0
+        LogSchema.writePartitioned(logs.where(!late), src)
+        graft.model.Rollup.refresh(s, src, out, jobParallelism = 4)
+        LogSchema.writePartitioned(logs.where(late), src, mode = "append")
+        val second = graft.model.Rollup.refresh(s, src, out, jobParallelism = 4)
+        require(second.map(st => (st.day, st.action)) ==
+            Seq((maxDay, "changed")),
+          s"rollup fixture: expected exactly [$maxDay changed], got $second")
+        src + " " + out
+      }).split(' ') match { case Array(a, b) => (a, b) }
+    }
+
+    /** A log table written WITHOUT promoted columns, then backfilled by
+      * [[LogSchema.materializePromotedColumns]] — the MATERIALIZE COLUMN
+      * mutation path (README.md:68-84), as opposed to [[logTableDir]]
+      * where promotion happens at write time.
+      */
+    def materializedLogTableDir(s: SparkSession, dir: String): String =
+      logTables.getOrElseUpdate(dir + "#materialized", {
+        val out = java.nio.file.Files.createTempDirectory("graft-materialized").toString
+        deleteOnExit(out)
+        LogSchema.logsFromEvents(t(s, dir, "events"))
+          .withColumn("date", to_date(col("timestamp")))
+          .repartition(4)
+          .write.mode("overwrite").partitionBy("date").parquet(out)
+        val rewritten = LogSchema.materializePromotedColumns(s, out,
+          stringKeys = Seq("event.type"), numberKeys = Seq("event.value"),
+          jobParallelism = 4)
+        require(rewritten.nonEmpty,
+          "materialize fixture must backfill at least one partition")
+        out
+      })
+
     /** One shared ingest of the nested-JSON rendering of `events` — the
       * parse is the expensive step and both flatten_nested and
       * map_build_split consume the identical result.
@@ -265,6 +315,8 @@ object Queries {
     Fixtures.compactedLogTableDir(s, dir)
     Fixtures.retainedLogTableDir(s, dir)
     Fixtures.indexedLogTableDir(s, dir)
+    Fixtures.rollupDirs(s, dir)
+    Fixtures.materializedLogTableDir(s, dir)
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
     Fixtures.clusters(s, dir).count()
@@ -1778,6 +1830,43 @@ object Queries {
         FROM events, mx WHERE ts::DATE >= m - INTERVAL 6 DAY
         GROUP BY 1 ORDER BY day"""))
 
+  private val maintenanceRollup = Q(
+    // read side of the incrementally-refreshed rollup (built in two
+    // ingest batches with a refresh each — Fixtures.rollupDirs proves the
+    // second refresh re-aggregated exactly the one changed day): summing
+    // the per-(day, hour, cluster, namespace, app) rollup rows back to
+    // (day, namespace) must reproduce the aggregate computed directly
+    // over ALL the raw events — i.e. the materialized view lost nothing
+    // across incremental maintenance.
+    (s, dir) =>
+      graft.model.Rollup.readRollup(s, Fixtures.rollupDirs(s, dir)._2)
+        .groupBy(col("date").cast(StringType).as("day"), col("namespace"))
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("err_cnt")).as("err_cnt"),
+          sum(col("bytes")).as("bytes"))
+        .orderBy("day", "namespace"),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS namespace,
+        count(*) AS cnt,
+        coalesce(count(*) FILTER (WHERE event_type = 'error'), 0) AS err_cnt,
+        sum(length(concat_ws(' ', event_type, props)))::BIGINT AS bytes
+        FROM events GROUP BY 1, 2 ORDER BY day, namespace"""))
+
+  private val maintenanceMaterialize = Q(
+    // read side of the MATERIALIZE COLUMN backfill: the query uses the
+    // promoted columns DIRECTLY (they exist only if the partition rewrite
+    // actually happened — the table was first written without them), and
+    // the aggregate must match the raw source.
+    (s, dir) =>
+      LogSchema.readLogs(s, Fixtures.materializedLogTableDir(s, dir))
+        .where(col("promoted_event_type") === "click")
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          r(sum(col("promoted_event_value")), 2).as("sum_value"))
+        .orderBy("day"),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
+        round(sum(value), 2) AS sum_value
+        FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY day"""))
+
   private val dedupExactSubstring = Q(
     (s, dir) => Dedup.exactSubstringStats(t(s, dir, "documents"), "doc_id",
         "text", k = 8)
@@ -1939,6 +2028,8 @@ object Queries {
     "embedding_quantize" -> embeddingQuantize,
     "maintenance_compact" -> maintenanceCompact,
     "maintenance_retention" -> maintenanceRetention,
+    "maintenance_rollup" -> maintenanceRollup,
+    "maintenance_materialize" -> maintenanceMaterialize,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
     "query_language_indexed" -> queryLanguageIndexed,
   )

@@ -298,16 +298,102 @@ object LogSchema {
     */
   private def recoverInterruptedCompaction(
       fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path): Unit = {
+      base: org.apache.hadoop.fs.Path): Unit =
+    recoverInterruptedSwaps(fs, base, ".compact-old-")
+
+  private def recoverInterruptedSwaps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      oldPrefix: String): Unit = {
     if (!fs.exists(base)) return
     fs.listStatus(base).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith(".compact-old-"))
+      .filter(_.getName.startsWith(oldPrefix))
       .foreach { trash =>
         val live = new org.apache.hadoop.fs.Path(base,
-          trash.getName.stripPrefix(".compact-old-"))
+          trash.getName.stripPrefix(oldPrefix))
         if (!fs.exists(live)) fs.rename(trash, live)
         else fs.delete(trash, true)
       }
+  }
+
+  /** Backfill promoted columns into an EXISTING written table — the Spark
+    * form of the second half of the reference's promotion recipe:
+    * `ALTER TABLE … ADD COLUMN c DEFAULT fields_string[k]` followed by
+    * `ALTER TABLE … MATERIALIZE COLUMN c` (/root/reference/README.md:68-84),
+    * which ClickHouse executes as a background per-part mutation. Here the
+    * mutation unit is the daily partition: each `date=` dir whose files
+    * lack any requested promoted column is rewritten with the column
+    * appended ([[withPromotedColumns]] — same metadata contract the
+    * plan-time [[graft.plans.PromoteMapKeys]] rule resolves by) and
+    * published with the compaction job's crash-safe rename swap.
+    *
+    * The job is INCREMENTAL and idempotent: partitions already carrying
+    * every requested column are skipped, so a re-run after new ingest (new
+    * days written without promotion, e.g. by an older writer) only touches
+    * the new days, and a completed backfill returns empty. The rewrite is
+    * narrow — read, append a map subscript, write; no shuffle — so cost is
+    * one pass over just the unbackfilled partitions' bytes.
+    *
+    * Mid-backfill reads: a reader scanning the whole table while some
+    * partitions still lack the column must query through the MAP subscript
+    * (correct everywhere, as ClickHouse reads compute the DEFAULT for
+    * unmaterialized parts); the promoted-column fast path is for after the
+    * backfill completes. Per-partition publication is atomic either way.
+    */
+  def materializePromotedColumns(
+      spark: SparkSession,
+      path: String,
+      stringKeys: Seq[String] = Nil,
+      numberKeys: Seq[String] = Nil,
+      jobParallelism: Int = 1): Seq[String] = {
+    require(jobParallelism >= 1, s"jobParallelism must be >= 1, got $jobParallelism")
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwaps(fs, base, ".materialize-old-")
+    val days =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("date=")).sortBy(_.getName)
+    def rewriteOne(live: org.apache.hadoop.fs.Path): Option[String] = {
+      val part = spark.read.parquet(live.toString)
+      val have = part.columns.toSet
+      val missingS = stringKeys.filterNot(k =>
+        have(graft.plans.PromoteMapKeys.promotedName(k)))
+      val missingN = numberKeys.filterNot(k =>
+        have(graft.plans.PromoteMapKeys.promotedName(k)))
+      if (missingS.isEmpty && missingN.isEmpty) None
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(base, s".materialize-tmp-${live.getName}")
+        val trash = new org.apache.hadoop.fs.Path(base, s".materialize-old-${live.getName}")
+        fs.delete(tmp, true)
+        withBloomOptions(
+            withPromotedColumns(part, missingS, missingN)
+              .write.mode("overwrite").option("compression", "zstd"))
+          .parquet(tmp.toString)
+        fs.delete(trash, true)
+        if (!fs.rename(live, trash))
+          throw new java.io.IOException(s"materialize: cannot move $live aside")
+        if (!fs.rename(tmp, live)) {
+          fs.rename(trash, live)
+          throw new java.io.IOException(s"materialize: cannot publish $tmp")
+        }
+        fs.delete(trash, true)
+        Some(live.toString)
+      }
+    }
+    if (jobParallelism == 1 || days.size <= 1) days.flatMap(rewriteOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(jobParallelism, days.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val done = scala.concurrent.Future.sequence(
+          days.map(d => scala.concurrent.Future(rewriteOne(d))))
+        scala.concurrent.Await.result(done,
+          scala.concurrent.duration.Duration.Inf).flatten
+      } finally pool.shutdown()
+    }
   }
 
   def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] =
