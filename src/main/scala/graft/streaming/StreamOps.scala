@@ -55,6 +55,40 @@ object StreamOps {
       .withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: correlate two live event streams on a
+    * key within an event-time band — e.g. join error logs against a
+    * deploy/audit stream to tag each error with the deployment that
+    * preceded it. Both sides carry watermarks and the join condition
+    * time-bounds right against left, which is exactly what Spark needs to
+    * (a) know when a buffered left row can never match again and (b) evict
+    * that state — an unbounded-condition stream-stream join grows state
+    * forever and is unrunnable at log volume. State size ≈ input rate ×
+    * (band + watermark), independent of stream lifetime.
+    *
+    * Inner by default; "left_outer" emits unmatched left rows once their
+    * watermark expires (late-arriving right matches are then dropped —
+    * the documented Spark semantics).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String = "timestamp",
+      rightTime: String = "timestamp",
+      lookBack: String = "10 minutes",
+      lookAhead: String = "0 seconds",
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTime) >= l(leftTime) - expr(s"INTERVAL $lookBack") &&
+        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $lookAhead"),
+      joinType)
+  }
+
   /** Streaming enrich against a static dimension (stream ⋈ static is
     * broadcast per micro-batch — no state).
     */

@@ -208,6 +208,33 @@ class StreamingSpec extends SparkTestBase {
     assert(teams.map(_.getString(0)).toSeq == Seq("team-a", "team-b"))
   }
 
+  test("stream-stream interval join correlates errors with the deploy that preceded them") {
+    val inL = tmp("graft-ssj-l"); val inR = tmp("graft-ssj-r")
+    // errors: p1 at 08:05 (5 min after its deploy), p1 at 09:00 (55 min
+    // after — outside the band), p2 at 08:05 (no deploy at all)
+    writeFixture(inL, "b.json", Seq(
+      """{"ts":"2026-01-10T08:05:00Z","kubernetes":{"pod_name":"p1"},"log":"error x"}""",
+      """{"ts":"2026-01-10T09:00:00Z","kubernetes":{"pod_name":"p1"},"log":"error y"}""",
+      """{"ts":"2026-01-10T08:05:00Z","kubernetes":{"pod_name":"p2"},"log":"error z"}"""))
+    writeFixture(inR, "b.json", Seq(
+      """{"ts":"2026-01-10T08:00:00Z","kubernetes":{"pod_name":"p1"},"log":"deploy v2"}"""))
+    val l = IngestStream.ingested(IngestStream.readJsonLines(spark, inL), IngestConfig())
+    val r = IngestStream.ingested(IngestStream.readJsonLines(spark, inR), IngestConfig())
+      .select(col("timestamp").as("deploy_ts"), col("pod_name").as("deploy_pod"),
+        col("log").as("deploy_log"))
+    val joined = StreamOps.intervalJoin(l, r, "pod_name", "deploy_pod",
+      rightTime = "deploy_ts", lookBack = "10 minutes")
+    val q = joined.select("pod_name", "log", "deploy_log")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT pod_name, log, deploy_log FROM ssj_out").collect()
+    assert(rows.length == 1, "only the in-band (pod, time) pair may join")
+    assert(rows(0).getString(0) == "p1" && rows(0).getString(1) == "error x" &&
+      rows(0).getString(2) == "deploy v2")
+  }
+
   test("session windows close after gap") {
     val in = tmp("graft-in5")
     // two bursts 2h apart for the same pod → two sessions
