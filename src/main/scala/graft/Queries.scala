@@ -179,8 +179,8 @@ object Queries {
         require(second.map(st => (st.day, st.action)) ==
             Seq((maxDay, "changed")),
           s"rollup fixture: expected exactly [$maxDay changed], got $second")
-        src + " " + out
-      }).split(' ') match { case Array(a, b) => (a, b) }
+        src + "\t" + out
+      }).split('\t') match { case Array(a, b) => (a, b) }
     }
 
     /** A log table written WITHOUT promoted columns, then backfilled by
@@ -554,6 +554,28 @@ object Queries {
         FROM events
         WHERE event_type = 'error' OR value >= 180.0
         GROUP BY 1, 2 ORDER BY bucket_ms, "group""""))
+
+  /** The volume chart ROUTED THROUGH THE ROLLUP: the filter touches only
+    * rollup dimensions, so `volumeRouted` answers it from the
+    * incrementally-maintained pre-aggregate — and the oracle proves the
+    * routed result equals counting the raw events directly. A filter the
+    * rollup cannot answer is exercised in LogQuerySpec (falls back to the
+    * raw path with an identical result).
+    */
+  private val queryLanguageRollupVolume = Q(
+    (s, dir) => {
+      val (src, roll) = Fixtures.rollupDirs(s, dir)
+      graft.query.LogQuery.volumeRouted(
+        LogSchema.readLogs(s, src),
+        graft.model.Rollup.readRollup(s, roll),
+        "cluster='c1' _and_ _not_ namespace=~'%view%'", bucket = "hour")
+    },
+    Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        count(*) AS cnt
+        FROM events
+        WHERE ('c' || CAST(user_id % 2 AS VARCHAR)) = 'c1'
+          AND NOT (event_type ILIKE '%view%')
+        GROUP BY 1 ORDER BY bucket_ms"""))
 
   /** Reads the WRITTEN, promoted log table — the subscript below is
     * rewritten by PromoteMapKeys to the materialized promoted_event_value
@@ -1951,6 +1973,7 @@ object Queries {
     "query_language" -> queryLanguage,
     "query_language_agg" -> queryLanguageAgg,
     "query_language_series" -> queryLanguageSeries,
+    "query_language_rollup" -> queryLanguageRollupVolume,
     "query_language_logs" -> queryLanguageLogs,
     "project_promoted_column" -> projectPromotedColumn,
     "filter_null_elision" -> filterNullElision,

@@ -433,6 +433,72 @@ object LogQuery {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket_ms")
 
+  /** The rollup's dimension columns — a filter touching only these is
+    * answerable from the pre-aggregate, because every raw row contributes
+    * to exactly one rollup group carrying the same dimension values.
+    */
+  private val rollupDims = Set("cluster", "namespace", "app")
+
+  /** Whether a parsed filter can be answered from the rollup: every leaf
+    * must reference a rollup dimension with a STRING comparison (numeric
+    * leaves read the dynamic maps, which the rollup does not carry —
+    * `_exists_` likewise probes the maps, so only dim existence passes).
+    */
+  private def rollupAnswerable(e: Expr): Boolean = e match {
+    case Cmp(f, _, _: SLit) => rollupDims(f)
+    case Cmp(_, _, _) => false
+    case Exists(f) => rollupDims(f)
+    case And(l, r) => rollupAnswerable(l) && rollupAnswerable(r)
+    case Or(l, r) => rollupAnswerable(l) && rollupAnswerable(r)
+    case Not(x) => rollupAnswerable(x)
+  }
+
+  /** [[volume]] answered from the incrementally-maintained pre-aggregate
+    * ([[graft.model.Rollup]]) instead of the raw table — the routing
+    * decision a ClickHouse deployment makes by pointing the dashboard at
+    * the materialized view. Returns None when the query needs raw-row
+    * fields (dynamic maps, log text, numerics) or a sub-hour bucket; the
+    * caller then falls back to [[volume]] on the raw table. At 100 TB the
+    * difference is reading megabytes of rollup vs terabytes of raw logs
+    * for every chart render.
+    *
+    * The same [[compile]] serves both paths: the rollup carries the
+    * dimension columns physically, so the predicate resolves to direct
+    * columns, and summing `cnt` over matching groups equals counting
+    * matching raw rows.
+    */
+  def volumeFromRollup(
+      rollup: DataFrame,
+      query: String,
+      bucket: String = "hour"): Option[DataFrame] = {
+    val parsed = parse(query)
+    val answerable = parsed.forall(rollupAnswerable) &&
+      (bucket == "hour" || bucket == "day")
+    if (!answerable) None
+    else {
+      val bucketMs = bucket match {
+        case "hour" =>
+          (unix_date(col("date")).cast("long") * 86400L +
+            col("hour").cast("long") * 3600L) * 1000L
+        case "day" => unix_date(col("date")).cast("long") * 86400000L
+      }
+      Some(
+        parsed.map(e => rollup.where(compile(rollup, e))).getOrElse(rollup)
+          .groupBy(bucketMs.as("bucket_ms"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .orderBy("bucket_ms"))
+    }
+  }
+
+  /** The production volume call: rollup when answerable, raw otherwise. */
+  def volumeRouted(
+      raw: DataFrame,
+      rollup: DataFrame,
+      query: String,
+      bucket: String = "hour"): DataFrame =
+    volumeFromRollup(rollup, query, bucket)
+      .getOrElse(volume(raw, query, bucket))
+
   /** Field-name discovery — the autocomplete endpoint behind the query
     * editor: every dynamic field name in scope with its type. One
     * map-side-combined distinct; at scale run it over a bounded recent

@@ -267,6 +267,59 @@ class LogQuerySpec extends SparkTestBase {
     assert(df.count() > 0, "range must select rows at sf0.001")
   }
 
+  test("volumeRouted: a dims-only filter is answered from the rollup and " +
+      "matches the raw-table volume exactly") {
+    val src = tmp("logquery-rollup-src"); val out = tmp("logquery-rollup-out")
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf("sf0.001")))
+    LogSchema.writePartitioned(logs, src)
+    graft.model.Rollup.refresh(spark, src, out)
+    val raw = LogSchema.readLogs(spark, src)
+    val roll = graft.model.Rollup.readRollup(spark, out)
+    val q = "cluster='c1' _and_ _not_ namespace=~'%view%'"
+    // the routing decision itself
+    assert(LogQuery.volumeFromRollup(roll, q).isDefined)
+    val routed = LogQuery.volumeRouted(raw, roll, q)
+    // the rollup path must not touch the raw table at all
+    assert(!routed.queryExecution.analyzed.toString.contains("fields_string"),
+      "rollup-answered volume must not read raw log columns")
+    val viaRaw = LogQuery.volume(raw, q).collect().toSeq
+    assert(routed.collect().toSeq == viaRaw)
+    // day buckets re-aggregate hourly rollup rows
+    assert(LogQuery.volumeRouted(raw, roll, q, bucket = "day").collect().toSeq ==
+      LogQuery.volume(raw, q, bucket = "day").collect().toSeq)
+  }
+
+  test("volumeRouted falls back to the raw table when the filter needs it") {
+    val src = tmp("logquery-rollup-src2"); val out = tmp("logquery-rollup-out2")
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf("sf0.001")))
+    LogSchema.writePartitioned(logs, src)
+    graft.model.Rollup.refresh(spark, src, out)
+    val raw = LogSchema.readLogs(spark, src)
+    val roll = graft.model.Rollup.readRollup(spark, out)
+    // numeric leaf → map column → not rollup-answerable
+    assert(LogQuery.volumeFromRollup(roll, "event.value>=150").isEmpty)
+    // non-dim string leaf (raw log text) → not answerable
+    assert(LogQuery.volumeFromRollup(roll, "log~'[0-9]'").isEmpty)
+    // _exists_ on a dynamic key probes the maps → not answerable
+    assert(LogQuery.volumeFromRollup(roll, "_exists_ flag.err").isEmpty)
+    // sub-hour buckets are below the rollup grain
+    assert(LogQuery.volumeFromRollup(roll, "namespace='error'",
+      bucket = "minute").isEmpty)
+    // OR with one non-dim side must NOT be routed (sum over dims would drop
+    // the raw-only matches)
+    assert(LogQuery.volumeFromRollup(roll,
+      "namespace='error' _or_ event.value>=180").isEmpty)
+    // and the fallback produces the same rows as the plain raw call
+    val q = "namespace='error' _or_ event.value>=180"
+    assert(LogQuery.volumeRouted(raw, roll, q).collect().toSeq ==
+      LogQuery.volume(raw, q).collect().toSeq)
+    // empty query: answerable, equals the unfiltered raw volume
+    assert(LogQuery.volumeRouted(raw, roll, "").collect().toSeq ==
+      LogQuery.volume(raw, "").collect().toSeq)
+  }
+
   test("query-language filter agrees with the hand-built operator predicates") {
     val logs = LogSchema.logsFromEvents(
       graft.sources.Tables.events(spark, sf("sf0.001")))
