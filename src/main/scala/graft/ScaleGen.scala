@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *    orthogonal transform — norms and all intra-copy pairwise cosines are
   *    preserved exactly; cross-copy directions decorrelate).
   *
-  * `events.ts` is read with nanosAsLong (same as
-  * [[graft.sources.Tables.events]]) and written back as the raw int64, so
-  * the sf1 file round-trips through the exact same loader path as the
-  * driver's TIMESTAMP(NANOS) original.
+  * `events.ts` copies through VERBATIM in whatever encoding the source
+  * files carry (int64 nanos in early rounds, TIMESTAMP(MICROS) since
+  * round 7) — [[graft.sources.Tables.events]] dispatches on the resolved
+  * type, so the scaled file round-trips the same loader path as the
+  * driver's original either way.
   */
 object ScaleGen {
 

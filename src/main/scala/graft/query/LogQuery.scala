@@ -499,6 +499,31 @@ object LogQuery {
     volumeFromRollup(rollup, query, bucket)
       .getOrElse(volume(raw, query, bucket))
 
+  /** [[series]] (count metric) from the rollup: answerable under the same
+    * conditions as [[volumeFromRollup]] plus the split field itself being
+    * a rollup dimension — "volume by namespace", the most-rendered chart
+    * in a log dashboard. Non-count metrics stay on the raw table (the
+    * rollup does not carry per-field numeric aggregates).
+    */
+  def seriesFromRollup(
+      rollup: DataFrame,
+      query: String,
+      groupField: String,
+      bucket: String = "hour"): Option[DataFrame] =
+    if (!rollupDims(groupField)) None
+    else volumeFromRollup(rollup, query, bucket).map { _ =>
+      val bucketMs = bucket match {
+        case "hour" =>
+          (unix_date(col("date")).cast("long") * 86400L +
+            col("hour").cast("long") * 3600L) * 1000L
+        case "day" => unix_date(col("date")).cast("long") * 86400000L
+      }
+      parse(query).map(e => rollup.where(compile(rollup, e))).getOrElse(rollup)
+        .groupBy(bucketMs.as("bucket_ms"), col(groupField).as("group"))
+        .agg(sum(col("cnt")).as("value"))
+        .orderBy("bucket_ms", "group")
+    }
+
   /** Field-name discovery — the autocomplete endpoint behind the query
     * editor: every dynamic field name in scope with its type. One
     * map-side-combined distinct; at scale run it over a bounded recent

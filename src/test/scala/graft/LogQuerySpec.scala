@@ -288,6 +288,13 @@ class LogQuerySpec extends SparkTestBase {
     // day buckets re-aggregate hourly rollup rows
     assert(LogQuery.volumeRouted(raw, roll, q, bucket = "day").collect().toSeq ==
       LogQuery.volume(raw, q, bucket = "day").collect().toSeq)
+    // the split-by-dimension chart routes too, matching the raw series
+    val s = LogQuery.seriesFromRollup(roll, "cluster='c1'", "namespace")
+    assert(s.isDefined)
+    assert(s.get.collect().toSeq ==
+      LogQuery.series(raw, "cluster='c1'", "namespace").collect().toSeq)
+    // a non-dim split field refuses routing
+    assert(LogQuery.seriesFromRollup(roll, "cluster='c1'", "pod_name").isEmpty)
   }
 
   test("volumeRouted falls back to the raw table when the filter needs it") {
