@@ -539,6 +539,37 @@ object Queries {
           AND event_type = 'purchase' AND value >= 100.0
         ORDER BY ts DESC, id LIMIT 50"""))
 
+  /** Page TWO of the same log-list request, fetched by keyset cursor
+    * (`LogQuery.logsAfter`) — the pagination that stays O(page) at depth,
+    * vs the OFFSET form whose page k re-orders and discards k·page rows.
+    * The oracle states the same page as OFFSET/LIMIT over the total
+    * (ts DESC, id) order, proving cursor paging loses/duplicates nothing
+    * across the page boundary. The small collect fetches the cursor (the
+    * last row the "user" already has) — request construction, not the
+    * measured page query.
+    */
+  private val queryLanguagePage2 = Q(
+    (s, dir) => {
+      val frame = logs(s, dir)
+      val q = "namespace='purchase' _and_ event.value>=100"
+      val t0 = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      val t1 = java.time.Instant.parse("2024-01-25T00:00:00Z")
+      val page1 = graft.query.LogQuery.logs(frame, q, t0, t1,
+        limit = 50, tieBreak = Seq("id")).select("timestamp", "id").collect()
+      require(page1.length == 50,
+        s"page-2 fixture expects a full first page, got ${page1.length}")
+      val last = page1.last
+      graft.query.LogQuery.logsAfter(frame, q, t0, t1,
+          cursorTs = last.getTimestamp(0).toInstant, cursorId = last.getLong(1),
+          limit = 50)
+        .select(col("id"), unix_millis(col("timestamp")).as("ts_ms"))
+    },
+    Some(s"""SELECT event_id AS id, $msEv AS ts_ms FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+          AND event_type = 'purchase' AND value >= 100.0
+        ORDER BY ts DESC, event_id LIMIT 50 OFFSET 50"""))
+
   /** The per-series chart shape: metric per (time bucket, group) over the
     * parsed filter — count of error/high-value events per hour per
     * namespace.
@@ -1974,6 +2005,7 @@ object Queries {
     "query_language_agg" -> queryLanguageAgg,
     "query_language_series" -> queryLanguageSeries,
     "query_language_rollup" -> queryLanguageRollupVolume,
+    "query_language_page2" -> queryLanguagePage2,
     "query_language_logs" -> queryLanguageLogs,
     "project_promoted_column" -> projectPromotedColumn,
     "filter_null_elision" -> filterNullElision,

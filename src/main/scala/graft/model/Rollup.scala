@@ -42,22 +42,45 @@ object Rollup {
     */
   final case class RefreshStat(day: String, action: String)
 
-  /** The materialized-view SELECT over one day of the log table: hourly
-    * volume, error volume, raw-log bytes, and a distinct-pod HLL sketch
-    * per (cluster, namespace, app). `err_cnt` counts rows carrying the
-    * ingest-set `flag.err` field; `count` of a map subscript counts
-    * non-null values, and nil elision guarantees absent == null.
+  /** Numeric map keys materialized as per-group metric columns, the MV
+    * analogue of `sumState`/`minState`/… on a chosen metric: each key `k`
+    * contributes `m_<san>_{sum,min,max,cnt}` columns, enough to
+    * re-aggregate sum/min/max/count — and avg as merged sum over merged
+    * cnt — across any rollup slice. The default carries the promoted hot
+    * key the rest of the engine treats as its canonical metric.
     */
-  def dayAggregates(logs: DataFrame): DataFrame =
+  val defaultNumericKeys: Seq[String] = Seq("event.value")
+
+  /** Column-name stem for a metric key (`event.value` → `event_value`). */
+  def metricName(key: String): String = key.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The materialized-view SELECT over one day of the log table: hourly
+    * volume, error volume, raw-log bytes, a distinct-pod HLL sketch, and
+    * re-aggregable stats for each requested numeric key, per (cluster,
+    * namespace, app). `err_cnt` counts rows carrying the ingest-set
+    * `flag.err` field; `count` of a map subscript counts non-null values,
+    * and nil elision guarantees absent == null.
+    */
+  def dayAggregates(
+      logs: DataFrame,
+      numericKeys: Seq[String] = defaultNumericKeys): DataFrame = {
+    val metricAggs = numericKeys.flatMap { k =>
+      val c = try_element_at(col("fields_number"), lit(k))
+      val n = metricName(k)
+      Seq(sum(c).as(s"m_${n}_sum"), min(c).as(s"m_${n}_min"),
+        max(c).as(s"m_${n}_max"), count(c).as(s"m_${n}_cnt"))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("cnt"),
+      count(try_element_at(col("fields_string"), lit("flag.err")))
+        .as("err_cnt"),
+      sum(length(col("log"))).as("bytes"),
+      hll_sketch_agg(col("pod_name")).as("pods_hll")) ++ metricAggs
     logs.groupBy(
         hour(col("timestamp")).as("hour"),
         col("cluster"), col("namespace"), col("app"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        count(try_element_at(col("fields_string"), lit("flag.err")))
-          .as("err_cnt"),
-        sum(length(col("log"))).as("bytes"),
-        hll_sketch_agg(col("pod_name")).as("pods_hll"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Distinct-pod estimate over any slice of the rollup — the `uniqMerge`
     * half: sketches union losslessly across rollup rows, so a per-day (or
@@ -83,7 +106,8 @@ object Rollup {
       spark: SparkSession,
       logPath: String,
       rollupPath: String,
-      jobParallelism: Int = 1): Seq[RefreshStat] = {
+      jobParallelism: Int = 1,
+      numericKeys: Seq[String] = defaultNumericKeys): Seq[RefreshStat] = {
     require(jobParallelism >= 1, s"jobParallelism must be >= 1, got $jobParallelism")
     val base = new org.apache.hadoop.fs.Path(rollupPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -102,7 +126,7 @@ object Rollup {
       val trash = new org.apache.hadoop.fs.Path(base, s".rollup-old-date=${st.day}")
       fs.delete(tmp, true) // stale sibling from a crashed run
       // one output file: a day's rollup is tiny (hours × service triples)
-      dayAggregates(spark.read.parquet(s"$logPath/date=${st.day}"))
+      dayAggregates(spark.read.parquet(s"$logPath/date=${st.day}"), numericKeys)
         .coalesce(1)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(tmp.toString)

@@ -397,12 +397,23 @@ object LogQuery {
       end: java.time.Instant,
       limit: Int = 100,
       newestFirst: Boolean = true,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil): DataFrame =
+    pagedLogs(df, query, start, end, lit(true), limit, newestFirst, tieBreak)
+
+  private def pagedLogs(
+      df: DataFrame,
+      query: String,
+      start: java.time.Instant,
+      end: java.time.Instant,
+      extra: Column,
+      limit: Int,
+      newestFirst: Boolean,
+      tieBreak: Seq[String]): DataFrame = {
     val ts = col("timestamp")
     val base =
       ts >= lit(java.sql.Timestamp.from(start)) &&
       ts <= lit(java.sql.Timestamp.from(end)) &&
-      predicate(df, query)
+      predicate(df, query) && extra
     val withDate =
       if (!df.columns.contains("date")) base
       else {
@@ -418,6 +429,45 @@ object LogQuery {
     val order = (if (newestFirst) ts.desc else ts.asc) +:
       tieBreak.map(col(_).asc)
     ranged.orderBy(order: _*).limit(limit)
+  }
+
+  /** The NEXT page of [[logs]], by keyset cursor instead of OFFSET — the
+    * only pagination that survives scale. OFFSET n makes page k cost
+    * O(k·page) (every earlier row is ordered and discarded again, on every
+    * executor feeding the TakeOrdered); the cursor form states page k+1 as
+    * a predicate on the last row already delivered, so each page costs the
+    * same as the first. The cursor also TIGHTENS the scan's time range —
+    * newest-first paging walks backward in time, so everything after the
+    * cursor's day is date-partition-pruned before any file opens; deep
+    * pagination reads progressively fewer partitions, not more.
+    *
+    * `cursorTs`/`cursorId` are the `timestamp` and tiebreak-id of the last
+    * row of the previous page (pages must be requested with an id
+    * tiebreak, or same-millisecond rows make "next" ambiguous). Rows equal
+    * on timestamp advance by id; strictly-past rows qualify outright.
+    */
+  def logsAfter(
+      df: DataFrame,
+      query: String,
+      start: java.time.Instant,
+      end: java.time.Instant,
+      cursorTs: java.time.Instant,
+      cursorId: Long,
+      limit: Int = 100,
+      newestFirst: Boolean = true,
+      idCol: String = "id"): DataFrame = {
+    val ts = col("timestamp")
+    val cts = lit(java.sql.Timestamp.from(cursorTs))
+    val keyset =
+      if (newestFirst) ts < cts || (ts === cts && col(idCol) > cursorId)
+      else ts > cts || (ts === cts && col(idCol) > cursorId)
+    // the cursor is a hard bound on one end of the range: shrink it so the
+    // date-partition filter (and row-group stats) prune on it
+    val (effStart, effEnd) =
+      if (newestFirst) (start, if (cursorTs.isBefore(end)) cursorTs else end)
+      else (if (cursorTs.isAfter(start)) cursorTs else start, end)
+    pagedLogs(df, query, effStart, effEnd, keyset, limit, newestFirst,
+      Seq(idCol))
   }
 
   /** The volume chart rendered above every log list in the front-end:
@@ -498,6 +548,65 @@ object LogQuery {
       bucket: String = "hour"): DataFrame =
     volumeFromRollup(rollup, query, bucket)
       .getOrElse(volume(raw, query, bucket))
+
+  /** The aggregation tab from the rollup: routable when the filter is
+    * rollup-answerable, the group field is a dimension, and the metric —
+    * for non-count ops — is one of the numeric keys the rollup
+    * materializes (`m_<k>_{sum,min,max,cnt}` columns,
+    * [[graft.model.Rollup.dayAggregates]]). Merge rules are the MV
+    * standard: sum of sums, min of mins, max of maxes; avg re-derives as
+    * merged sum over merged non-null count (never an average of
+    * averages, which weights groups wrongly).
+    */
+  def aggregateFromRollup(
+      rollup: DataFrame,
+      query: String,
+      groupField: String,
+      op: String,
+      metricField: Option[String] = None): Option[DataFrame] = {
+    val parsed = parse(query)
+    def metricCols(f: String): Option[String] = {
+      val n = graft.model.Rollup.metricName(f)
+      if (rollup.columns.contains(s"m_${n}_sum")) Some(n) else None
+    }
+    val routable = parsed.forall(rollupAnswerable) && rollupDims(groupField) &&
+      (op match {
+        case "count" => true
+        case "sum" | "min" | "max" | "avg" =>
+          metricField.exists(metricCols(_).isDefined)
+        case _ => false
+      })
+    if (!routable) None
+    else {
+      val value = op match {
+        case "count" => sum(col("cnt"))
+        case other =>
+          val n = metricCols(metricField.get).get
+          other match {
+            case "sum" => sum(col(s"m_${n}_sum"))
+            case "min" => min(col(s"m_${n}_min"))
+            case "max" => max(col(s"m_${n}_max"))
+            case "avg" => sum(col(s"m_${n}_sum")) / sum(col(s"m_${n}_cnt"))
+          }
+      }
+      Some(
+        parsed.map(e => rollup.where(compile(rollup, e))).getOrElse(rollup)
+          .groupBy(col(groupField).as("group"))
+          .agg(value.as("value"))
+          .orderBy("group"))
+    }
+  }
+
+  /** The production aggregation-tab call: rollup when routable. */
+  def aggregateRouted(
+      raw: DataFrame,
+      rollup: DataFrame,
+      query: String,
+      groupField: String,
+      op: String,
+      metricField: Option[String] = None): DataFrame =
+    aggregateFromRollup(rollup, query, groupField, op, metricField)
+      .getOrElse(aggregate(raw, query, groupField, op, metricField))
 
   /** [[series]] (count metric) from the rollup: answerable under the same
     * conditions as [[volumeFromRollup]] plus the split field itself being

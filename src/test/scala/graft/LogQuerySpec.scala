@@ -295,6 +295,35 @@ class LogQuerySpec extends SparkTestBase {
       LogQuery.series(raw, "cluster='c1'", "namespace").collect().toSeq)
     // a non-dim split field refuses routing
     assert(LogQuery.seriesFromRollup(roll, "cluster='c1'", "pod_name").isEmpty)
+    // the aggregation tab routes for every op the rollup can merge, and
+    // each must equal the raw-table aggregate exactly
+    for (op <- Seq("count", "sum", "min", "max", "avg")) {
+      val mf = if (op == "count") None else Some("event.value")
+      val viaRollup = LogQuery.aggregateFromRollup(
+        roll, "cluster='c1'", "namespace", op, mf)
+      assert(viaRollup.isDefined, s"op $op must route")
+      val merged = viaRollup.get.collect().toSeq
+      val direct = LogQuery.aggregate(raw, "cluster='c1'", "namespace", op, mf)
+        .collect().toSeq
+      assert(merged.map(_.get(0)) == direct.map(_.get(0)), s"op $op groups")
+      (merged, direct).zipped.foreach { (m, d) =>
+        (m.get(1), d.get(1)) match {
+          // sum/avg merge partial sums in a different order than the
+          // direct aggregate — equal only up to double associativity
+          case (a: Double, b: Double) if op == "sum" || op == "avg" =>
+            assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+              s"op $op: $a vs $b")
+          case (a, b) =>
+            assert(a == b, s"op $op: rollup merge must equal raw exactly")
+        }
+      }
+    }
+    // a metric key the rollup does not materialize refuses routing
+    assert(LogQuery.aggregateFromRollup(
+      roll, "cluster='c1'", "namespace", "sum", Some("props.k")).isEmpty)
+    // a non-dim group field refuses routing
+    assert(LogQuery.aggregateFromRollup(
+      roll, "cluster='c1'", "pod_name", "count").isEmpty)
   }
 
   test("volumeRouted falls back to the raw table when the filter needs it") {
@@ -325,6 +354,43 @@ class LogQuerySpec extends SparkTestBase {
     // empty query: answerable, equals the unfiltered raw volume
     assert(LogQuery.volumeRouted(raw, roll, "").collect().toSeq ==
       LogQuery.volume(raw, "").collect().toSeq)
+  }
+
+  test("logsAfter: keyset pages tile the full result with no loss or overlap, " +
+      "and the cursor tightens the partition bound") {
+    val dir = tmp("logquery-keyset")
+    LogSchema.writePartitioned(
+      LogSchema.logsFromEvents(
+        graft.sources.Tables.events(spark, sf("sf0.001"))), dir)
+    val back = LogSchema.readLogs(spark, dir)
+    val q = "namespace='view'"
+    val t0 = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    val t1 = java.time.Instant.parse("2024-01-25T00:00:00Z")
+    val all = LogQuery.logs(back, q, t0, t1, limit = 100000,
+        tieBreak = Seq("id"))
+      .select("timestamp", "id").collect().toSeq
+    assert(all.size > 30, s"fixture too small: ${all.size}")
+    val pageSize = 7
+    var fetched = Vector.empty[org.apache.spark.sql.Row]
+    var page = LogQuery.logs(back, q, t0, t1, limit = pageSize,
+      tieBreak = Seq("id")).select("timestamp", "id").collect().toSeq
+    while (page.nonEmpty) {
+      fetched ++= page
+      val last = page.last
+      page = LogQuery.logsAfter(back, q, t0, t1,
+          last.getTimestamp(0).toInstant, last.getLong(1), limit = pageSize)
+        .select("timestamp", "id").collect().toSeq
+    }
+    assert(fetched.map(r => (r.getTimestamp(0), r.getLong(1))) ==
+      all.map(r => (r.getTimestamp(0), r.getLong(1))),
+      "cursor walk must reproduce the total order exactly")
+    // newest-first paging walks backward in time: a mid-range cursor must
+    // shrink the date partition bound to its own day
+    val mid = java.time.Instant.parse("2024-01-10T12:00:00Z")
+    val plan = LogQuery.logsAfter(back, q, t0, t1, mid, 0L, limit = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*2024-01-10[^\\]]*\\].*"),
+      s"cursor day must appear as the partition upper bound:\n$plan")
   }
 
   test("query-language filter agrees with the hand-built operator predicates") {
