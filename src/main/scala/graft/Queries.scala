@@ -1883,6 +1883,16 @@ object Queries {
         FROM events, mx WHERE ts::DATE >= m - INTERVAL 6 DAY
         GROUP BY 1 ORDER BY day"""))
 
+  private val textCompressionRatio = Q(
+    // deflate output is engine-specific (zlib level-6 byte stream) → no
+    // SQL oracle; determinism, monotonicity vs repetitiveness, and byte
+    // accounting are pinned in TrainPipelineSpec
+    (s, dir) => graft.operators.TextAnalysis.compressionRatio(
+        t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id"),
+    None)
+
   private val maintenanceRollup = Q(
     // read side of the incrementally-refreshed rollup (built in two
     // ingest batches with a refresh each — Fixtures.rollupDirs proves the
@@ -1903,6 +1913,16 @@ object Queries {
         coalesce(count(*) FILTER (WHERE event_type = 'error'), 0) AS err_cnt,
         sum(length(concat_ws(' ', event_type, props)))::BIGINT AS bytes
         FROM events GROUP BY 1, 2 ORDER BY day, namespace"""))
+
+  private val maintenanceParts = Q(
+    // the system.parts surface: per-day file/byte/row stats from parquet
+    // footers only. Rows are oracle-checkable against the source events;
+    // files/bytes are filesystem facts asserted in LogSchemaSpec.
+    (s, dir) =>
+      LogSchema.partitionStats(s, Fixtures.logTableDir(s, dir))
+        .select(col("day"), col("rows")),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS "rows"
+        FROM events GROUP BY 1 ORDER BY day"""))
 
   private val maintenanceMaterialize = Q(
     // read side of the MATERIALIZE COLUMN backfill: the query uses the
@@ -2078,6 +2098,7 @@ object Queries {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "repetition_score" -> repetitionScore,
+    "text_compression_ratio" -> textCompressionRatio,
     "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_semantic" -> dedupSemantic,
     "embedding_quantize" -> embeddingQuantize,
@@ -2085,6 +2106,7 @@ object Queries {
     "maintenance_retention" -> maintenanceRetention,
     "maintenance_rollup" -> maintenanceRollup,
     "maintenance_materialize" -> maintenanceMaterialize,
+    "maintenance_parts" -> maintenanceParts,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
     "query_language_indexed" -> queryLanguageIndexed,
   )

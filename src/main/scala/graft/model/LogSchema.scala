@@ -396,6 +396,59 @@ object LogSchema {
     }
   }
 
+  /** Per-day physical table health — the `system.parts` surface ClickHouse
+    * operators run their dashboards and compaction/retention decisions on:
+    * file count, bytes, and exact row count per daily partition. Row
+    * counts come from parquet FOOTERS (each carries its row count), read
+    * DISTRIBUTED — the file list is parallelized and each task opens only
+    * footers, so the job reads kilobytes per file regardless of data size;
+    * no data pages are touched. The same listing rules as
+    * [[compactionPlan]] apply (hidden/`_` files excluded), so
+    * `files`/`bytes` agree with what compaction would see.
+    */
+  def partitionStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[(String, String, Long)] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("date="))
+        .flatMap { p =>
+          fs.listStatus(p).toSeq
+            .filter { f =>
+              val n = f.getPath.getName
+              f.isFile && !n.startsWith(".") && !n.startsWith("_")
+            }
+            .map(f => (p.getName.stripPrefix("date="),
+              f.getPath.toString, f.getLen))
+        }
+    val perFile = spark.createDataset(files).toDF("day", "file", "bytes")
+      .repartition(math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        // executor-local conf: the Hadoop Configuration is not
+        // serializable; footer reads need only the filesystem bindings,
+        // which executors carry in their own default configuration
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { r =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(r.getString(1)), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (r.getString(0), r.getLong(2), reader.getRecordCount)
+          finally reader.close()
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("day", "bytes", "rows")
+    perFile.groupBy(col("day"))
+      .agg(count(lit(1)).as("files"), sum(col("bytes")).as("bytes"),
+        sum(col("rows")).as("rows"))
+      .orderBy("day")
+  }
+
   def expiredPartitions(spark: SparkSession, path: String, days: Int): Seq[String] =
     partitionsBefore(spark, path, retentionCutoff(spark, days))
 

@@ -63,4 +63,48 @@ object TextAnalysis {
       .agg(Rounding.r4(max(col("c")).cast("double") / sum(col("c"))).as("top2"))
     words.join(top, "doc")
   }
+
+  /** Compression-ratio quality signal: deflate each document and report
+    * `comp_bytes / raw_bytes` — the corpus-curation filter that catches
+    * what token statistics miss (boilerplate, templated spam, and
+    * character-level repetition compress far below prose; binary-ish or
+    * encrypted junk compresses far above it). Used alongside
+    * [[repetitionScore]]: that one measures WORD-level repetition, this
+    * one measures information density at the byte level.
+    *
+    * Scale shape: narrow mapPartitions — one reused Deflater per
+    * partition (allocation and native-buffer setup amortized across the
+    * partition's rows), no shuffle, output is three scalars per doc.
+    * Deflate at a fixed level is deterministic for a given input, so the
+    * signal is reproducible across runs and executors.
+    */
+  def compressionRatio(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level, true)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, bytes.length.toLong, n)
+        }
+      }
+      .toDF("doc", "raw_bytes", "comp_bytes")
+      .withColumn("ratio", Rounding.r4(col("comp_bytes").cast("double") /
+        greatest(col("raw_bytes"), lit(1L)).cast("double")))
+  }
 }

@@ -192,6 +192,44 @@ class LogSchemaSpec extends SparkTestBase {
     assert(LogSchema.readLogs(spark, out).count() == beforeRows)
   }
 
+  test("partitionStats: footer-only day stats agree with the filesystem and " +
+      "the data, and track compaction") {
+    val out = tmp("graft-parts")
+    val logs = LogSchema.logsFromEvents(
+      graft.sources.Tables.events(spark, sf())).drop("id")
+    logs.withColumn("date", to_date(col("timestamp")))
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    def listed(day: String): (Int, Long) = {
+      val files = new java.io.File(out, s"date=$day").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+      (files.length, files.map(_.length).sum)
+    }
+    val stats = LogSchema.partitionStats(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val perDay = logs.groupBy(to_date(col("timestamp")).cast("string").as("d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == perDay.keySet)
+    stats.foreach { case (day, (files, bytes, rows)) =>
+      val (lf, lb) = listed(day)
+      assert(files == lf && bytes == lb, s"$day: fs listing must agree")
+      assert(rows == perDay(day), s"$day: footer rows must equal data rows")
+    }
+    // after compaction: fewer files, identical rows
+    val merged = LogSchema.compactPartitions(spark, out,
+      targetBytes = 1L << 40, minFiles = 2)
+    assert(merged.nonEmpty)
+    val after = LogSchema.partitionStats(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    merged.foreach { st =>
+      val day = st.dir.split("date=").last
+      assert(after(day)._1 < stats(day)._1, s"$day must have fewer files")
+    }
+    after.foreach { case (day, (_, rows)) => assert(rows == perDay(day)) }
+  }
+
   test("approximate sketches land within tolerance of exact answers") {
     val ev = graft.sources.Tables.events(spark, sf())
     val row = ev.agg(

@@ -241,6 +241,33 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 0.8333, 1.0), (2L, 0.0, 0.2)))
   }
 
+  test("compressionRatio: repetitive text compresses far below prose, " +
+      "high-entropy far above; byte accounting and determinism hold") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val noisy = Iterator.continually(rng.nextPrintableChar()).take(600).mkString
+    val df = Seq(
+      (1L, "spam " * 200),                             // pure repetition
+      (2L, "The quick brown fox jumps over the lazy dog " * 14), // prose-ish
+      (3L, noisy),                                     // near-incompressible
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byId = got.map(t => t._1 -> t).toMap
+    // raw_bytes is the UTF-8 length
+    assert(byId(1L)._2 == 1000L && byId(3L)._2 == 600L && byId(4L)._2 == 0L)
+    // ordering: repetition << repeated prose << random printable chars
+    assert(byId(1L)._4 < 0.05, s"pure repetition: ${byId(1L)._4}")
+    assert(byId(1L)._4 < byId(2L)._4 && byId(2L)._4 < byId(3L)._4)
+    assert(byId(3L)._4 > 0.7, s"high entropy must stay near 1: ${byId(3L)._4}")
+    // deterministic across runs
+    val again = graft.operators.TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("connectedComponentsAlternating: diameter-100 chain converges in O(log n) rounds and matches the simple variant") {
     import spark.implicits._
     // permuted chain: p(i) = 37i mod 101 is a bijection on 0..100, so ids
