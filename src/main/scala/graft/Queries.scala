@@ -204,6 +204,20 @@ object Queries {
         out
       })
 
+    private val bpeMergeCache =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[graft.operators.Bpe.Merge]]
+
+    /** BPE merges learned ONCE per (process, sf dir) — training is the
+      * amortizable index-build step (a production pipeline trains the
+      * tokenizer once and ships the merge list to every encode job, the
+      * same split the IVF index uses); `token_bpe` times the narrow
+      * encode path.
+      */
+    def bpeMerges(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
+      bpeMergeCache.getOrElseUpdate(dir,
+        graft.operators.Bpe.train(t(s, dir, "documents"), "text",
+          numMerges = 32, maxVocab = 50000))
+
     /** One shared ingest of the nested-JSON rendering of `events` — the
       * parse is the expensive step and both flatten_nested and
       * map_build_split consume the identical result.
@@ -317,6 +331,7 @@ object Queries {
     Fixtures.indexedLogTableDir(s, dir)
     Fixtures.rollupDirs(s, dir)
     Fixtures.materializedLogTableDir(s, dir)
+    Fixtures.bpeMerges(s, dir)
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
     Fixtures.clusters(s, dir).count()
@@ -1883,6 +1898,19 @@ object Queries {
         FROM events, mx WHERE ts::DATE >= m - INTERVAL 6 DAY
         GROUP BY 1 ORDER BY day"""))
 
+  private val tokenBpe = Q(
+    // learned-subword tokenization: merges come from the per-process
+    // trained fixture (Fixtures.bpeMerges — the amortized index-build
+    // half); this times the narrow encode. Engine-specific merge list →
+    // no SQL oracle; training parity with a reference implementation,
+    // reconstruction, and determinism are pinned in BpeSpec.
+    (s, dir) => graft.operators.Bpe.encode(
+        t(s, dir, "documents"), "doc_id", "text", Fixtures.bpeMerges(s, dir))
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        concat_ws(" ", col("tokens")).as("tokens_str"))
+      .orderBy("doc_id"),
+    None)
+
   private val textCompressionRatio = Q(
     // deflate output is engine-specific (zlib level-6 byte stream) → no
     // SQL oracle; determinism, monotonicity vs repetitiveness, and byte
@@ -2099,6 +2127,7 @@ object Queries {
     "decontaminate_bloom" -> decontaminateBloom,
     "repetition_score" -> repetitionScore,
     "text_compression_ratio" -> textCompressionRatio,
+    "token_bpe" -> tokenBpe,
     "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_semantic" -> dedupSemantic,
     "embedding_quantize" -> embeddingQuantize,
