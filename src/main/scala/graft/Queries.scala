@@ -1942,6 +1942,31 @@ object Queries {
         sum(length(concat_ws(' ', event_type, props)))::BIGINT AS bytes
         FROM events GROUP BY 1, 2 ORDER BY day, namespace"""))
 
+  private val maintenanceRollupPods = Q(
+    // the uniqMerge read path: per-day distinct pods estimated by
+    // unioning the rollup's HLL sketches across (hour, cluster,
+    // namespace, app) groups, then checked in-tolerance against the
+    // exact distinct computed from the raw log table — the
+    // agg_approx_distinct oracle pattern (exact value + TRUE flag).
+    (s, dir) => {
+      val (src, roll) = Fixtures.rollupDirs(s, dir)
+      val est = graft.model.Rollup.readRollup(s, roll)
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(graft.model.Rollup.mergedDistinctPods(col("pods_hll")).as("est"))
+      val exact = LogSchema.readLogs(s, src)
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(count_distinct(col("pod_name")).as("exact_pods"))
+      est.join(exact, "day")
+        .select(col("day"), col("exact_pods"),
+          (abs(col("est") - col("exact_pods")) <=
+            greatest(col("exact_pods") * 0.05, lit(2.0))).as("pods_ok"))
+        .orderBy("day")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+        count(DISTINCT 'pod-' || user_id::VARCHAR) AS exact_pods,
+        true AS pods_ok
+        FROM events GROUP BY 1 ORDER BY day"""))
+
   private val maintenanceParts = Q(
     // the system.parts surface: per-day file/byte/row stats from parquet
     // footers only. Rows are oracle-checkable against the source events;
@@ -2136,6 +2161,7 @@ object Queries {
     "maintenance_rollup" -> maintenanceRollup,
     "maintenance_materialize" -> maintenanceMaterialize,
     "maintenance_parts" -> maintenanceParts,
+    "maintenance_rollup_pods" -> maintenanceRollupPods,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
     "query_language_indexed" -> queryLanguageIndexed,
   )
