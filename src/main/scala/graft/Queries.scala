@@ -244,6 +244,21 @@ object Queries {
           idx.bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
 
+    private val pqIndexes =
+      scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Similarity.PqIndex)]
+
+    /** One PQ index per (process, sf dir) — per-subspace codebook training
+      * + corpus encoding is the amortizable build; queries ADC-scan the
+      * cached code table (the compressed corpus, not the vectors).
+      */
+    def pqIndex(s: SparkSession, dir: String): Similarity.PqIndex =
+      sessionScoped(pqIndexes, s, dir) {
+        val idx = Similarity.buildPqIndex(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        idx.copy(codes =
+          idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+
     private val clusterFrames =
       scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
@@ -334,6 +349,7 @@ object Queries {
     Fixtures.bpeMerges(s, dir)
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
+    Fixtures.pqIndex(s, dir).codes.count()
     Fixtures.clusters(s, dir).count()
     ()
   }
@@ -1517,6 +1533,17 @@ object Queries {
       .orderBy("qid", "rank"),
     None)
 
+  private val simSearchPq = Q(
+    // ADC scan of the cached code table (the compressed corpus) plus the
+    // exact re-rank refine pass — the codebook fit + encode is the
+    // amortized build, like simSearchIvf
+    (s, dir) => Similarity.pqQueryRefined(Fixtures.pqIndex(s, dir),
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, shortlist = 50)
+      .orderBy("qid", "rank"),
+    None) // KMeans codebooks are engine-specific; recall vs brute in tests
+
   private val textAnalyze = Q(
     (s, dir) => t(s, dir, "documents")
       .select(explode(TF.tokens(col("text"))).as("token"))
@@ -2017,6 +2044,73 @@ object Queries {
             greatest(len(tk.t) - 7, 1), 4) AS dup_frac
         FROM tk LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
 
+  private val dedupSegment = Q(
+    (s, dir) => Dedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
+        segTokens = 20)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents),
+        segs AS (
+          SELECT doc_id, u.seg AS seg, u.segtext AS segtext FROM (
+            SELECT doc_id, unnest(list_transform(range((len(t) + 19) // 20),
+              i -> struct_pack(seg := i,
+                segtext := array_to_string(t[i*20+1:i*20+20], ' ')))) AS u
+            FROM tk WHERE len(t) >= 1)),
+        ranked AS (
+          SELECT doc_id, seg, segtext,
+            row_number() OVER (PARTITION BY segtext
+              ORDER BY doc_id, seg) AS rn
+          FROM segs)
+        SELECT doc_id,
+          count(*)::BIGINT AS n_seg,
+          (count(*) FILTER (WHERE rn = 1))::BIGINT AS n_kept,
+          coalesce(string_agg(segtext, ' ' ORDER BY seg)
+            FILTER (WHERE rn = 1), '') AS text_dedup
+        FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+
+  private val lmPerplexity = Q(
+    // stupid-backoff bigram LM: train on docs < 50, score docs 50..249 —
+    // the split keeps unseen bigrams in play so BOTH scoring branches
+    // (seen ratio, backoff) are exercised and oracle-checked
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.LanguageModel.perplexityAgainst(
+          docs.where(col("doc_id") < 50),
+          docs.where(col("doc_id") >= 50 && col("doc_id") < 250),
+          "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents),
+        big AS (
+          SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+            FROM tk WHERE len(t) >= 2)),
+        u AS (SELECT w, count(*) AS c
+          FROM (SELECT unnest(t) AS w FROM tk WHERE doc_id < 50) GROUP BY w),
+        bc AS (SELECT w1, w2, count(*) AS c FROM big
+          WHERE doc_id < 50 GROUP BY 1, 2),
+        n AS (SELECT sum(c)::DOUBLE AS n FROM u),
+        sc AS (
+          SELECT big.doc_id,
+            CASE WHEN bc.c IS NOT NULL THEN ln(bc.c::DOUBLE / u1.c)
+                 ELSE ln(0.4 * coalesce(u2.c, 0.5)::DOUBLE / n.n) END AS logp
+          FROM big
+          LEFT JOIN bc USING (w1, w2)
+          LEFT JOIN u u1 ON big.w1 = u1.w
+          LEFT JOIN u u2 ON big.w2 = u2.w, n
+          WHERE big.doc_id >= 50 AND big.doc_id < 250)
+        SELECT doc_id, count(*)::BIGINT AS n_big,
+          round(exp(-avg(logp)), 4) AS ppl
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   private val dedupSemantic = Q(
     // kmeans cell assignments are engine-specific → no SQL oracle; parity
     // with a brute-force per-cell oracle and planted-dup recall are
@@ -2132,6 +2226,7 @@ object Queries {
     "sim_search_topk" -> simSearchTopk,
     "sim_search_lsh" -> simSearchLsh,
     "sim_search_ivf" -> simSearchIvf,
+    "sim_search_pq" -> simSearchPq,
     "text_analyze" -> textAnalyze,
     "text_tfidf" -> textTfidf,
     "token_count" -> tokenCount,
@@ -2155,6 +2250,8 @@ object Queries {
     "token_bpe" -> tokenBpe,
     "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_segment" -> dedupSegment,
+    "lm_perplexity" -> lmPerplexity,
     "embedding_quantize" -> embeddingQuantize,
     "maintenance_compact" -> maintenanceCompact,
     "maintenance_retention" -> maintenanceRetention,

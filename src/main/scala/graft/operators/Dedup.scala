@@ -436,4 +436,59 @@ object Dedup {
           col("v_a"), col("v_b"), col("n_a"), col("n_b"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Segment-level exact dedup — the line/paragraph-wise deduplication of
+    * the C4 / RefinedWeb recipes ("remove any line that appears elsewhere
+    * in the corpus, keep documents otherwise"), generalized to fixed
+    * `segTokens`-token segments because the synthetic corpus carries no
+    * line structure; on a real corpus, segment on `\n`/blank-line
+    * boundaries upstream and feed the exploded lines through the same
+    * keep-first rule. The first occurrence of each distinct segment —
+    * ordered by (document id, segment position) — survives; every later
+    * occurrence is dropped and the document re-assembled from its
+    * survivors in original order.
+    *
+    * Output: `(doc, n_seg, n_kept, text_dedup)` — one row per non-empty
+    * input document, `text_dedup = ""` when every segment was a repeat.
+    *
+    * Scale shape: segmentation is a narrow fused expression (tokens →
+    * per-window `array_join` — no per-token explode, no pre-shuffle);
+    * the keep-first rule is one hash exchange on the segment text (the
+    * same data-wide shuffle class as [[exact]] — unavoidable, since
+    * equality across the whole corpus IS the operation) followed by the
+    * per-document reassembly exchange on the id. Both aggregations carry
+    * each segment exactly once; nothing is quadratic and no driver-side
+    * state exists. Segment-frequency skew (a boilerplate segment repeated
+    * millions of times) lands in one window partition — at that scale,
+    * pre-aggregate `min(struct(doc, seg))` per segment (map-side combined)
+    * instead of ranking; the rank form is kept here because it also
+    * emits the per-occurrence keep flag the reassembly needs.
+    */
+  def dedupSegments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 20): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val toks = TF.tokens(col(textCol))
+    val nSegs = ceil(size(toks).cast(DoubleType) / lit(segTokens.toDouble))
+      .cast(IntegerType)
+    val segs = docs
+      .where(size(toks) >= 1)
+      .select(col(idCol).as("doc"),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg", "segtext")))
+    val w = Window.partitionBy("segtext").orderBy(col("doc"), col("seg"))
+    val ranked = segs.withColumn("rn", row_number().over(w))
+    ranked.groupBy("doc").agg(
+      count(lit(1)).as("n_seg"),
+      count(when(col("rn") === 1, lit(1))).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("seg").as("seg"), col("segtext").as("segtext"))))),
+          s => s.getField("segtext")),
+        " ").as("text_dedup"))
+  }
 }

@@ -301,4 +301,191 @@ object Similarity {
     ivfQuery(
       buildIvfIndex(corpus, idCol, vecCol, numCells, seed, trainRows),
       queries, idCol, vecCol, k, nprobe)
+
+  /** A product-quantization index (FAISS `IndexPQ` shape): per-subspace
+    * KMeans codebooks plus the corpus compressed to one small code per
+    * subspace. `codebooks(sub, code, centroid)` is tiny (m × codesPerSub
+    * centroids); `codes(nid, codes)` carries m small ints per vector —
+    * the memory story of PQ: a 64-dim float vector (256 B) becomes m = 8
+    * bytes, so a 100 TB embedding corpus scans as ~3 TB of codes.
+    *
+    * Vectors are L2-NORMALIZED before quantization, which makes
+    * ADC's squared-L2 ranking equivalent to cosine ranking (monotonic:
+    * ‖q−x‖² = 2 − 2·cos on the unit sphere) — so results are comparable
+    * with [[bruteTopK]]/[[lshTopK]]/[[ivfTopK]].
+    *
+    * For the full IVF-PQ composition, bucket `codes` by an
+    * [[IvfIndex]] cell assignment and score only probed cells; the flat
+    * form here is the exhaustive-but-compressed scan.
+    */
+  final case class PqIndex(
+      codebooks: DataFrame, codes: DataFrame, m: Int, codesPerSub: Int, dim: Int)
+
+  /** Build a PQ index: split each (normalized) vector into `m` contiguous
+    * subspaces, fit an independent KMeans codebook of `codesPerSub`
+    * centroids per subspace on a bounded sample (same rationale as
+    * [[buildIvfIndex]] — the iterative fit must never pass over the full
+    * corpus), then encode the corpus with `m` chained nearest-centroid
+    * assignments — all narrow single-pass work.
+    *
+    * The one-row `head()` reads the dimensionality from the data (a
+    * single-split, single-row driver action — index-build-time only,
+    * never on the query path). `dim` must divide evenly by `m`.
+    */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      codesPerSub: Int = 16,
+      seed: Long = 42L,
+      trainRows: Long = 100000L): PqIndex = {
+    VectorExprs.register(corpus.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val unit = normalized(corpus, idCol, vecCol, "nid", "nv")
+    val withSubs = (0 until m).foldLeft(unit) { (df, s) =>
+      df.withColumn(s"fv$s",
+        array_to_vector(slice(col("nv"), s * dsub + 1, dsub)))
+    }
+    val n = withSubs.count()
+    val trainSet =
+      if (n <= trainRows) withSubs
+      else withSubs.sample(withReplacement = false, trainRows.toDouble / n, seed)
+    val models = (0 until m).map { s =>
+      new KMeans().setK(codesPerSub).setSeed(seed + s)
+        .setFeaturesCol(s"fv$s").setPredictionCol(s"code$s")
+        .fit(trainSet)
+    }
+    val encoded = models.zipWithIndex
+      .foldLeft(withSubs) { case (df, (model, _)) => model.transform(df) }
+      .select(col("nid"),
+        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebooks = models.zipWithIndex.flatMap { case (model, s) =>
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (s, code, c.toArray) }
+    }.toDF("sub", "code", "centroid")
+    PqIndex(codebooks, encoded, m, codesPerSub, dim)
+  }
+
+  private def normalized(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as(idAs), v.as("rawv"))
+      .withColumn("rn0", VectorExprs.norm(col("rawv")))
+      .where(col("rn0") > 0.0)
+      .select(col(idAs),
+        transform(col("rawv"), x => x / col("rn0")).as(vecAs))
+  }
+
+  /** Answer a query batch by asymmetric distance computation (ADC): build
+    * each query's (sub, code) → squared-subdistance lookup table against
+    * the broadcast codebooks, flatten it to one array per query, then scan
+    * the corpus CODES — never the vectors — summing `m` table lookups per
+    * candidate.
+    *
+    * Scale shape: the table build touches queries × m × codesPerSub tiny
+    * rows; the scan is `codes ⨯ broadcast(tables)` — a narrow pass over
+    * the compressed corpus with a fully-codegen per-row score (the m-term
+    * sum is unrolled into `GetArrayItem`/`ElementAt` adds, no interpreted
+    * higher-order function in the hot loop), followed by the same
+    * rank-limited per-query top-k window as [[bruteTopK]].
+    */
+  def pqQuery(
+      index: PqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    VectorExprs.register(queries.sparkSession)
+    val dsub = index.dim / index.m
+    val q = normalized(queries, idCol, vecCol, "qid", "qv")
+    // ‖s − c‖² = s·s − 2 s·c + c·c, all three via the codegen dot
+    val qtab = q.crossJoin(broadcast(index.codebooks))
+      .select(col("qid"), col("sub"), col("code"),
+        (VectorExprs.dot(
+            slice(col("qv"), col("sub") * dsub + 1, lit(dsub)),
+            slice(col("qv"), col("sub") * dsub + 1, lit(dsub)))
+          - VectorExprs.dot(
+              slice(col("qv"), col("sub") * dsub + 1, lit(dsub)),
+              col("centroid")) * 2.0
+          + VectorExprs.dot(col("centroid"), col("centroid"))).as("d"))
+    val dtabs = qtab.groupBy("qid").agg(
+      transform(
+        array_sort(collect_list(struct(
+          (col("sub") * index.codesPerSub + col("code")).as("slot"),
+          col("d").as("d")))),
+        e => e.getField("d")).as("dtab"))
+    val scored = index.codes.crossJoin(broadcast(dtabs))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Rounding.r4((0 until index.m)
+          .map(s => element_at(col("dtab"),
+            col("codes").getItem(s) + lit(s * index.codesPerSub) + 1))
+          .reduce(_ + _)).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "adist")
+  }
+
+  /** PQ with exact re-rank (the FAISS `IndexRefineFlat` composition): ADC
+    * over the compressed codes produces a `shortlist`-sized candidate set
+    * per query, then ONLY those candidates' true vectors are read back and
+    * scored by exact cosine. This recovers most of the recall ADC loses to
+    * quantization while keeping the corpus-wide scan on the codes.
+    *
+    * Scale shape: the candidate set (queries × shortlist ids) broadcasts
+    * into a second pass over the vector table — the join filters to
+    * candidates AT THE SCAN, so the refine stage moves only
+    * |queries|·shortlist full vectors; at 100 TB with the vector table
+    * partitioned/bucketed by id this is a point-lookup-shaped read, not a
+    * second full scan.
+    */
+  def pqQueryRefined(
+      index: PqIndex,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int = 100): DataFrame = {
+    VectorExprs.register(queries.sparkSession)
+    val cand = pqQuery(index, queries, idCol, vecCol, shortlist)
+      .select("qid", "nid")
+    val q = normalized(queries, idCol, vecCol, "qid", "qv")
+    val corp = normalized(corpus, idCol, vecCol, "nid", "nv")
+    // unit vectors → cosine is one dot; both small sides broadcast so the
+    // vector table is scanned narrowly exactly once
+    val scored = corp.join(broadcast(cand), "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        Rounding.r4(VectorExprs.dot(col("qv"), col("nv"))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
+
+  /** PQ approximate top-k: [[buildPqIndex]] + [[pqQuery]] in one call;
+    * amortize the build via the two-step API when serving repeated
+    * batches.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      codesPerSub: Int = 16,
+      seed: Long = 42L,
+      trainRows: Long = 100000L): DataFrame =
+    pqQuery(buildPqIndex(corpus, idCol, vecCol, m, codesPerSub, seed, trainRows),
+      queries, idCol, vecCol, k)
 }

@@ -256,4 +256,52 @@ class DedupSpec extends SparkTestBase {
     // beyond the planted pair would mean the rule leaks
     assert(out.values.count(identity) <= 3)
   }
+
+  test("segment dedup: first occurrence survives, repeats drop, docs reassemble in order") {
+    // 4-token segments; doc 1 repeats its own first segment, doc 2 copies
+    // doc 1's first segment and brings one unique segment of its own,
+    // doc 3 is entirely a copy of earlier segments
+    val df = Seq(
+      (1L, "a b c d e f g h a b c d"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(df, "doc_id", "text", segTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "a b c d e f g h"))) // own repeat dropped
+    assert(out(2L) == ((2L, 1L, "x y z w")))         // cross-doc repeat dropped
+    assert(out(3L) == ((2L, 0L, "")))                // nothing left
+  }
+
+  test("segment dedup: an all-unique corpus passes through unchanged (token-normalized identity)") {
+    // the shared DedupSpec corpus has disjoint per-doc vocabularies except
+    // the planted pairs — restricting to the 40 base docs, every segment
+    // is unique, so dedup must reassemble each doc to its exact token join
+    val base = docs.where(col("doc_id") < 40L)
+    val out = Dedup.dedupSegments(base, "doc_id", "text", segTokens = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val expected = base.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").mkString(" ")).toMap
+    assert(out.size == 40)
+    expected.foreach { case (id, text) =>
+      val (nSeg, nKept, dedup) = out(id)
+      assert(nSeg == nKept, s"doc $id lost segments")
+      assert(dedup == text, s"doc $id text changed")
+    }
+  }
+
+  test("segment dedup: a short trailing segment is its own unit and docs shorter than one segment still dedup") {
+    val df = Seq(
+      (1L, "p q r s t u"), // segments: "p q r s", "t u"
+      (2L, "t u"),         // equals doc 1's trailing segment → dropped
+      (3L, "t u v")        // distinct 3-token segment → kept whole
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(df, "doc_id", "text", segTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "p q r s t u")))
+    assert(out(2L) == ((1L, 0L, "")))
+    assert(out(3L) == ((1L, 1L, "t u v")))
+  }
 }

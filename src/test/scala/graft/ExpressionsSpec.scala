@@ -181,6 +181,45 @@ class ExpressionsSpec extends SparkTestBase {
     assert(recall >= 0.4, s"IVF@10 recall $recall vs brute")
   }
 
+  test("pqTopK recall vs brute-force on the shared embeddings") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    val pq = Similarity.pqQuery(idx, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.25, s"raw ADC PQ@10 recall $recall vs brute")
+    // the refine pass re-ranks a 50-candidate ADC shortlist exactly —
+    // recall must step up well beyond raw ADC
+    val refined = Similarity.pqQueryRefined(idx, emb, queries,
+        "vec_id", "embedding", 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refRecall = (brute intersect refined).size.toDouble / brute.size
+    assert(refRecall >= 0.6, s"refined PQ@10 recall $refRecall vs brute")
+    assert(refRecall >= recall, "refine must not lose recall")
+  }
+
+  test("PQ ADC distance approximates true squared L2 on the unit sphere") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    // codes are m small ints — the compressed representation really is m
+    // codes per vector, each within [0, codesPerSub)
+    val codes = idx.codes.limit(50).collect()
+    assert(codes.forall { r =>
+      val cs = r.getSeq[Int](1)
+      cs.length == idx.m && cs.forall(c => c >= 0 && c < idx.codesPerSub)
+    })
+    // ADC distances live on the unit sphere: approx ‖q−x‖² ∈ [0, 4] + slack
+    val scored = Similarity.pqQuery(idx, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 10).collect()
+    assert(scored.nonEmpty)
+    assert(scored.forall { r =>
+      val d = r.getDouble(3); d >= -0.05 && d <= 4.5
+    }, "ADC distance outside the unit-sphere range")
+  }
+
   test("IVF index save/load: per-cell layout on disk, loaded index answers identically, probe join prunes partitions dynamically") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
