@@ -2044,6 +2044,51 @@ object Queries {
             greatest(len(tk.t) - 7, 1), 4) AS dup_frac
         FROM tk LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
 
+  private val dedupExactSubstringRemove = Q(
+    // the ACTION to dedup_exact_substring's measurement: duplicated
+    // 8-token spans removed corpus-wide, first occurrence kept
+    (s, dir) => Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id",
+        "text", k = 8)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents),
+        wins AS (
+          SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+              i -> struct_pack(pos := i,
+                w := array_to_string(t[i:i+7], ' ')))) AS u
+            FROM tk WHERE len(t) >= 8)),
+        ranked AS (
+          SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+          FROM wins),
+        cov AS (
+          SELECT DISTINCT doc_id, i FROM (
+            SELECT doc_id, unnest(range(pos, pos + 8)) AS i
+            FROM ranked WHERE rn > 1)),
+        toksr AS (
+          SELECT doc_id, u.i AS i, u.w AS w FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+              i -> struct_pack(i := i, w := t[i]))) AS u
+            FROM tk)),
+        agg AS (
+          SELECT tr.doc_id,
+            count(*) AS n_toks,
+            count(c.i) AS n_removed,
+            coalesce(string_agg(tr.w, ' ' ORDER BY tr.i)
+              FILTER (WHERE c.i IS NULL), '') AS text_dedup
+          FROM toksr tr LEFT JOIN cov c
+            ON tr.doc_id = c.doc_id AND tr.i = c.i
+          GROUP BY tr.doc_id)
+        SELECT tk.doc_id,
+          coalesce(agg.n_toks, 0)::BIGINT AS n_toks,
+          coalesce(agg.n_removed, 0)::BIGINT AS n_removed,
+          coalesce(agg.text_dedup, '') AS text_dedup
+        FROM tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id"""))
+
   private val dedupSegment = Q(
     (s, dir) => Dedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
         segTokens = 20)
@@ -2251,6 +2296,7 @@ object Queries {
     "dedup_exact_substring" -> dedupExactSubstring,
     "dedup_semantic" -> dedupSemantic,
     "dedup_segment" -> dedupSegment,
+    "dedup_exact_substring_remove" -> dedupExactSubstringRemove,
     "lm_perplexity" -> lmPerplexity,
     "embedding_quantize" -> embeddingQuantize,
     "maintenance_compact" -> maintenanceCompact,

@@ -349,6 +349,65 @@ object Dedup {
           greatest(col("windows"), lit(1L)).cast(DoubleType)).as("dup_frac"))
   }
 
+  /** Span-level exact dedup REMOVAL (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better") — the action to
+    * [[exactSubstringStats]]'s measurement: every k-token window that has
+    * already occurred earlier in the corpus (ordered by document id, then
+    * position; the first occurrence always survives) marks its token span
+    * for removal, overlapping marked spans merge naturally as a covered
+    * token set, and each document is re-assembled from its surviving
+    * tokens. A document that is entirely a copy of earlier text
+    * re-assembles to `""` — exactly the paper's outcome for verbatim
+    * duplicates.
+    *
+    * The reference implementation builds a corpus-wide suffix array to
+    * find maximal duplicated spans of ANY length ≥ k; the fixed-k window
+    * tiling here removes the same duplicated regions (every duplicated
+    * span ≥ k tokens is a union of duplicated k-windows) without the
+    * suffix array's global sorted structure, which is what makes it a
+    * bounded-shuffle distributed plan.
+    *
+    * Scale shape: window hashing is the same narrow fused pass as
+    * [[exactSubstringStats]]; the keep-first rank is one scalars-only
+    * exchange on the 64-bit window hash; covered-position aggregation is
+    * one map-side-combined scalars exchange on the doc id; the final
+    * reassembly joins the (doc → covered array) frame back to the token
+    * arrays on the id and filters tokens narrowly. Windows are compared
+    * by xxhash64 — a collision (≈ 2⁻⁶⁴ per pair) could remove a
+    * non-duplicated span; acceptable for corpus curation, same trade as
+    * the stats variant.
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val toksDf = docs.select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("t"))
+    val wins = toksDf.select(col("doc"),
+      explode(when(size(col("t")) >= k,
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => struct(i.as("pos"),
+            xxhash64(array_join(slice(col("t"), i, lit(k)), " ")).as("h"))))
+        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("w"))
+      .select(col("doc"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val byHash = Window.partitionBy("h").orderBy(col("doc"), col("pos"))
+    val covered = wins
+      .withColumn("rn", row_number().over(byHash))
+      .where(col("rn") > 1)
+      .groupBy("doc")
+      .agg(array_sort(array_distinct(flatten(
+        collect_list(sequence(col("pos"), col("pos") + (k - 1)))))).as("covered"))
+    toksDf.join(covered, Seq("doc"), "left")
+      .select(col("doc"),
+        size(col("t")).cast(LongType).as("n_toks"),
+        coalesce(size(col("covered")), lit(0)).cast(LongType).as("n_removed"),
+        array_join(
+          filter(col("t"), (w, i) => !array_contains(
+            coalesce(col("covered"), array().cast("array<int>")), i + 1)),
+          " ").as("text_dedup"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     * removal via clustered cosine. KMeans cells bound the candidate set;
     * within each cell a vector is a duplicate iff it has cosine ≥

@@ -257,6 +257,38 @@ class DedupSpec extends SparkTestBase {
     assert(out.values.count(identity) <= 3)
   }
 
+  test("span removal: later copies of a shared 8-token run are cut, first occurrence and unique text survive") {
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run x1 x2"),      // first occurrence — survives whole
+      (2L, s"y1 y2 $run"),      // later copy — run removed, own prefix kept
+      (3L, s"$run x1 x2"),      // verbatim dup of doc 1 — empties
+      (4L, "p q")               // shorter than k — untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 0L, s"$run x1 x2")))
+    assert(out(2L) == ((10L, 8L, "y1 y2")))
+    assert(out(3L) == ((10L, 10L, "")))
+    assert(out(4L) == ((2L, 0L, "p q")))
+  }
+
+  test("span removal: overlapping duplicated windows merge into one covered span") {
+    // doc 2 repeats a 10-token run of doc 1: its three 8-windows overlap;
+    // the union must remove exactly the 10 duplicated tokens, once
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run tail1"),
+      (2L, s"head1 $run")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, s"$run tail1")))
+    assert(out(2L) == ((10L, "head1")))
+  }
+
   test("segment dedup: first occurrence survives, repeats drop, docs reassemble in order") {
     // 4-token segments; doc 1 repeats its own first segment, doc 2 copies
     // doc 1's first segment and brings one unique segment of its own,
