@@ -20,6 +20,7 @@ object GraftFunctions {
     "graft_tokens" -> (es => Tokenize(es.head)),
     "graft_shingles" -> (es => WordShingles(es.head, es(1))),
     "graft_hyperplane" -> (es => HyperplaneSketch(es.head, es(1), es(2))),
+    "graft_remove_at" -> (es => RemoveAtPositions(es.head, es(1))),
     "graft_bloom_contains" -> (es => BloomContainsString(es.head, es(1))),
     "graft_bloom_contains_all" -> (es => BloomMightContainAll(es.head, es(1))),
     "graft_round" -> (es => RoundHalfAway(es.head, es(1))),

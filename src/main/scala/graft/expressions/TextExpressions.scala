@@ -155,3 +155,44 @@ case class HyperplaneSketch(first: Expression, second: Expression, third: Expres
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }
+
+/** graft_remove_at(tokens ARRAY<STRING>, positions ARRAY<INT>) →
+  * ARRAY<STRING>: drop the tokens at the given SORTED ASCENDING 1-based
+  * positions, one two-pointer merge pass — O(tokens + positions).
+  *
+  * Exists for [[graft.operators.Dedup.removeDuplicateSpans]]: the
+  * higher-order `filter(t, (w, i) => !array_contains(covered, i+1))`
+  * formulation rescans the covered array per token — O(T·C) on exactly
+  * the documents span removal targets (heavily duplicated ones, where C
+  * approaches T). Fused-eval like the other per-row array producers here
+  * (array-of-string output; the loop body, not expression dispatch,
+  * dominates).
+  */
+case class RemoveAtPositions(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def prettyName: String = "graft_remove_at"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullSafeEval(toksAny: Any, posAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val pos = posAny.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = pos.numElements()
+    val out = new Array[Any](n)
+    var i = 0; var p = 0; var o = 0
+    while (i < n) {
+      while (p < m && pos.getInt(p) < i + 1) p += 1
+      if (p < m && pos.getInt(p) == i + 1) p += 1 // covered → drop
+      else { out(o) = toks.get(i, StringType); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], o))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -383,6 +383,7 @@ object Dedup {
       textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
+    graft.expressions.GraftFunctions.registerAll(docs.sparkSession)
     val toksDf = docs.select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("t"))
     val wins = toksDf.select(col("doc"),
       explode(when(size(col("t")) >= k,
@@ -398,13 +399,16 @@ object Dedup {
       .groupBy("doc")
       .agg(array_sort(array_distinct(flatten(
         collect_list(sequence(col("pos"), col("pos") + (k - 1)))))).as("covered"))
+    // graft_remove_at: one two-pointer pass over (tokens, sorted covered)
+    // — the filter/array_contains formulation is O(T·C) per doc, which
+    // blows up on exactly the heavily-duplicated documents this operator
+    // targets (C → T on a verbatim copy)
     toksDf.join(covered, Seq("doc"), "left")
       .select(col("doc"),
         size(col("t")).cast(LongType).as("n_toks"),
         coalesce(size(col("covered")), lit(0)).cast(LongType).as("n_removed"),
-        array_join(
-          filter(col("t"), (w, i) => !array_contains(
-            coalesce(col("covered"), array().cast("array<int>")), i + 1)),
+        array_join(call_function("graft_remove_at", col("t"),
+          coalesce(col("covered"), array().cast("array<int>"))),
           " ").as("text_dedup"))
   }
 
@@ -529,14 +533,19 @@ object Dedup {
       textCol: String,
       segTokens: Int = 20): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    val toks = TF.tokens(col(textCol))
-    val nSegs = ceil(size(toks).cast(DoubleType) / lit(segTokens.toDouble))
+    // materialize the token array ONCE per doc before the per-segment
+    // lambda: higher-order functions evaluate their body per element, so
+    // inlining TF.tokens there would re-tokenize the whole text per
+    // segment — O(T²/segTokens) character work on long docs
+    val toksDf = docs
+      .select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= 1)
+    val nSegs = ceil(size(col("t")).cast(DoubleType) / lit(segTokens.toDouble))
       .cast(IntegerType)
-    val segs = docs
-      .where(size(toks) >= 1)
-      .select(col(idCol).as("doc"),
+    val segs = toksDf
+      .select(col("doc"),
         posexplode(transform(sequence(lit(0), nSegs - 1),
-          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+          i => array_join(slice(col("t"), i * segTokens + 1, lit(segTokens)), " ")))
           .as(Seq("seg", "segtext")))
     val w = Window.partitionBy("segtext").orderBy(col("doc"), col("seg"))
     val ranked = segs.withColumn("rn", row_number().over(w))

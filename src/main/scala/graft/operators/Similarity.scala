@@ -351,7 +351,10 @@ object Similarity {
       df.withColumn(s"fv$s",
         array_to_vector(slice(col("nv"), s * dsub + 1, dsub)))
     }
-    val n = withSubs.count()
+    // count the RAW corpus (parquet-footer cheap — no filter/projection
+    // in the way) to bound the sample fraction; the handful of zero-norm
+    // rows normalized() drops only make the sample marginally smaller
+    val n = corpus.count()
     val trainSet =
       if (n <= trainRows) withSubs
       else withSubs.sample(withReplacement = false, trainRows.toDouble / n, seed)
@@ -360,15 +363,22 @@ object Similarity {
         .setFeaturesCol(s"fv$s").setPredictionCol(s"code$s")
         .fit(trainSet)
     }
-    val encoded = models.zipWithIndex
-      .foldLeft(withSubs) { case (df, (model, _)) => model.transform(df) }
+    val encoded = models
+      .foldLeft(withSubs)((df, model) => model.transform(df))
       .select(col("nid"),
         array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val codebooks = models.zipWithIndex.flatMap { case (model, s) =>
-      model.clusterCenters.zipWithIndex.map { case (c, code) =>
-        (s, code, c.toArray) }
+      // KMeans may return FEWER than k centers (low-cardinality subspace /
+      // tiny sample). The ADC table is indexed positionally by
+      // sub*codesPerSub + code, so deficient codebooks must be padded to
+      // exactly codesPerSub rows or every later subspace's lookups shift
+      // (silent mis-ranking; top slots out of bounds). Padded slots repeat
+      // center 0 — codes from the SAME model never reference them.
+      val centers = model.clusterCenters
+      val padded = centers ++ Array.fill(codesPerSub - centers.length)(centers(0))
+      padded.zipWithIndex.map { case (c, code) => (s, code, c.toArray) }
     }.toDF("sub", "code", "centroid")
     PqIndex(codebooks, encoded, m, codesPerSub, dim)
   }

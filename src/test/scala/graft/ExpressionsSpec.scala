@@ -201,6 +201,45 @@ class ExpressionsSpec extends SparkTestBase {
     assert(refRecall >= recall, "refine must not lose recall")
   }
 
+  test("graft_remove_at: two-pointer drop at sorted 1-based positions, incl. empty/all/out-of-range") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq(2, 4)),
+      (2L, Seq("a", "b"), Seq.empty[Int]),
+      (3L, Seq("a", "b"), Seq(1, 2)),
+      (4L, Seq("a", "b"), Seq(3, 9)) // past the end → no-op
+    ).toDF("id", "t", "pos")
+    val out = df.select(col("id"),
+        call_function("graft_remove_at", col("t"), col("pos")).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a", "c"))
+    assert(out(2L) == Seq("a", "b"))
+    assert(out(3L) == Seq.empty)
+    assert(out(4L) == Seq("a", "b"))
+  }
+
+  test("PQ survives a deficient subspace codebook: constant sub-vectors give KMeans < k centers, padding keeps ADC slots aligned") {
+    val rnd = new scala.util.Random(11)
+    // dims 0-7 constant (one distinct sub-vector → 1 center), dims 8-15 varied
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8)(0.5f) ++ Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+      m = 2, codesPerSub = 8)
+    // padded codebook must still be dense: exactly m * codesPerSub rows
+    assert(idx.codebooks.count() == 16)
+    val queries = emb.where(col("vec_id") < 3)
+    val out = Similarity.pqQuery(idx, queries, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(out.length == 15, "every query answers k rows")
+    // with a full-corpus shortlist the refine pass must agree with brute
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refined = Similarity.pqQueryRefined(idx, emb, queries,
+        "vec_id", "embedding", 5, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(refined == brute)
+  }
+
   test("PQ ADC distance approximates true squared L2 on the unit sphere") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
