@@ -321,6 +321,36 @@ object Similarity {
   final case class PqIndex(
       codebooks: DataFrame, codes: DataFrame, m: Int, codesPerSub: Int, dim: Int)
 
+  object PqIndex {
+    /** Persist the index: tiny codebooks as one parquet, the code table
+      * (the compressed corpus — the artifact whose 30×-smaller scan is
+      * PQ's point) as plain parquet. Unlike [[IvfIndex.save]] there is no
+      * pruning dimension to partition by: a flat ADC query reads every
+      * code row by design.
+      */
+    def save(index: PqIndex, path: String): Unit = {
+      index.codebooks.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/codebooks")
+      index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    }
+
+    /** Load a persisted index. Geometry is recovered from the codebook
+      * table itself — build-time padding guarantees a dense `sub × code`
+      * grid, so max(sub)+1 and max(code)+1 ARE m and codesPerSub.
+      */
+    def load(spark: SparkSession, path: String): PqIndex = {
+      val codebooks = spark.read.parquet(s"$path/codebooks")
+      val codes = spark.read.parquet(s"$path/codes")
+      val geo = codebooks
+        .agg(max(col("sub")).as("ms"), max(col("code")).as("mc"))
+        .head()
+      val m = geo.getInt(0) + 1
+      val cps = geo.getInt(1) + 1
+      val dsub = codebooks.select(size(col("centroid"))).head().getInt(0)
+      PqIndex(codebooks, codes, m, cps, dsub * m)
+    }
+  }
+
   /** Build a PQ index: split each (normalized) vector into `m` contiguous
     * subspaces, fit an independent KMeans codebook of `codesPerSub`
     * centroids per subspace on a bounded sample (same rationale as

@@ -289,6 +289,45 @@ class DedupSpec extends SparkTestBase {
     assert(out(2L) == ((10L, "head1")))
   }
 
+  test("span removal parity with an independent brute-force oracle on random small-vocab corpora") {
+    // small vocabulary + short docs → dense window collisions; the brute
+    // oracle replays keep-first/cover/reassemble with naive driver code
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'l').map(_.toString)
+    val k = 5
+    (0 until 3).foreach { round =>
+      val corpus = (0 until 30).map { i =>
+        val len = rnd.nextInt(41)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector }.toMap
+      val occ = scala.collection.mutable.LinkedHashMap
+        .empty[String, List[(Long, Int)]]
+      for ((id, t) <- toks.toSeq.sortBy(_._1); i <- 0 to t.length - k
+           if t.length >= k) {
+        val w = t.slice(i, i + k).mkString(" ")
+        occ(w) = occ.getOrElse(w, Nil) :+ ((id, i))
+      }
+      val covered = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Int]]
+      for ((_, os) <- occ; (id, p) <- os.sortBy(identity).drop(1);
+           j <- p until p + k)
+        covered.getOrElseUpdate(id, scala.collection.mutable.Set.empty) += j
+      val expected = corpus.map { case (id, _) =>
+        val t = toks(id)
+        val cov = covered.getOrElse(id, scala.collection.mutable.Set.empty)
+        id -> ((t.length.toLong, cov.size.toLong,
+          t.zipWithIndex.collect { case (w, i) if !cov(i) => w }.mkString(" ")))
+      }.toMap
+      val out = Dedup.removeDuplicateSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out == expected, s"round $round diverged from the brute oracle")
+    }
+  }
+
   test("segment dedup: first occurrence survives, repeats drop, docs reassemble in order") {
     // 4-token segments; doc 1 repeats its own first segment, doc 2 copies
     // doc 1's first segment and brings one unique segment of its own,

@@ -240,6 +240,22 @@ class ExpressionsSpec extends SparkTestBase {
     assert(refined == brute)
   }
 
+  test("PQ index save/load: geometry recovered from the codebook grid, loaded index answers identically") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    val dir = tmp("pqidx")
+    Similarity.PqIndex.save(idx, dir)
+    val loaded = Similarity.PqIndex.load(spark, dir)
+    assert(loaded.m == idx.m && loaded.codesPerSub == idx.codesPerSub &&
+      loaded.dim == idx.dim)
+    val q = emb.where(col("vec_id") < 3)
+    val a = Similarity.pqQuery(idx, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.pqQuery(loaded, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("PQ ADC distance approximates true squared L2 on the unit sphere") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
