@@ -1544,6 +1544,39 @@ object Queries {
       .orderBy("qid", "rank"),
     None) // KMeans codebooks are engine-specific; recall vs brute in tests
 
+  /** Exact-mode k-NN join (nprobe = numCells): every embedding finds its 3
+    * nearest neighbors through the full distributed plumbing — sampled
+    * KMeans cells, literal-centroid narrow probe selection on the left
+    * side, the cell equi-join, the group-limited ranking window — and with
+    * all cells probed the result is provably the brute-force join, which
+    * the oracle computes directly. The nprobe < numCells recall dial is
+    * covered in ExpressionsSpec.
+    */
+  private val knnJoin = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnJoin(emb, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, numCells = 8, nprobe = 8,
+          excludeSelf = true)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            round(
+              list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+               sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+            4) AS cosine
+          FROM e q, e c WHERE c.vec_id <> q.vec_id)
+        SELECT qid, rank, nid, cosine FROM (
+          SELECT qid, nid, cosine,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, nid) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY qid, rank"""))
+
   private val textAnalyze = Q(
     (s, dir) => t(s, dir, "documents")
       .select(explode(TF.tokens(col("text"))).as("token"))
@@ -1683,6 +1716,27 @@ object Queries {
         WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)),1,8))::BIGINT % 100 <
           CASE WHEN lang = 'en' THEN 50 ELSE 10 END
         ORDER BY doc_id"""))
+
+  /** The deterministic global shuffle for training export: every document's
+    * (shard, within-shard position) from md5(salt ‖ id) — reproducible
+    * across engines, runs, and partitionings, so the full assignment is
+    * directly oracle-checkable row for row.
+    */
+  private val shuffleShards = Q(
+    (s, dir) => graft.operators.TrainPipeline.shuffleShards(
+        t(s, dir, "documents"), "doc_id", numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos"),
+    Some("""SELECT doc_id, shard, pos FROM (
+        SELECT doc_id, shard, k,
+          ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+        FROM (
+          SELECT doc_id,
+            (('0x' || substr(md5(cast(doc_id AS VARCHAR)),1,8))::BIGINT % 8)::INT
+              AS shard,
+            md5(cast(doc_id AS VARCHAR)) AS k
+          FROM documents))
+        ORDER BY shard, pos"""))
 
   private val piiRedact = Q(
     (s, dir) => {
@@ -2272,6 +2326,8 @@ object Queries {
     "sim_search_lsh" -> simSearchLsh,
     "sim_search_ivf" -> simSearchIvf,
     "sim_search_pq" -> simSearchPq,
+    "knn_join" -> knnJoin,
+    "shuffle_shards" -> shuffleShards,
     "text_analyze" -> textAnalyze,
     "text_tfidf" -> textTfidf,
     "token_count" -> tokenCount,

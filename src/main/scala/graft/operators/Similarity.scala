@@ -302,6 +302,102 @@ object Similarity {
       buildIvfIndex(corpus, idCol, vecCol, numCells, seed, trainRows),
       queries, idCol, vecCol, k, nprobe)
 
+  /** Distributed k-NN JOIN: every row of `left` gets its `k` nearest rows
+    * of `right` by cosine. This is the both-sides-large shape
+    * ([[bruteTopK]]/[[ivfQuery]] assume a small query batch): neither side
+    * is broadcast or cross-joined. Both sides route through a shared IVF
+    * cell assignment —
+    *
+    *  - the `right` side is bucketed once by [[buildIvfIndex]] (sampled
+    *    KMeans fit, narrow full-corpus assignment);
+    *  - the `left` side picks its `nprobe` nearest cells as a NARROW
+    *    per-row projection: the centroid table is tiny (`numCells` rows),
+    *    so it rides along as a LITERAL array and cell selection is
+    *    `array_sort` + `slice` + `explode` — no crossJoin, and crucially no
+    *    per-qid ranking window, which for a large left side would be a
+    *    full extra shuffle ([[ivfQuery]] affords that window only because
+    *    its query batch is small);
+    *  - the only wide operations are the equi-join on `cell` and the final
+    *    top-k window on `qid` (which Catalyst executes with a partial
+    *    WindowGroupLimit, so each map task emits ≤ k rows per qid).
+    *
+    * `nprobe = numCells` degenerates to the exact join through the same
+    * distributed plumbing (this is how the oracle checks it); smaller
+    * `nprobe` is the recall/cost dial. At scale, size `numCells` ~
+    * sqrt(|right|) (e.g. 32k cells for 1 B vectors): the cell-join key
+    * cardinality grows with the data, so the join parallelizes, and AQE's
+    * skew splitting handles hot cells.
+    *
+    * `excludeSelf` drops `qid == nid` matches for self-join dedup/retrieval
+    * over one table (ids must then be from the same id space).
+    */
+  def knnJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftIdCol: String,
+      leftVecCol: String,
+      rightIdCol: String,
+      rightVecCol: String,
+      k: Int,
+      numCells: Int = 16,
+      nprobe: Int = 3,
+      excludeSelf: Boolean = false,
+      seed: Long = 42L,
+      trainRows: Long = 100000L): DataFrame =
+    knnJoinWithIndex(
+      buildIvfIndex(right, rightIdCol, rightVecCol, numCells, seed, trainRows),
+      left, leftIdCol, leftVecCol, k, nprobe, excludeSelf)
+
+  /** [[knnJoin]] against a prebuilt/persisted [[IvfIndex]] over the right
+    * side (amortize the build across many left-side batches).
+    */
+  def knnJoinWithIndex(
+      index: IvfIndex,
+      left: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    VectorExprs.register(left.sparkSession)
+    // centroid table → driver literal: numCells × dim doubles (a few KB).
+    // Distance uses ivfQuery's formula (−2·q·c + c·c, the squared-L2 rank
+    // with the constant |q|² dropped); c·c is precomputed driver-side.
+    // Ties break on cell id, matching ivfQuery's Window orderBy(dist, cell).
+    val cents = index.centroids
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val probeCells = math.min(nprobe, cents.length)
+    val candStructs = cents.map { case (cell, c) =>
+      struct(
+        (VectorExprs.dot(col("qv"), lit(c)) * lit(-2.0) +
+          lit(c.map(x => x * x).sum)).as("dist"),
+        lit(cell).as("cell"))
+    }
+    val probed = left
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", VectorExprs.norm(col("qv")))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(slice(array_sort(array(candStructs.toSeq: _*)), 1, probeCells))
+          .as("p"))
+      .select(col("qid"), col("qv"), col("qn"), col("p.cell").as("cell"))
+    val bucketed = index.bucketed
+      .withColumn("nn", VectorExprs.norm(col("nv")))
+    val scored = probed.join(bucketed, "cell")
+    val filtered =
+      if (excludeSelf) scored.where(col("qid") =!= col("nid")) else scored
+    val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    filtered
+      .select(col("qid"), col("nid"),
+        Rounding.r4(VectorExprs.cosineFromNorms(
+          col("qv"), col("nv"), col("qn"), col("nn"))).as("cosine"))
+      .withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
+
   /** A product-quantization index (FAISS `IndexPQ` shape): per-subspace
     * KMeans codebooks plus the corpus compressed to one small code per
     * subspace. `codebooks(sub, code, centroid)` is tiny (m × codesPerSub

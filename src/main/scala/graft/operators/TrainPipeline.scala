@@ -92,6 +92,51 @@ object TrainPipeline {
   def sampleStratified(df: DataFrame, idCol: String, ratePercent: Column): DataFrame =
     df.where(hashBucket(col(idCol)) < ratePercent)
 
+  /** Deterministic pseudo-random shard + within-shard position for a row:
+    * the global-shuffle primitive of training-data export. Training wants
+    * the corpus order decorrelated from its source order (crawl order,
+    * dedup cluster order, …), reproducibly — `rand()` reshuffles on every
+    * retry/backfill, so instead both the shard AND the within-shard order
+    * come from `md5(salt ‖ id)`: shard = hash mod `numShards`, position =
+    * rank of the full hex digest within the shard. Changing `salt` is a
+    * fresh epoch-level reshuffle; re-running with the same salt is a no-op.
+    *
+    * One hash-partition exchange on `shard` + a per-shard sort — exactly
+    * the shuffle the export write needs anyway, and with `numShards` sized
+    * to the cluster (thousands at 100 TB) it parallelizes fully; the hash
+    * key is uniform so there is no skew. Cross-engine canonical (DuckDB:
+    * same md5/substr/mod arithmetic), so shard membership and order are
+    * oracle-checkable.
+    */
+  def shuffleShards(
+      df: DataFrame, idCol: String, numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val digest = md5(concat(lit(salt), col(idCol).cast(StringType)))
+    val shard = (conv(substring(digest, 1, 8), 16, 10)
+      .cast(LongType) % numShards).cast(IntegerType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("shuffle_key", digest)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+  }
+
+  /** Export the deterministic shuffle as training shards: one directory
+    * per shard (`partitionBy`), rows inside each file in shuffle order
+    * (`sortWithinPartitions` on the same key the position ranks by —
+    * readers that stream a shard file sequentially see the shuffled
+    * order without any sort of their own).
+    */
+  def writeShards(
+      df: DataFrame, idCol: String, numShards: Int, outDir: String,
+      salt: String = ""): Unit =
+    shuffleShards(df, idCol, numShards, salt)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
+      .drop("shuffle_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Scrub common PII shapes from free text: emails, IPv4 addresses, and
     * long digit runs (phone/account numbers). Patterns are intentionally
     * RE2-compatible (no backreferences/lookaround) so the same regexes run

@@ -201,6 +201,37 @@ class ExpressionsSpec extends SparkTestBase {
     assert(refRecall >= recall, "refine must not lose recall")
   }
 
+  test("knnJoin: exact at nprobe = numCells (brute parity), graceful recall below") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    // with every cell probed, the cell-routed join IS the brute join —
+    // every (query, neighbor) pair is scored exactly once
+    val brute = Similarity.bruteTopK(emb, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.knnJoin(emb, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, numCells = 8, nprobe = 8,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exact == brute, "all-cells knnJoin must equal brute top-k")
+
+    val approx = Similarity.knnJoin(emb, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, numCells = 8, nprobe = 2,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brutePairs = brute.map { case (q, _, n) => (q, n) }
+    val recall = (brutePairs intersect approx).size.toDouble / brutePairs.size
+    assert(recall >= 0.4, s"knnJoin@3 nprobe=2 recall $recall vs brute")
+  }
+
+  test("knnJoin: excludeSelf=false keeps the self match at rank 1") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .where(col("vec_id") < 50)
+    val withSelf = Similarity.knnJoin(emb, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 1, numCells = 4, nprobe = 4)
+      .collect()
+    assert(withSelf.forall(r => r.getLong(0) == r.getLong(2)),
+      "every vector's nearest neighbor including itself is itself")
+  }
+
   test("graft_remove_at: two-pointer drop at sorted 1-based positions, incl. empty/all/out-of-range") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "d"), Seq(2, 4)),

@@ -305,6 +305,54 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(ex.getMessage.contains("maxIter=1"))
   }
 
+  test("shuffleShards: deterministic, salt-epoch reshuffle, positions tile each shard") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val a = TrainPipeline.shuffleShards(df, "id", numShards = 8)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = TrainPipeline.shuffleShards(df.repartition(7), "id", numShards = 8)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // reproducible: same assignment regardless of input partitioning
+    assert(a.toSet == b.toSet)
+    // positions tile 1..n within every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // all shards in range and used (200 rows over 8 uniform buckets)
+    assert(a.map(_._2).toSet == (0 until 8).toSet)
+    // the shuffle decorrelates: within-shard order is not source order
+    val shard0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted, "shuffle left source order intact")
+    // a different salt is a fresh epoch: some assignment must change
+    val c = TrainPipeline.shuffleShards(df, "id", numShards = 8, salt = "ep1")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(c.toSet != a.toSet)
+  }
+
+  test("writeShards: shard directories hold rows in shuffle-position order") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    TrainPipeline.writeShards(df, "id", numShards = 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    // per shard: reading the files sequentially yields pos order 1..n —
+    // the no-reader-side-sort contract
+    val expected = TrainPipeline.shuffleShards(df, "id", numShards = 4)
+      .select("shard", "pos", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.sortBy(_._2).map(_._3).toSeq }
+    (0 until 4).foreach { s =>
+      val got = spark.read.parquet(s"$dir/shard=$s")
+        .select("id", "pos").collect().sortBy(_.getLong(1)).map(_.getLong(0))
+      assert(got.toSeq == expected(s), s"shard $s order")
+    }
+  }
+
   test("quantizeInt8: max element pins ±127, reconstruction within scale/2, zero vector safe") {
     import spark.implicits._
     val emb = Seq(
