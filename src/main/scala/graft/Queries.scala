@@ -259,6 +259,21 @@ object Queries {
           idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
 
+    private val ivfPqIndexes =
+      scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Similarity.IvfPqIndex)]
+
+    /** One IVF-PQ index per (process, sf dir) — the full-composition build
+      * (coarse cells + subspace codebooks + carried-cell encode) amortizes
+      * like its siblings; queries prune to probed cells AND scan codes.
+      */
+    def ivfPqIndex(s: SparkSession, dir: String): Similarity.IvfPqIndex =
+      sessionScoped(ivfPqIndexes, s, dir) {
+        val idx = Similarity.buildIvfPqIndex(
+          t(s, dir, "embeddings"), "vec_id", "embedding", numCells = 8)
+        idx.copy(codes =
+          idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+
     private val clusterFrames =
       scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
@@ -1544,6 +1559,17 @@ object Queries {
       .orderBy("qid", "rank"),
     None) // KMeans codebooks are engine-specific; recall vs brute in tests
 
+  private val simSearchIvfPq = Q(
+    // the full composition: probed cells only (IVF pruning) scanned as
+    // codes (PQ compression), then the exact refine pass — FAISS
+    // IndexIVFPQ + RefineFlat; the amortized index comes from the fixture
+    (s, dir) => Similarity.ivfPqQueryRefined(Fixtures.ivfPqIndex(s, dir),
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, shortlist = 50, nprobe = 4)
+      .orderBy("qid", "rank"),
+    None) // cells + codebooks engine-specific; recall vs brute in tests
+
   /** Exact-mode k-NN join (nprobe = numCells): every embedding finds its 3
     * nearest neighbors through the full distributed plumbing — sampled
     * KMeans cells, literal-centroid narrow probe selection on the left
@@ -2326,6 +2352,7 @@ object Queries {
     "sim_search_lsh" -> simSearchLsh,
     "sim_search_ivf" -> simSearchIvf,
     "sim_search_pq" -> simSearchPq,
+    "sim_search_ivfpq" -> simSearchIvfPq,
     "knn_join" -> knnJoin,
     "shuffle_shards" -> shuffleShards,
     "text_analyze" -> textAnalyze,

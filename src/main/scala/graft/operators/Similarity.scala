@@ -360,29 +360,10 @@ object Similarity {
       nprobe: Int,
       excludeSelf: Boolean = false): DataFrame = {
     VectorExprs.register(left.sparkSession)
-    // centroid table → driver literal: numCells × dim doubles (a few KB).
-    // Distance uses ivfQuery's formula (−2·q·c + c·c, the squared-L2 rank
-    // with the constant |q|² dropped); c·c is precomputed driver-side.
-    // Ties break on cell id, matching ivfQuery's Window orderBy(dist, cell).
-    val cents = index.centroids
-      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val probeCells = math.min(nprobe, cents.length)
-    val candStructs = cents.map { case (cell, c) =>
-      struct(
-        (VectorExprs.dot(col("qv"), lit(c)) * lit(-2.0) +
-          lit(c.map(x => x * x).sum)).as("dist"),
-        lit(cell).as("cell"))
-    }
-    val probed = left
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("qn", VectorExprs.norm(col("qv")))
-      .select(col("qid"), col("qv"), col("qn"),
-        explode(slice(array_sort(array(candStructs.toSeq: _*)), 1, probeCells))
-          .as("p"))
-      .select(col("qid"), col("qv"), col("qn"), col("p.cell").as("cell"))
+    val probed = probeCellsNarrow(
+      left.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+        .withColumn("qn", VectorExprs.norm(col("qv"))),
+      index.centroids, nprobe)
     val bucketed = index.bucketed
       .withColumn("nn", VectorExprs.norm(col("nv")))
     val scored = probed.join(bucketed, "cell")
@@ -396,6 +377,38 @@ object Similarity {
       .withColumn("rank", row_number().over(rw))
       .where(col("rank") <= k)
       .select("qid", "rank", "nid", "cosine")
+  }
+
+  /** Each row's `nprobe` nearest IVF cells, as a NARROW projection over a
+    * frame carrying a `qv` vector column: the centroid table is tiny
+    * (numCells rows), so it rides along as a driver-collected LITERAL and
+    * cell selection is `array_sort` + `slice` + `explode` — no crossJoin
+    * row blow-up and no per-row ranking window. Distance uses ivfQuery's
+    * formula (−2·q·c + c·c, squared-L2 with the constant |q|² dropped);
+    * c·c is precomputed driver-side. Ties break on cell id, matching
+    * ivfQuery's Window orderBy(dist, cell). Output = input columns plus
+    * `cell`, one row per (input row, probed cell).
+    */
+  private def probeCellsNarrow(
+      withQv: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cents = centroids
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val probeN = math.min(nprobe, cents.length)
+    val candStructs = cents.map { case (cell, c) =>
+      struct(
+        (VectorExprs.dot(col("qv"), lit(c)) * lit(-2.0) +
+          lit(c.map(x => x * x).sum)).as("dist"),
+        lit(cell).as("cell"))
+    }
+    val keep = withQv.columns.map(col)
+    withQv
+      .select(keep :+
+        explode(slice(array_sort(array(candStructs.toSeq: _*)), 1, probeN))
+          .as("p"): _*)
+      .select(keep :+ col("p.cell").as("cell"): _*)
   }
 
   /** A product-quantization index (FAISS `IndexPQ` shape): per-subspace
@@ -467,20 +480,41 @@ object Similarity {
       seed: Long = 42L,
       trainRows: Long = 100000L): PqIndex = {
     VectorExprs.register(corpus.sparkSession)
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val unit = normalized(corpus, idCol, vecCol, "nid", "nv")
+    // count the RAW corpus (parquet-footer cheap — no filter/projection
+    // in the way) to bound the sample fraction; the handful of zero-norm
+    // rows normalized() drops only make the sample marginally smaller
+    val (codebooks, encoded) = pqFitEncode(unit, corpus.count(), dim, m,
+      codesPerSub, seed, trainRows, carry = Nil)
+    PqIndex(codebooks, encoded, m, codesPerSub, dim)
+  }
+
+  /** Shared PQ trainer/encoder over an already-normalized `(nid, nv, …)`
+    * frame: per-subspace sampled KMeans fits, then one narrow encode pass
+    * emitting `(nid, carry…, codes)`. Factored out so [[buildPqIndex]] and
+    * [[buildIvfPqIndex]] train identically (the latter carries the cell
+    * assignment through the encode instead of re-joining it on id later —
+    * at scale that join would be a second full shuffle of the corpus).
+    */
+  private def pqFitEncode(
+      unit: DataFrame,
+      n: Long,
+      dim: Int,
+      m: Int,
+      codesPerSub: Int,
+      seed: Long,
+      trainRows: Long,
+      carry: Seq[String]): (DataFrame, DataFrame) = {
+    VectorExprs.register(unit.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val dsub = dim / m
-    val unit = normalized(corpus, idCol, vecCol, "nid", "nv")
     val withSubs = (0 until m).foldLeft(unit) { (df, s) =>
       df.withColumn(s"fv$s",
         array_to_vector(slice(col("nv"), s * dsub + 1, dsub)))
     }
-    // count the RAW corpus (parquet-footer cheap — no filter/projection
-    // in the way) to bound the sample fraction; the handful of zero-norm
-    // rows normalized() drops only make the sample marginally smaller
-    val n = corpus.count()
     val trainSet =
       if (n <= trainRows) withSubs
       else withSubs.sample(withReplacement = false, trainRows.toDouble / n, seed)
@@ -491,9 +525,9 @@ object Similarity {
     }
     val encoded = models
       .foldLeft(withSubs)((df, model) => model.transform(df))
-      .select(col("nid"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
-    val spark = corpus.sparkSession
+      .select((col("nid") +: carry.map(col) :+
+        array((0 until m).map(s => col(s"code$s")): _*).as("codes")): _*)
+    val spark = unit.sparkSession
     import spark.implicits._
     val codebooks = models.zipWithIndex.flatMap { case (model, s) =>
       // KMeans may return FEWER than k centers (low-cardinality subspace /
@@ -506,7 +540,7 @@ object Similarity {
       val padded = centers ++ Array.fill(codesPerSub - centers.length)(centers(0))
       padded.zipWithIndex.map { case (c, code) => (s, code, c.toArray) }
     }.toDF("sub", "code", "centroid")
-    PqIndex(codebooks, encoded, m, codesPerSub, dim)
+    (codebooks, encoded)
   }
 
   private def normalized(df: DataFrame, idCol: String, vecCol: String,
@@ -539,10 +573,28 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     VectorExprs.register(queries.sparkSession)
-    val dsub = index.dim / index.m
     val q = normalized(queries, idCol, vecCol, "qid", "qv")
-    // ‖s − c‖² = s·s − 2 s·c + c·c, all three via the codegen dot
-    val qtab = q.crossJoin(broadcast(index.codebooks))
+    val dtabs = adcTables(q, index.codebooks, index.m, index.codesPerSub,
+      index.dim)
+    val scored = index.codes.crossJoin(broadcast(dtabs))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        adcScore(index.m, index.codesPerSub).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "adist")
+  }
+
+  /** Per-query ADC lookup tables against broadcast codebooks: one flat
+    * `dtab` array per qid, slot-indexed by `sub * codesPerSub + code`.
+    * ‖s − c‖² = s·s − 2 s·c + c·c, all three via the codegen dot.
+    */
+  private def adcTables(
+      q: DataFrame, codebooks: DataFrame,
+      m: Int, codesPerSub: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    val qtab = q.crossJoin(broadcast(codebooks))
       .select(col("qid"), col("sub"), col("code"),
         (VectorExprs.dot(
             slice(col("qv"), col("sub") * dsub + 1, lit(dsub)),
@@ -551,24 +603,22 @@ object Similarity {
               slice(col("qv"), col("sub") * dsub + 1, lit(dsub)),
               col("centroid")) * 2.0
           + VectorExprs.dot(col("centroid"), col("centroid"))).as("d"))
-    val dtabs = qtab.groupBy("qid").agg(
+    qtab.groupBy("qid").agg(
       transform(
         array_sort(collect_list(struct(
-          (col("sub") * index.codesPerSub + col("code")).as("slot"),
+          (col("sub") * codesPerSub + col("code")).as("slot"),
           col("d").as("d")))),
         e => e.getField("d")).as("dtab"))
-    val scored = index.codes.crossJoin(broadcast(dtabs))
-      .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        Rounding.r4((0 until index.m)
-          .map(s => element_at(col("dtab"),
-            col("codes").getItem(s) + lit(s * index.codesPerSub) + 1))
-          .reduce(_ + _)).as("adist"))
-    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "rank", "nid", "adist")
   }
+
+  /** The unrolled m-term ADC sum over a `codes` array and a `dtab` lookup
+    * array — plain `GetArrayItem`/`ElementAt` adds, fully codegen.
+    */
+  private def adcScore(m: Int, codesPerSub: Int) =
+    Rounding.r4((0 until m)
+      .map(s => element_at(col("dtab"),
+        col("codes").getItem(s) + lit(s * codesPerSub) + 1))
+      .reduce(_ + _))
 
   /** PQ with exact re-rank (the FAISS `IndexRefineFlat` composition): ADC
     * over the compressed codes produces a `shortlist`-sized candidate set
@@ -594,10 +644,21 @@ object Similarity {
     VectorExprs.register(queries.sparkSession)
     val cand = pqQuery(index, queries, idCol, vecCol, shortlist)
       .select("qid", "nid")
+    refineExact(corpus, queries, cand, idCol, vecCol, k)
+  }
+
+  /** Exact cosine re-rank of a `(qid, nid)` candidate set: only the
+    * candidates' true vectors are read back and scored. Both small sides
+    * broadcast, so the vector table is scanned narrowly exactly once; at
+    * 100 TB with the vector table bucketed by id this is a
+    * point-lookup-shaped read, not a second full scan.
+    */
+  private def refineExact(
+      corpus: DataFrame, queries: DataFrame, cand: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = normalized(queries, idCol, vecCol, "qid", "qv")
     val corp = normalized(corpus, idCol, vecCol, "nid", "nv")
-    // unit vectors → cosine is one dot; both small sides broadcast so the
-    // vector table is scanned narrowly exactly once
+    // unit vectors → cosine is one dot
     val scored = corp.join(broadcast(cand), "nid")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("nid"),
@@ -624,4 +685,119 @@ object Similarity {
       trainRows: Long = 100000L): DataFrame =
     pqQuery(buildPqIndex(corpus, idCol, vecCol, m, codesPerSub, seed, trainRows),
       queries, idCol, vecCol, k)
+
+  /** The full IVF-PQ composition (FAISS `IndexIVFPQ` shape): the corpus is
+    * partitioned into IVF cells AND compressed to PQ codes, so a query
+    * touches only its probed cells and scans codes, not vectors — the two
+    * scale levers multiply (nprobe/numCells of the corpus × ~30× smaller
+    * rows). Codes are encoded against the raw normalized vectors (FAISS's
+    * `by_residual=false` mode): one shared codebook set stays exact to
+    * [[pqQuery]]'s ADC semantics and keeps the encode narrow; per-cell
+    * residual codebooks are a recall refinement, not a structural change.
+    *
+    * `codes(nid, cell, codes)` — persist partitioned by `cell`
+    * ([[IvfPqIndex.save]]) and the probe join prunes to probed cells'
+    * files, exactly like [[IvfIndex]].
+    */
+  final case class IvfPqIndex(
+      centroids: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      numCells: Int, m: Int, codesPerSub: Int, dim: Int)
+
+  object IvfPqIndex {
+    def save(index: IvfPqIndex, path: String): Unit = {
+      index.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids")
+      index.codebooks.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/codebooks")
+      index.codes.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/codes")
+      // m / codesPerSub / dim are recoverable from the codebook table; no
+      // sidecar metadata file to drift
+    }
+
+    def load(spark: SparkSession, path: String): IvfPqIndex = {
+      val centroids = spark.read.parquet(s"$path/centroids")
+      val codebooks = spark.read.parquet(s"$path/codebooks")
+      val codes = spark.read.parquet(s"$path/codes")
+      val m = codebooks.agg(max("sub")).head().getInt(0) + 1
+      val codesPerSub = codebooks.agg(max("code")).head().getInt(0) + 1
+      val dim = codebooks.select(size(col("centroid")).as("d")).head()
+        .getInt(0) * m
+      IvfPqIndex(centroids, codebooks, codes,
+        centroids.count().toInt, m, codesPerSub, dim)
+    }
+  }
+
+  /** Build the IVF-PQ index: one normalization pass feeds both the coarse
+    * (cell) quantizer and the per-subspace PQ fits; the encode carries the
+    * cell assignment through, so the corpus is touched by exactly one wide
+    * KMeans-assignment pipeline — no id re-join.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      m: Int = 8,
+      codesPerSub: Int = 16,
+      seed: Long = 42L,
+      trainRows: Long = 100000L): IvfPqIndex = {
+    VectorExprs.register(corpus.sparkSession)
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val unit = normalized(corpus, idCol, vecCol, "nid", "nv")
+    val ivf = buildIvfIndex(unit, "nid", "nv", numCells, seed, trainRows)
+    val (codebooks, encoded) = pqFitEncode(ivf.bucketed, corpus.count(), dim,
+      m, codesPerSub, seed, trainRows, carry = Seq("cell"))
+    IvfPqIndex(ivf.centroids, codebooks, encoded, numCells, m, codesPerSub,
+      dim)
+  }
+
+  /** Query the IVF-PQ index: per-query ADC tables against the broadcast
+    * codebooks, nprobe cell selection as a narrow literal-centroid
+    * projection, then an equi-join on `cell` scans ONLY probed cells'
+    * codes with the unrolled codegen ADC sum; rank-limited top-k as
+    * everywhere else. Ranking is by approximate distance — compose with
+    * [[ivfPqQueryRefined]] for the exact re-rank.
+    */
+  def ivfPqQuery(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 3): DataFrame = {
+    VectorExprs.register(queries.sparkSession)
+    val q = normalized(queries, idCol, vecCol, "qid", "qv")
+    val dtabs = adcTables(q, index.codebooks, index.m, index.codesPerSub,
+      index.dim)
+    val probes = probeCellsNarrow(q, index.centroids, nprobe)
+      .select("qid", "cell")
+      .join(dtabs, "qid")
+    val scored = index.codes.join(broadcast(probes), "cell")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        adcScore(index.m, index.codesPerSub).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "adist")
+  }
+
+  /** IVF-PQ with exact re-rank (`IndexIVFPQ` + `IndexRefineFlat`): the ADC
+    * shortlist from the probed cells, then only those candidates' true
+    * vectors re-scored exactly.
+    */
+  def ivfPqQueryRefined(
+      index: IvfPqIndex,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int = 100,
+      nprobe: Int = 3): DataFrame = {
+    val cand = ivfPqQuery(index, queries, idCol, vecCol, shortlist, nprobe)
+      .select("qid", "nid")
+    refineExact(corpus, queries, cand, idCol, vecCol, k)
+  }
 }

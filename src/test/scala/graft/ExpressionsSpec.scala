@@ -201,6 +201,52 @@ class ExpressionsSpec extends SparkTestBase {
     assert(refRecall >= recall, "refine must not lose recall")
   }
 
+  test("ivfPq: raw ADC over probed cells recalls, refine steps up, all-cells+refine near-exact") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      numCells = 8)
+    val raw = Similarity.ivfPqQuery(idx, queries, "vec_id", "embedding", 10,
+        nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rawRecall = (brute intersect raw).size.toDouble / brute.size
+    assert(rawRecall >= 0.2, s"IVF-PQ raw ADC@10 recall $rawRecall vs brute")
+    val refined = Similarity.ivfPqQueryRefined(idx, emb, queries,
+        "vec_id", "embedding", 10, shortlist = 50, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refRecall = (brute intersect refined).size.toDouble / brute.size
+    assert(refRecall >= 0.5, s"refined IVF-PQ@10 recall $refRecall vs brute")
+    assert(refRecall >= rawRecall, "refine must not lose recall")
+    // every cell probed + a shortlist big enough to hold the true top-10:
+    // the remaining loss is only ADC shortlist selection, so recall must
+    // be near-exact
+    val full = Similarity.ivfPqQueryRefined(idx, emb, queries,
+        "vec_id", "embedding", 10, shortlist = 100, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fullRecall = (brute intersect full).size.toDouble / brute.size
+    assert(fullRecall >= 0.7, s"all-cells refined recall $fullRecall")
+  }
+
+  test("IvfPqIndex save/load round-trips results and recovered shape params") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .where(col("vec_id") < 200)
+    val queries = emb.where(col("vec_id") < 3)
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      numCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.IvfPqIndex.save(idx, dir)
+    val back = Similarity.IvfPqIndex.load(spark, dir)
+    assert(back.numCells == idx.numCells && back.m == idx.m &&
+      back.codesPerSub == idx.codesPerSub && back.dim == idx.dim)
+    val a = Similarity.ivfPqQuery(idx, queries, "vec_id", "embedding", 5,
+      nprobe = 4).collect().map(_.toSeq).toSet
+    val b = Similarity.ivfPqQuery(back, queries, "vec_id", "embedding", 5,
+      nprobe = 4).collect().map(_.toSeq).toSet
+    assert(a == b, "persisted index must answer identically")
+  }
+
   test("knnJoin: exact at nprobe = numCells (brute parity), graceful recall below") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     // with every cell probed, the cell-routed join IS the brute join —
