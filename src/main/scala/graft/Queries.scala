@@ -274,6 +274,54 @@ object Queries {
           idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
 
+    private val qualityModels =
+      scala.collection.concurrent.TrieMap.empty[String, (SparkSession, org.apache.spark.ml.PipelineModel)]
+
+    /** The documents table with a planted two-topic vocabulary signal (the
+      * synthetic-fixture pattern piiRedact also uses — this table's `lang`/
+      * `source` columns are independent of its text, so no real label is
+      * learnable from it): each doc gets 3 words from its class's 5-word
+      * topic vocabulary, rotated by doc_id so no single planted token is a
+      * constant column, and 8% of TRAINING labels are flipped (md5 bucket —
+      * deterministic) so the fit must tolerate weak-label noise. Holdout
+      * evaluation is against the TRUE labels.
+      */
+    def topicDocs(s: SparkSession, dir: String): DataFrame = {
+      val a = Array("tensor", "gradient", "epoch", "optimizer", "batchnorm")
+      val b = Array("invoice", "shipment", "warehouse", "ledger", "freight")
+      // rotation index (doc_id + 7i) mod 5: for every doc_id residue class
+      // mod 5 — in particular the %5==0 holdout — the three planted tokens
+      // are a DIFFERENT subset of the vocabulary, and each vocabulary word
+      // appears in several training residues, so the holdout never sees a
+      // token the fit couldn't have learned (a doc_id*k rotation collapses
+      // on the holdout residue and leaks exactly that way)
+      def pick(arr: Array[String], i: Int) =
+        element_at(lit(arr), (pmod(col("doc_id") + 7 * i, lit(5)) + 1).cast("int"))
+      val label = (col("doc_id") % 2 === 0).cast(DoubleType)
+      val planted = (0 until 3).map(i =>
+        when(label === 1.0, pick(a, i)).otherwise(pick(b, i)))
+      val noisy = when(
+        graft.operators.TrainPipeline.hashBucket(col("doc_id")) < 8,
+        lit(1.0) - label).otherwise(label)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", (col("text") +: planted): _*).as("text"),
+        label.as("label"), noisy.as("noisy_label"))
+    }
+
+    /** One trained quality/topic filter per (process, sf dir): the L-BFGS
+      * fit is the amortizable build (a production pipeline trains once and
+      * scores many corpus shards); training sees only the doc_id % 5 != 0
+      * split and only the NOISY labels, so the registry query's holdout
+      * against true labels is honest.
+      */
+    def qualityModel(s: SparkSession, dir: String): org.apache.spark.ml.PipelineModel =
+      sessionScoped(qualityModels, s, dir) {
+        graft.operators.QualityClassifier.train(
+          topicDocs(s, dir).where(col("doc_id") % 5 =!= 0),
+          "text", "noisy_label")
+      }
+
     private val clusterFrames =
       scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
@@ -1559,6 +1607,36 @@ object Queries {
       .orderBy("qid", "rank"),
     None) // KMeans codebooks are engine-specific; recall vs brute in tests
 
+  /** The weak-label quality-filter loop, agg_approx_distinct-style oracle:
+    * the exact split sizes hash-compare against SQL, and the booleans
+    * certify (computed Spark-side, stated as literals by the oracle) that
+    * the classifier — trained on 4/5 of the docs under 8% label noise —
+    * actually separates the holdout against TRUE labels: accuracy ≥ 0.9
+    * on the planted two-topic vocabulary (Fixtures.topicDocs) and the
+    * positive class's mean probability strictly above the negative's.
+    * Model values themselves are engine-specific (hashed features +
+    * L-BFGS); behavior is also pinned in QualityClassifierSpec.
+    */
+  private val qualityClassifier = Q(
+    (s, dir) => {
+      val docs = Fixtures.topicDocs(s, dir)
+      val nTrain = docs.where(col("doc_id") % 5 =!= 0)
+        .agg(count(lit(1)).as("n_train"))
+      val ev = graft.operators.QualityClassifier.evaluate(
+        Fixtures.qualityModel(s, dir),
+        docs.where(col("doc_id") % 5 === 0), "label")
+      nTrain.crossJoin(ev).select(
+        col("n_train"),
+        col("n").as("n_test"),
+        (col("accuracy") >= 0.9).as("acc_ok"),
+        (col("mean_prob_pos") > col("mean_prob_neg")).as("separation_ok"))
+    },
+    Some("""SELECT
+        (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS n_train,
+        (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS n_test,
+        TRUE AS acc_ok,
+        TRUE AS separation_ok"""))
+
   private val simSearchIvfPq = Q(
     // the full composition: probed cells only (IVF pruning) scanned as
     // codes (PQ compression), then the exact refine pass — FAISS
@@ -2353,6 +2431,7 @@ object Queries {
     "sim_search_ivf" -> simSearchIvf,
     "sim_search_pq" -> simSearchPq,
     "sim_search_ivfpq" -> simSearchIvfPq,
+    "quality_classifier" -> qualityClassifier,
     "knn_join" -> knnJoin,
     "shuffle_shards" -> shuffleShards,
     "text_analyze" -> textAnalyze,
