@@ -2152,6 +2152,44 @@ object Queries {
         true AS pods_ok
         FROM events GROUP BY 1 ORDER BY day"""))
 
+  private val maintenanceRollupQuantiles = Q(
+    // the quantileMerge read path: per-day metric percentiles answered by
+    // merging the rollup's per-row KLL sketches, certified RANK-wise
+    // against the raw table — the estimate for p50 must land between the
+    // exact p40 and p60 (p90 between p85/p95), a 10×/3× looser band than
+    // KLL's ~1.65% rank-error guarantee, stated as booleans the oracle
+    // declares TRUE (the agg_approx_distinct pattern). The exact p50/p90
+    // values themselves hash-compare directly.
+    (s, dir) => {
+      val (src, roll) = Fixtures.rollupDirs(s, dir)
+      val est = graft.model.Rollup.readRollup(s, roll)
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(
+          graft.model.Rollup.mergedQuantile(col("m_event_value_kll"), 0.5)
+            .as("est_p50"),
+          graft.model.Rollup.mergedQuantile(col("m_event_value_kll"), 0.9)
+            .as("est_p90"))
+      val exact = LogSchema.readLogs(s, src)
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(
+          expr("percentile(try_element_at(fields_number, 'event.value'), " +
+            "array(0.4, 0.5, 0.6, 0.85, 0.9, 0.95))").as("ps"))
+      est.join(exact, "day")
+        .select(col("day"),
+          r(element_at(col("ps"), 2), 2).as("p50"),
+          r(element_at(col("ps"), 5), 2).as("p90"),
+          (col("est_p50") >= element_at(col("ps"), 1) &&
+            col("est_p50") <= element_at(col("ps"), 3)).as("p50_ok"),
+          (col("est_p90") >= element_at(col("ps"), 4) &&
+            col("est_p90") <= element_at(col("ps"), 6)).as("p90_ok"))
+        .orderBy("day")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+        round(quantile_cont(value, 0.5), 2) AS p50,
+        round(quantile_cont(value, 0.9), 2) AS p90,
+        true AS p50_ok, true AS p90_ok
+        FROM events GROUP BY 1 ORDER BY day"""))
+
   private val maintenanceParts = Q(
     // the system.parts surface: per-day file/byte/row stats from parquet
     // footers only. Rows are oracle-checkable against the source events;
@@ -2467,6 +2505,7 @@ object Queries {
     "maintenance_materialize" -> maintenanceMaterialize,
     "maintenance_parts" -> maintenanceParts,
     "maintenance_rollup_pods" -> maintenanceRollupPods,
+    "maintenance_rollup_quantiles" -> maintenanceRollupQuantiles,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
     "query_language_indexed" -> queryLanguageIndexed,
   )

@@ -68,7 +68,11 @@ object Rollup {
       val c = try_element_at(col("fields_number"), lit(k))
       val n = metricName(k)
       Seq(sum(c).as(s"m_${n}_sum"), min(c).as(s"m_${n}_min"),
-        max(c).as(s"m_${n}_max"), count(c).as(s"m_${n}_cnt"))
+        max(c).as(s"m_${n}_max"), count(c).as(s"m_${n}_cnt"),
+        // quantileState analogue: a KLL sketch per rollup row — unlike a
+        // stored percentile VALUE, sketches merge losslessly across rows,
+        // so any-range percentiles come from the MV (see mergedQuantile)
+        kll_sketch_agg_double(c).as(s"m_${n}_kll"))
     }
     val aggs = Seq(
       count(lit(1)).as("cnt"),
@@ -88,6 +92,14 @@ object Rollup {
     */
   def mergedDistinctPods(c: Column): Column =
     hll_sketch_estimate(hll_union_agg(c))
+
+  /** Percentile estimate over any slice of the rollup — the
+    * `quantileMerge` half of ClickHouse's `quantileState`: KLL sketches
+    * merge across rollup rows, then answer any quantile. Default KLL
+    * parameters bound rank error to ~1.65%, independent of row count.
+    */
+  def mergedQuantile(c: Column, q: Double): Column =
+    kll_sketch_get_quantile_double(kll_merge_agg_double(c), lit(q))
 
   /** Partition-discovery read of the rollup table (recovers `date`). */
   def readRollup(spark: SparkSession, rollupPath: String): DataFrame =

@@ -158,6 +158,33 @@ class RollupSpec extends SparkTestBase {
     }
   }
 
+  test("KLL quantile sketches merge across rollup rows and day boundaries within rank tolerance") {
+    val src = tmp("rollup-src"); val out = tmp("rollup-out")
+    val logs = logsDf(days = 3, perDay = 200)
+    LogSchema.writePartitioned(logs, src)
+    Rollup.refresh(spark, src, out)
+    // per-day AND whole-range merges — the any-slice contract
+    val perDay = Rollup.readRollup(spark, out)
+      .groupBy(col("date").cast("string").as("day"))
+      .agg(Rollup.mergedQuantile(col("m_event_value_kll"), 0.5).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val all = Rollup.readRollup(spark, out)
+      .agg(Rollup.mergedQuantile(col("m_event_value_kll"), 0.5).as("q"))
+      .head().getDouble(0)
+    perDay.foreach { case (day, q) =>
+      val b = logs.where(to_date(col("timestamp")).cast("string") === day)
+        .agg(expr("percentile(fields_number['event.value'], array(0.4, 0.6))"))
+        .head().getSeq[Double](0)
+      assert(q >= b(0) && q <= b(1),
+        s"day $day: merged p50 $q outside exact p40..p60 [${b(0)}, ${b(1)}]")
+    }
+    val bAll = logs
+      .agg(expr("percentile(fields_number['event.value'], array(0.4, 0.6))"))
+      .head().getSeq[Double](0)
+    assert(all >= bAll(0) && all <= bAll(1),
+      s"whole-range merged p50 $all outside exact p40..p60 $bAll")
+  }
+
   test("materializePromotedColumns backfills only missing partitions and is idempotent") {
     val dir = tmp("materialize")
     val logs = logsDf(days = 2, perDay = 24)
