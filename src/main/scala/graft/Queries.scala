@@ -1821,6 +1821,16 @@ object Queries {
           CASE WHEN lang = 'en' THEN 50 ELSE 10 END
         ORDER BY doc_id"""))
 
+  private val sampleUniformN = Q(
+    (s, dir) => graft.operators.TrainPipeline.sampleUniformN(
+        t(s, dir, "documents"), "doc_id", n = 40)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source FROM (
+        SELECT * FROM documents
+        ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id LIMIT 40)
+        ORDER BY doc_id"""))
+
   /** The deterministic global shuffle for training export: every document's
     * (shard, within-shard position) from md5(salt ‖ id) — reproducible
     * across engines, runs, and partitionings, so the full assignment is
@@ -2190,6 +2200,29 @@ object Queries {
         true AS p50_ok, true AS p90_ok
         FROM events GROUP BY 1 ORDER BY day"""))
 
+  private val maintenanceRollupTopk = Q(
+    // the topKMerge read path: per-day host frequencies answered by
+    // combining the rollup's frequent-items sketch states. The host
+    // domain (5 values) is far under the sketch's tracked-item budget, so
+    // the combined estimate is EXACT and the full (day, host, cnt)
+    // breakdown hash-compares against SQL — certifying state, combine,
+    // and estimate end-to-end, not just a tolerance.
+    (s, dir) => {
+      val (_, roll) = Fixtures.rollupDirs(s, dir)
+      graft.model.Rollup.readRollup(s, roll)
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(graft.model.Rollup.mergedTopHosts(col("hosts_topk"), 10)
+          .as("top"))
+        .select(col("day"), explode(col("top")).as("t"))
+        .select(col("day"), col("t.item").as("host"),
+          col("t.count").as("cnt"))
+        .orderBy("day", "host")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+        'host-' || (user_id % 5)::VARCHAR AS host, count(*) AS cnt
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2 ORDER BY day, host"""))
+
   private val maintenanceParts = Q(
     // the system.parts surface: per-day file/byte/row stats from parquet
     // footers only. Rows are oracle-checkable against the source events;
@@ -2472,6 +2505,7 @@ object Queries {
     "quality_classifier" -> qualityClassifier,
     "knn_join" -> knnJoin,
     "shuffle_shards" -> shuffleShards,
+    "sample_uniform_n" -> sampleUniformN,
     "text_analyze" -> textAnalyze,
     "text_tfidf" -> textTfidf,
     "token_count" -> tokenCount,
@@ -2506,6 +2540,7 @@ object Queries {
     "maintenance_parts" -> maintenanceParts,
     "maintenance_rollup_pods" -> maintenanceRollupPods,
     "maintenance_rollup_quantiles" -> maintenanceRollupQuantiles,
+    "maintenance_rollup_topk" -> maintenanceRollupTopk,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
     "query_language_indexed" -> queryLanguageIndexed,
   )

@@ -79,7 +79,10 @@ object Rollup {
       count(try_element_at(col("fields_string"), lit("flag.err")))
         .as("err_cnt"),
       sum(length(col("log"))).as("bytes"),
-      hll_sketch_agg(col("pod_name")).as("pods_hll")) ++ metricAggs
+      hll_sketch_agg(col("pod_name")).as("pods_hll"),
+      // topKState analogue: a frequent-items sketch of hosts per rollup
+      // row; states combine across any slice (see mergedTopHosts)
+      expr("approx_top_k_accumulate(host)").as("hosts_topk")) ++ metricAggs
     logs.groupBy(
         hour(col("timestamp")).as("hour"),
         col("cluster"), col("namespace"), col("app"))
@@ -100,6 +103,17 @@ object Rollup {
     */
   def mergedQuantile(c: Column, q: Double): Column =
     kll_sketch_get_quantile_double(kll_merge_agg_double(c), lit(q))
+
+  /** Top hosts by row count over any slice of the rollup — the
+    * `topKMerge` half of ClickHouse's `topKState`: frequent-items sketch
+    * states combine across rollup rows, then report the k heaviest items
+    * with estimated counts as `array<struct<item, count>>`. Exact whenever
+    * the tracked-item budget exceeds the true distinct count (hosts are a
+    * small domain); within the sketch's error envelope otherwise.
+    */
+  def mergedTopHosts(c: Column, k: Int): Column =
+    call_function("approx_top_k_estimate",
+      call_function("approx_top_k_combine", c), lit(k))
 
   /** Partition-discovery read of the rollup table (recovers `date`). */
   def readRollup(spark: SparkSession, rollupPath: String): DataFrame =

@@ -92,6 +92,22 @@ object TrainPipeline {
   def sampleStratified(df: DataFrame, idCol: String, ratePercent: Column): DataFrame =
     df.where(hashBucket(col(idCol)) < ratePercent)
 
+  /** Deterministic fixed-size uniform sample: the `n` rows with the
+    * smallest `md5(salt ‖ id)`. [[sampleStratified]] gives a reproducible
+    * RATE; this gives a reproducible exact COUNT (eval slices, debug
+    * corpora, "any 10k docs" fixtures), same cross-engine hash arithmetic.
+    *
+    * Scale shape: `orderBy(hash).limit(n)` plans as TakeOrderedAndProject —
+    * each partition keeps its local n smallest, the driver merges — no
+    * global sort shuffle, no full-data exchange. `n` must fit driver
+    * memory, which a fixed-size sample does by definition.
+    */
+  def sampleUniformN(
+      df: DataFrame, idCol: String, n: Int, salt: String = ""): DataFrame =
+    df.orderBy(md5(concat(lit(salt), col(idCol).cast(StringType))),
+        col(idCol))
+      .limit(n)
+
   /** Deterministic pseudo-random shard + within-shard position for a row:
     * the global-shuffle primitive of training-data export. Training wants
     * the corpus order decorrelated from its source order (crawl order,

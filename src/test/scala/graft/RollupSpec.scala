@@ -185,6 +185,23 @@ class RollupSpec extends SparkTestBase {
       s"whole-range merged p50 $all outside exact p40..p60 $bAll")
   }
 
+  test("top-k host sketch states combine across rollup rows and days; small domain = exact") {
+    val src = tmp("rollup-src"); val out = tmp("rollup-out")
+    val logs = logsDf(days = 2, perDay = 150)
+    LogSchema.writePartitioned(logs, src)
+    Rollup.refresh(spark, src, out)
+    // whole-range combine (both days' states merged)
+    val got = Rollup.readRollup(spark, out)
+      .agg(Rollup.mergedTopHosts(col("hosts_topk"), 10).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item"), col("t.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = logs.groupBy("host").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact,
+      s"combined top-k must be exact on a small domain: $got vs $exact")
+  }
+
   test("materializePromotedColumns backfills only missing partitions and is idempotent") {
     val dir = tmp("materialize")
     val logs = logsDf(days = 2, perDay = 24)

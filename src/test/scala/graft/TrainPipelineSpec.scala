@@ -305,6 +305,23 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(ex.getMessage.contains("maxIter=1"))
   }
 
+  test("sampleUniformN: exact size, partitioning-invariant, TakeOrdered plan (no sort shuffle)") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val a = TrainPipeline.sampleUniformN(df, "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = TrainPipeline.sampleUniformN(df.repartition(13), "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a.size == 50 && a == b, "sample must be an exact, layout-stable set")
+    val c = TrainPipeline.sampleUniformN(df, "id", 50, salt = "v2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(c != a, "a different salt draws a different sample")
+    val plan = TrainPipeline.sampleUniformN(df, "id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixed-size sample must not global-sort:\n$plan")
+  }
+
   test("shuffleShards: deterministic, salt-epoch reshuffle, positions tile each shard") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "text")
