@@ -616,6 +616,40 @@ object Queries {
         WHERE event_type != 'view' AND value >= 50.0
         GROUP BY 1 ORDER BY "group""""))
 
+  /** Percentile on the aggregation tab, both paths at once: the RAW path's
+    * exact per-namespace p90 hash-compares against quantile_cont, and the
+    * ROLLUP-ROUTED path (the same request answered from stored KLL states
+    * — ClickHouse quantileMerge from an MV) is certified rank-wise: the
+    * estimate must land inside the exact p85..p95 band, an order looser
+    * than KLL's ~1.65% rank-error bound. `.get` on the routed side makes a
+    * silent fallback to raw a loud failure.
+    */
+  private val queryLanguageAggPercentile = Q(
+    (s, dir) => {
+      val (src, roll) = Fixtures.rollupDirs(s, dir)
+      val raw = graft.query.LogQuery.aggregate(
+          LogSchema.readLogs(s, src), "", "namespace", "p90",
+          Some("event.value"))
+        .select(col("group"), r(col("value"), 2).as("p90"))
+      val routed = graft.query.LogQuery.aggregateFromRollup(
+          graft.model.Rollup.readRollup(s, roll), "", "namespace", "p90",
+          Some("event.value")).get
+        .select(col("group"), col("value").as("est"))
+      val bands = LogSchema.readLogs(s, src)
+        .groupBy(col("namespace").as("group"))
+        .agg(expr("percentile(try_element_at(fields_number, 'event.value'), " +
+          "array(0.85, 0.95))").as("b"))
+      raw.join(routed, "group").join(bands, "group")
+        .select(col("group"), col("p90"),
+          (col("est") >= element_at(col("b"), 1) &&
+            col("est") <= element_at(col("b"), 2)).as("p90_routed_ok"))
+        .orderBy("group")
+    },
+    Some("""SELECT event_type AS "group",
+        round(quantile_cont(value, 0.9), 2) AS p90,
+        true AS p90_routed_ok
+        FROM events GROUP BY 1 ORDER BY "group""""))
+
   /** The paged log-list request itself: range + filter + newest-first
     * order + limit, tiebroken on id so pagination (and this hash compare)
     * is deterministic under same-millisecond timestamps.
@@ -2444,6 +2478,7 @@ object Queries {
     "filter_log_contains" -> filterLogContains,
     "query_language" -> queryLanguage,
     "query_language_agg" -> queryLanguageAgg,
+    "query_language_agg_percentile" -> queryLanguageAggPercentile,
     "query_language_series" -> queryLanguageSeries,
     "query_language_rollup" -> queryLanguageRollupVolume,
     "query_language_page2" -> queryLanguagePage2,

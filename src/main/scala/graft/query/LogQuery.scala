@@ -569,17 +569,29 @@ object LogQuery {
       val n = graft.model.Rollup.metricName(f)
       if (rollup.columns.contains(s"m_${n}_sum")) Some(n) else None
     }
+    def kllCol(f: String): Option[String] = {
+      val n = graft.model.Rollup.metricName(f)
+      if (rollup.columns.contains(s"m_${n}_kll")) Some(n) else None
+    }
     val routable = parsed.forall(rollupAnswerable) && rollupDims(groupField) &&
       (op match {
         case "count" => true
         case "sum" | "min" | "max" | "avg" =>
           metricField.exists(metricCols(_).isDefined)
+        // percentiles route through the stored KLL state. NOTE the
+        // documented divergence: the routed value is a sketch ESTIMATE
+        // (~1.65% rank error) where the raw path is exact — same contract
+        // as ClickHouse dashboards reading quantileMerge from an MV.
+        case PercentileOp(_) => metricField.exists(kllCol(_).isDefined)
         case _ => false
       })
     if (!routable) None
     else {
       val value = op match {
         case "count" => sum(col("cnt"))
+        case PercentileOp(q) =>
+          graft.model.Rollup.mergedQuantile(
+            col(s"m_${kllCol(metricField.get).get}_kll"), q)
         case other =>
           val n = metricCols(metricField.get).get
           other match {
@@ -716,9 +728,21 @@ object LogQuery {
           case "sum" => sum(numField(f))
           case "avg" => avg(numField(f))
         }
+      case PercentileOp(q) =>
+        val f = metricField.getOrElse(throw new IllegalArgumentException(
+          s"aggregation '$op' needs a metric field"))
+        call_function("percentile", numField(f), lit(q))
       case other => throw new IllegalArgumentException(
-        s"unknown aggregation '$other' (count|min|max|sum|avg)")
+        s"unknown aggregation '$other' (count|min|max|sum|avg|pNN)")
     }
+  }
+
+  /** `"p95"`-style ops → the quantile fraction; anchors the shared
+    * raw/rollup percentile surface. */
+  private object PercentileOp {
+    def unapply(op: String): Option[Double] =
+      if (op.matches("p[1-9][0-9]?")) Some(op.drop(1).toDouble / 100.0)
+      else None
   }
 
   /** The aggregation tab: a metric over the filtered rows, grouped by a

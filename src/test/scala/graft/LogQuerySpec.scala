@@ -324,6 +324,30 @@ class LogQuerySpec extends SparkTestBase {
     // a non-dim group field refuses routing
     assert(LogQuery.aggregateFromRollup(
       roll, "cluster='c1'", "pod_name", "count").isEmpty)
+    // percentiles route through the stored KLL state; the estimate is
+    // documented-approximate, so certify rank-wise against the exact
+    // p85..p95 band rather than equality
+    val p90 = LogQuery.aggregateFromRollup(
+      roll, "cluster='c1'", "namespace", "p90", Some("event.value"))
+    assert(p90.isDefined, "p90 must route when the KLL column exists")
+    val bands = LogQuery.aggregate(raw, "cluster='c1'", "namespace", "p85",
+        Some("event.value")).withColumnRenamed("value", "lo")
+      .join(LogQuery.aggregate(raw, "cluster='c1'", "namespace", "p95",
+        Some("event.value")).withColumnRenamed("value", "hi"), "group")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    p90.get.collect().foreach { r =>
+      val (lo, hi) = bands(r.getString(0))
+      val est = r.getDouble(1)
+      assert(est >= lo && est <= hi,
+        s"group ${r.getString(0)}: routed p90 $est outside exact [$lo, $hi]")
+    }
+    // a percentile on a non-materialized metric refuses routing
+    assert(LogQuery.aggregateFromRollup(
+      roll, "cluster='c1'", "namespace", "p90", Some("props.k")).isEmpty)
+    // an unknown op string still refuses
+    assert(LogQuery.aggregateFromRollup(
+      roll, "cluster='c1'", "namespace", "p0", Some("event.value")).isEmpty)
   }
 
   test("volumeRouted falls back to the raw table when the filter needs it") {
