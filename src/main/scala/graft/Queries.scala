@@ -413,6 +413,8 @@ object Queries {
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
     Fixtures.pqIndex(s, dir).codes.count()
+    Fixtures.ivfPqIndex(s, dir).codes.count()
+    Fixtures.qualityModel(s, dir)
     Fixtures.clusters(s, dir).count()
     ()
   }
