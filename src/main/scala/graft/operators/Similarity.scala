@@ -360,11 +360,27 @@ object Similarity {
       nprobe: Int,
       excludeSelf: Boolean = false): DataFrame = {
     VectorExprs.register(left.sparkSession)
-    val probed = probeCellsNarrow(
-      left.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-        .withColumn("qn", VectorExprs.norm(col("qv"))),
-      index.centroids, nprobe)
+    // pre-cast both vector columns to array<double> ONCE PER ROW: the
+    // pair-level dot below otherwise re-casts (allocating) per candidate
+    // PAIR — measured 3× on the exact self-join shape (same rule as
+    // bruteTopK's pre-cast)
+    val spark = left.sparkSession
+    val sel = left.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", VectorExprs.norm(col("qv")))
+    // the cell join's output (and the partial top-k sort above it) inherit
+    // the LEFT side's partitioning — an under-split local scan would build
+    // every candidate pair in one task. Same tiered gate as bruteTopK:
+    // spread only when the scan is genuinely under-split (never fires on a
+    // well-split table at scale, where the spread would be a full extra
+    // shuffle of left × nprobe vector rows).
+    val parallelism = spark.sparkContext.defaultParallelism
+    val spread =
+      if (needsSpread(spark, sel, parallelism)) sel.repartition(parallelism)
+      else sel
+    val probed = probeCellsNarrow(spread, index.centroids, nprobe)
     val bucketed = index.bucketed
+      .withColumn("nv", col("nv").cast("array<double>"))
       .withColumn("nn", VectorExprs.norm(col("nv")))
     val scored = probed.join(bucketed, "cell")
     val filtered =
