@@ -208,6 +208,41 @@ class StreamingSpec extends SparkTestBase {
     assert(teams.map(_.getString(0)).toSeq == Seq("team-a", "team-b"))
   }
 
+  test("a batch-trained quality model scores a live stream (narrow ML transform, in-flight filter)") {
+    import spark.implicits._
+    // train offline on separable planted vocab (QualityClassifierSpec's
+    // fixture shape), then apply to the ingest stream's log lines — the
+    // score-at-ingest pattern: ML transforms are per-row projections, so
+    // the same model serves batch corpora and Structured Streaming
+    val train = (0 until 200).map { i =>
+      val w = if (i % 2 == 0) "meadow glacier" else "sludge gravel"
+      (i.toLong, s"common filler $w", if (i % 2 == 0) 1.0 else 0.0)
+    }.toDF("id", "text", "label")
+    val model = graft.operators.QualityClassifier.train(train, "text", "label")
+    val in = tmp("graft-in-qs")
+    val lines = (0 until 8).map { i =>
+      val w = if (i < 4) "meadow glacier" else "sludge gravel"
+      s"""{"log":"common filler $w $i","kubernetes":{"namespace_name":"ns0","pod_name":"p","container_name":"c","host":"h","labels":{}},"time":"2024-01-10T12:00:0$i.000Z"}"""
+    }
+    writeFixture(in, "q.json", lines)
+    val stream = IngestStream.ingested(
+      IngestStream.readJsonLines(spark, in), IngestConfig())
+    val q = graft.operators.QualityClassifier.score(model,
+        stream.withColumn("text", col("log")))
+      .select("log", "quality_pred")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_stream_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT log, quality_pred FROM quality_stream_out")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 8)
+    rows.foreach { case (log, pred) =>
+      val expected = if (log.contains("meadow")) 1.0 else 0.0
+      assert(pred == expected, s"'$log' scored $pred")
+    }
+  }
+
   test("stream-stream interval join correlates errors with the deploy that preceded them") {
     val inL = tmp("graft-ssj-l"); val inR = tmp("graft-ssj-r")
     // errors: p1 at 08:05 (5 min after its deploy), p1 at 09:00 (55 min
