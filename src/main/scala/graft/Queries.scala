@@ -1695,9 +1695,16 @@ object Queries {
   private val knnJoin = Q(
     // the shared IVF index fixture amortizes the cell build (production
     // joins against a persisted index); probing every cell keeps the
-    // exactness proof intact
+    // exactness proof intact. The left side carries the same enforced
+    // bound as the other exact-verification variants (ngramJaccard's
+    // maxId contract): exact all-cells knn IS quadratic — the sf1 soak
+    // measured 75× for 10× data unbounded — so the oracle-exact form runs
+    // on a fixed query set (covers ALL of sf0.01, so the oracle loses
+    // nothing) and pair count scales linearly with the corpus; unbounded
+    // production joins use the nprobe dial instead.
     (s, dir) => Similarity.knnJoinWithIndex(Fixtures.ivfIndex(s, dir),
-        t(s, dir, "embeddings"), "vec_id", "embedding",
+        t(s, dir, "embeddings").where(col("vec_id") < 2000),
+        "vec_id", "embedding",
         k = 3, nprobe = 16, excludeSelf = true)
       .orderBy("qid", "rank"),
     Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
