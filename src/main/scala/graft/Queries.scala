@@ -2243,6 +2243,60 @@ object Queries {
         true AS p50_ok, true AS p90_ok
         FROM events GROUP BY 1 ORDER BY day"""))
 
+  /** view → click → purchase conversion depth per user, 6-hour window
+    * (chosen for level spread on this data: ~32/107/11 across 1/2/3).
+    * Exists-chain semantics make the oracle a pair of EXISTS joins rather
+    * than a replay of the engine's greedy fold — the two formulations
+    * agreeing IS the correctness claim (the fold's exactness argument
+    * lives in Funnel.scala's scaladoc, its unit cases in FunnelSpec).
+    */
+  private val fnWindowFunnel = Q(
+    (s, dir) => graft.operators.Funnel.windowFunnel(
+        t(s, dir, "events"), "user_id", "ts", windowMs = 21600000L,
+        conds = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .orderBy("user"),
+    Some("""WITH e AS (
+          SELECT user_id u, epoch_ms(ts) AS ms, event_type t FROM events
+          WHERE user_id IS NOT NULL
+            AND event_type IN ('view', 'click', 'purchase')),
+        l2 AS (SELECT DISTINCT e1.u FROM e e1 JOIN e e2
+          ON e2.u = e1.u AND e1.t = 'view' AND e2.t = 'click'
+          AND e2.ms >= e1.ms AND e2.ms - e1.ms <= 21600000),
+        l3 AS (SELECT DISTINCT e1.u FROM e e1
+          JOIN e e2 ON e2.u = e1.u AND e1.t = 'view' AND e2.t = 'click'
+            AND e2.ms >= e1.ms AND e2.ms - e1.ms <= 21600000
+          JOIN e e3 ON e3.u = e1.u AND e3.t = 'purchase'
+            AND e3.ms >= e2.ms AND e3.ms - e1.ms <= 21600000)
+        SELECT u AS "user",
+          CASE WHEN u IN (SELECT u FROM l3) THEN 3
+               WHEN u IN (SELECT u FROM l2) THEN 2
+               WHEN u IN (SELECT DISTINCT u FROM e WHERE t = 'view') THEN 1
+               ELSE 0 END AS level
+        FROM (SELECT DISTINCT u FROM e) ORDER BY "user""""))
+
+  private val fnRetention = Q(
+    (s, dir) => graft.operators.Funnel.retention(
+        t(s, dir, "events"), "user_id", "ts",
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "purchase" && col("value") >= 250,
+          col("event_type") === "error" && col("value") >= 250))
+      .orderBy("user"),
+    Some("""SELECT user_id AS "user",
+        min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+          IS NOT NULL AS r1,
+        coalesce(
+          min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) <=
+          max(CASE WHEN event_type = 'purchase' AND value >= 250 THEN epoch_ms(ts) END),
+          FALSE) AS r2,
+        coalesce(
+          min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) <=
+          max(CASE WHEN event_type = 'error' AND value >= 250 THEN epoch_ms(ts) END),
+          FALSE) AS r3
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1 ORDER BY "user""""))
+
   private val maintenanceRollupTopk = Q(
     // the topKMerge read path: per-day host frequencies answered by
     // combining the rollup's frequent-items sketch states. The host
@@ -2585,6 +2639,8 @@ object Queries {
     "maintenance_rollup_pods" -> maintenanceRollupPods,
     "maintenance_rollup_quantiles" -> maintenanceRollupQuantiles,
     "maintenance_rollup_topk" -> maintenanceRollupTopk,
+    "fn_window_funnel" -> fnWindowFunnel,
+    "fn_retention" -> fnRetention,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
     "query_language_indexed" -> queryLanguageIndexed,
   )

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType}
+
+/** Sequence analytics over the event stream — the ClickHouse
+  * `windowFunnel`/`retention` aggregate pair (the analytics its users run
+  * on exactly the klogs-shaped table this engine maintains).
+  *
+  * Semantics (declarative, so the DuckDB oracle can state them as EXISTS
+  * joins rather than replaying an imperative scan):
+  *
+  *  - [[windowFunnel]]: per user, the funnel LEVEL = the largest k such
+  *    that there exist distinct events e₁ … e_k with cond_i(e_i),
+  *    ts₁ ≤ ts₂ ≤ … ≤ ts_k, and ts_k − ts₁ ≤ window. The window anchors
+  *    at the CHAIN'S OWN first event (any qualifying chain counts), not
+  *    at the user's first event.
+  *  - [[retention]]: per user, flag₁ = saw a cond₁ event; flag_k = saw a
+  *    cond₁ event AND a cond_k event at-or-after it.
+  *
+  * Scale shape: both are ONE map-side-combined aggregation over the
+  * events scan. Funnel state per (user) is the sorted event list of that
+  * user's QUALIFYING events only (non-matching rows are dropped before
+  * the shuffle), folded by a higher-order `aggregate` into n longs;
+  * retention needs just 1 + n running min/max timestamps — no joins, no
+  * per-pair blowup, group cardinality = users.
+  */
+object Funnel {
+
+  /** Greedy fold, exact for the EXISTS semantics above: for each level
+    * keep the LATEST possible chain-start timestamp reaching that level —
+    * a later start weakly dominates (the extension test is
+    * `ts − start ≤ window`), so if any chain reaches level k the greedy
+    * state does too (standard exchange argument). Each event's update for
+    * level k reads the PRE-event state of level k−1, so one event never
+    * powers two adjacent levels of the same chain.
+    *
+    * `conds` must be row-disjoint or chain-distinctness needs care; the
+    * usual funnel conds (disjoint event types) satisfy this trivially.
+    */
+  def windowFunnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowMs: Long,
+      conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "windowFunnel needs at least one condition")
+    val n = conds.length
+    val flags = array(conds.map(_.cast(BooleanType)): _*)
+    val ev = events
+      .select(col(userCol).as("user"),
+        unix_millis(col(tsCol)).as("ts"), flags.as("f"))
+      .where(col("user").isNotNull && exists(col("f"), x => coalesce(x, lit(false))))
+    // equal-timestamp tiebreak: FIRST-MATCHING-CONDITION INDEX ascending.
+    // Any witness chain is level-ordered, so ordering same-ts events by
+    // their condition index makes every legal chain a subsequence of the
+    // processed order — without it the struct sort falls back to the raw
+    // flags array, which orders cond₃ BEFORE cond₁ at equal ts and the
+    // fold misses chains the declarative semantics admit (caught by
+    // FunnelSpec's equal-ts case).
+    val condIdx = coalesce(array_position(col("f"), lit(true)), lit(0L))
+    val sorted = sort_array(collect_list(
+      struct(col("ts"), condIdx.as("ci"), col("f"))))
+    def fold(sortedEvents: Column): Column =
+      aggregate(
+        sortedEvents,
+        array((1 to n).map(_ => lit(null).cast(LongType)): _*),
+        (st, e) => {
+          val ts = e.getField("ts")
+          val f = e.getField("f")
+          // greatest() skips nulls, which is exactly the null-state merge
+          val upd = (1 to n).map { k =>
+            val fk = coalesce(f.getItem(k - 1), lit(false))
+            if (k == 1) when(fk, greatest(st.getItem(0), ts))
+              .otherwise(st.getItem(0))
+            else when(fk && st.getItem(k - 2).isNotNull &&
+                (ts - st.getItem(k - 2) <= windowMs),
+              greatest(st.getItem(k - 1), st.getItem(k - 2)))
+              .otherwise(st.getItem(k - 1))
+          }
+          array(upd: _*)
+        })
+    ev.groupBy("user")
+      .agg(size(filter(fold(sorted), x => x.isNotNull)).as("level"))
+  }
+
+  /** Retention flags per user: `r1` = any cond₁ event; `r_k` = a cond₁
+    * event followed (at-or-after) by a cond_k event — i.e.
+    * `min ts(cond₁) ≤ max ts(cond_k)`. Output columns `r1 … rN`.
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val ts = unix_millis(col(tsCol))
+    val first = min(when(conds.head, ts))
+    val aggs =
+      first.isNotNull.as("r1") +:
+        conds.tail.zipWithIndex.map { case (c, i) =>
+          // coalesce: no cond_k event → max is NULL → the comparison is
+          // NULL, and the flag must read false, not null
+          coalesce(first.isNotNull && (max(when(c, ts)) >= first),
+            lit(false)).as(s"r${i + 2}")
+        }
+    events.where(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("user"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

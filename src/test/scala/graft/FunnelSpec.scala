@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Funnel
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkTestBase {
+
+  private def events(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("user", "ms", "t")
+      .select(col("user"), timestamp_millis(col("ms")).as("ts"), col("t"))
+  }
+
+  private def funnel(df: org.apache.spark.sql.DataFrame, w: Long) =
+    Funnel.windowFunnel(df, "user", "ts", w,
+      Seq(col("t") === "a", col("t") === "b", col("t") === "c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("windowFunnel: chain depth, window anchored at the chain's own first event") {
+    val df = events(
+      // u1: full chain inside the window
+      (1L, 0L, "a"), (1L, 10L, "b"), (1L, 90L, "c"),
+      // u2: c arrives outside the window from a
+      (2L, 0L, "a"), (2L, 10L, "b"), (2L, 200L, "c"),
+      // u3: only the first step
+      (3L, 0L, "a"),
+      // u4: b before any a never chains
+      (4L, 0L, "b"), (4L, 10L, "c"),
+      // u5: exact window boundary is inclusive
+      (5L, 0L, "a"), (5L, 50L, "b"), (5L, 100L, "c"))
+    val got = funnel(df, w = 100L)
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 3))
+  }
+
+  test("windowFunnel: a LATER chain start rescues a window the earliest start misses") {
+    // greedy max-start exactness: from a@0 the b@150 is out of window, but
+    // the fresher a@120 reaches it; c@240 completes within 150 of a@120
+    val df = events(
+      (1L, 0L, "a"), (1L, 120L, "a"), (1L, 150L, "b"), (1L, 240L, "c"))
+    assert(funnel(df, w = 150L) == Map(1L -> 3))
+    // with only the early start it would stop at level 1
+    val noRescue = events((2L, 0L, "a"), (2L, 160L, "b"), (2L, 240L, "c"))
+    assert(funnel(noRescue, w = 150L) == Map(2L -> 1))
+  }
+
+  test("windowFunnel: arrival order does not matter (state folds over the sorted list)") {
+    val inOrder = events((1L, 0L, "a"), (1L, 10L, "b"), (1L, 20L, "c"))
+    val shuffled = events((1L, 20L, "c"), (1L, 0L, "a"), (1L, 10L, "b"))
+    assert(funnel(inOrder, 100L) == funnel(shuffled.repartition(3), 100L))
+  }
+
+  test("windowFunnel: an equal-timestamp follower still chains (non-strict order)") {
+    val df = events((1L, 0L, "a"), (1L, 0L, "b"), (1L, 0L, "c"))
+    assert(funnel(df, w = 100L) == Map(1L -> 3))
+  }
+
+  test("retention: r1 requires the anchor, r_k requires a follower at-or-after it") {
+    val df = events(
+      // u1: anchor then both followers
+      (1L, 0L, "s"), (1L, 10L, "p"), (1L, 20L, "e"),
+      // u2: follower BEFORE the anchor does not count
+      (2L, 10L, "s"), (2L, 0L, "p"),
+      // u3: no anchor at all
+      (3L, 0L, "p"), (3L, 10L, "e"))
+    val got = Funnel.retention(df, "user", "ts",
+        Seq(col("t") === "s", col("t") === "p", col("t") === "e"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((true, true, true)),
+      2L -> ((true, false, false)),
+      3L -> ((false, false, false))))
+  }
+
+  test("funnel plan: one partial-aggregated shuffle, no joins") {
+    val df = events((1L, 0L, "a"), (1L, 10L, "b"))
+    val plan = Funnel.windowFunnel(df, "user", "ts", 100L,
+        Seq(col("t") === "a", col("t") === "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"funnel is one aggregation exchange:\n$plan")
+  }
+}
