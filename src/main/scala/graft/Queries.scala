@@ -2250,6 +2250,97 @@ object Queries {
     * agreeing IS the correctness claim (the fold's exactness argument
     * lives in Funnel.scala's scaladoc, its unit cases in FunnelSpec).
     */
+  /** Set ALGEBRA over the MV's theta states (ClickHouse `uniqTheta*`):
+    * per adjacent-day pair, how many pods appear in BOTH days and how many
+    * churned (day1 \ day2) — answered entirely from the rollup's sketches.
+    * Exact split-size columns hash-compare; the estimates are certified by
+    * tolerance booleans (the pod domain sits far under the sketch's
+    * retained-entry budget at oracle SF, so they are in fact exact there).
+    */
+  /** Template mining over the log lines (the masked-variables "what does
+    * this service print" clustering view); the planted `pid=` suffix
+    * exercises every mask class on otherwise low-variance synthetic lines.
+    */
+  private val logTemplatesQ = Q(
+    (s, dir) => {
+      // plant hex/ip/uuid-shaped variability the synthetic lines lack
+      val planted = logs(s, dir).withColumn("log",
+        concat(col("log"), lit(" pid="), col("id"),
+          lit(" ip=10.0."), (col("id") % 8).cast(StringType),
+          lit("."), (col("id") % 250).cast(StringType)))
+      graft.operators.TextAnalysis.logTemplates(planted, "log")
+        .orderBy("template")
+    },
+    Some("""WITH lines AS (
+          SELECT event_type || ' ' || props ||
+            ' pid=' || event_id::VARCHAR ||
+            ' ip=10.0.' || (event_id % 8)::VARCHAR ||
+            '.' || (event_id % 250)::VARCHAR AS line
+          FROM events),
+        t AS (SELECT
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(line,
+                  '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                  '<UUID>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                '<IP>', 'g'),
+              '\b(?:0x[0-9a-fA-F]+|[0-9a-fA-F]{8,})\b', '<HEX>', 'g'),
+            '-?[0-9]+(?:\.[0-9]+)?', '<N>', 'g') AS template,
+          line FROM lines)
+        SELECT template, count(*) AS cnt, min(line) AS example
+        FROM t GROUP BY 1 ORDER BY template"""))
+
+  private val maintenanceRollupTheta = Q(
+    (s, dir) => {
+      val (src, roll) = Fixtures.rollupDirs(s, dir)
+      val days = graft.model.Rollup.readRollup(s, roll)
+        .groupBy(col("date").cast(StringType).as("day"))
+        .agg(graft.model.Rollup.mergedTheta(col("pods_theta")).as("th"))
+      val a = days.select(col("day").as("day1"), col("th").as("th1"))
+      val b = days.select(col("day").as("day2"), col("th").as("th2"))
+      val est = a.join(b, date_add(col("day1").cast("date"), 1) ===
+          col("day2").cast("date"))
+        .select(col("day1"), col("day2"),
+          graft.model.Rollup.podsOverlap(col("th1"), col("th2")).as("est_both"),
+          graft.model.Rollup.podsChurned(col("th1"), col("th2")).as("est_gone"))
+      val logsDf = LogSchema.readLogs(s, src)
+        .select(col("date").cast(StringType).as("day"), col("pod_name"))
+        .distinct()
+      val exact = logsDf.as("x")
+        .join(logsDf.as("y"),
+          date_add(col("x.day").cast("date"), 1) === col("y.day").cast("date") &&
+            col("x.pod_name") === col("y.pod_name"), "left")
+        .groupBy(col("x.day").as("day1"))
+        .agg(count(col("y.pod_name")).as("n_both"),
+          count(when(col("y.pod_name").isNull, 1)).as("n_gone"))
+        // the last day has no successor — drop it like the est side's
+        // inner join does
+        .where(col("n_both") > 0)
+      est.join(exact, "day1")
+        .select(col("day1"), col("day2"), col("n_both"), col("n_gone"),
+          (abs(col("est_both") - col("n_both")) <=
+            greatest(col("n_both") * 0.05, lit(2.0))).as("both_ok"),
+          (abs(col("est_gone") - col("n_gone")) <=
+            greatest(col("n_gone") * 0.05, lit(2.0))).as("gone_ok"))
+        .orderBy("day1")
+    },
+    Some("""WITH dp AS (
+          SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+            'pod-' || user_id::VARCHAR AS pod
+          FROM events WHERE user_id IS NOT NULL),
+        pairs AS (
+          SELECT x.day AS day1,
+            strftime((x.day::DATE + INTERVAL 1 DAY), '%Y-%m-%d') AS day2,
+            count(y.pod) AS n_both,
+            count(CASE WHEN y.pod IS NULL THEN 1 END) AS n_gone
+          FROM dp x LEFT JOIN dp y
+            ON y.day::DATE = x.day::DATE + INTERVAL 1 DAY AND y.pod = x.pod
+          GROUP BY 1, 2)
+        SELECT day1, day2, n_both, n_gone, TRUE AS both_ok, TRUE AS gone_ok
+        FROM pairs WHERE n_both > 0 ORDER BY day1"""))
+
   private val fnWindowFunnel = Q(
     (s, dir) => graft.operators.Funnel.windowFunnel(
         t(s, dir, "events"), "user_id", "ts", windowMs = 21600000L,
@@ -2639,6 +2730,8 @@ object Queries {
     "maintenance_rollup_pods" -> maintenanceRollupPods,
     "maintenance_rollup_quantiles" -> maintenanceRollupQuantiles,
     "maintenance_rollup_topk" -> maintenanceRollupTopk,
+    "maintenance_rollup_theta" -> maintenanceRollupTheta,
+    "log_templates" -> logTemplatesQ,
     "fn_window_funnel" -> fnWindowFunnel,
     "fn_retention" -> fnRetention,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,

@@ -82,7 +82,11 @@ object Rollup {
       hll_sketch_agg(col("pod_name")).as("pods_hll"),
       // topKState analogue: a frequent-items sketch of hosts per rollup
       // row; states combine across any slice (see mergedTopHosts)
-      expr("approx_top_k_accumulate(host)").as("hosts_topk")) ++ metricAggs
+      expr("approx_top_k_accumulate(host)").as("hosts_topk"),
+      // uniqThetaState analogue: unlike HLL, theta sketches support set
+      // ALGEBRA (intersect/difference), answering "pods live in BOTH
+      // slices" / "pods that churned" from the MV (see podsOverlap)
+      theta_sketch_agg(col("pod_name")).as("pods_theta")) ++ metricAggs
     logs.groupBy(
         hour(col("timestamp")).as("hour"),
         col("cluster"), col("namespace"), col("app"))
@@ -114,6 +118,26 @@ object Rollup {
   def mergedTopHosts(c: Column, k: Int): Column =
     call_function("approx_top_k_estimate",
       call_function("approx_top_k_combine", c), lit(k))
+
+  /** Union a slice's theta sketches into one set state — the aggregation
+    * half of the `uniqTheta` algebra; feed the results to [[podsOverlap]]
+    * / [[podsChurned]].
+    */
+  def mergedTheta(c: Column): Column = theta_union_agg(c)
+
+  /** Estimated |A ∩ B| of two merged theta states (e.g. two days' pod
+    * sets): exact below the sketch's retained-entry budget, within the
+    * documented error envelope above it. HLL cannot answer this — only
+    * theta states carry enough structure for intersections.
+    */
+  def podsOverlap(a: Column, b: Column): Column =
+    theta_sketch_estimate(theta_intersection(a, b))
+
+  /** Estimated |A \ B| — pods present in slice A but gone in slice B (the
+    * churn view operators ask for after a redeploy).
+    */
+  def podsChurned(a: Column, b: Column): Column =
+    theta_sketch_estimate(theta_difference(a, b))
 
   /** Partition-discovery read of the rollup table (recovers `date`). */
   def readRollup(spark: SparkSession, rollupPath: String): DataFrame =

@@ -107,4 +107,32 @@ object TextAnalysis {
       .withColumn("ratio", Rounding.r4(col("comp_bytes").cast("double") /
         greatest(col("raw_bytes"), lit(1L)).cast("double")))
   }
+
+  /** Drain-lite log template mining: mask the variable fragments of a log
+    * line (UUIDs, IPv4s, long hex ids, numeric runs — in that order, so a
+    * UUID is one `<UUID>` and not four `<HEX>`-`<N>` shards) and group by
+    * the surviving TEMPLATE — the "what kinds of lines is this service
+    * printing" view log tooling builds its clustering on. The masking is a
+    * narrow codegen'd regexp chain (RE2-compatible patterns, so the same
+    * rules run in other engines for cross-checking); the only shuffle is
+    * the map-side-combined count per template. Template cardinality is
+    * bounded by the service's format strings — thousands, not rows — so
+    * the aggregate is small however large the scan.
+    */
+  def logTemplates(logs: DataFrame, logCol: String): DataFrame = {
+    val uuid = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val hex = "\\b(?:0x[0-9a-fA-F]+|[0-9a-fA-F]{8,})\\b"
+    val num = "-?[0-9]+(?:\\.[0-9]+)?"
+    val tpl = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(logCol), uuid, "<UUID>"),
+          ipv4, "<IP>"),
+        hex, "<HEX>"),
+      num, "<N>")
+    logs.select(tpl.as("template"), col(logCol).as("line"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("cnt"), min(col("line")).as("example"))
+  }
 }

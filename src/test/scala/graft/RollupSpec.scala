@@ -202,6 +202,32 @@ class RollupSpec extends SparkTestBase {
       s"combined top-k must be exact on a small domain: $got vs $exact")
   }
 
+  test("theta set algebra across days: overlap and churn from the MV match exact sets") {
+    val src = tmp("rollup-src"); val out = tmp("rollup-out")
+    val logs = logsDf(days = 2, perDay = 120)
+    LogSchema.writePartitioned(logs, src)
+    Rollup.refresh(spark, src, out)
+    val days = Rollup.readRollup(spark, out)
+      .groupBy(col("date").cast("string").as("day"))
+      .agg(Rollup.mergedTheta(col("pods_theta")).as("th"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    import spark.implicits._
+    val pair = days.keys.toSeq.sorted
+    val est = Seq((days(pair(0)), days(pair(1)))).toDF("a", "b")
+      .select(Rollup.podsOverlap(col("a"), col("b")).as("both"),
+        Rollup.podsChurned(col("a"), col("b")).as("gone"))
+      .head()
+    val setByDay = logs
+      .select(to_date(col("timestamp")).cast("string").as("day"), col("pod_name"))
+      .collect().groupBy(_.getString(0)).map { case (d, rs) =>
+        d -> rs.map(_.getString(1)).toSet }
+    val exactBoth = (setByDay(pair(0)) intersect setByDay(pair(1))).size
+    val exactGone = (setByDay(pair(0)) diff setByDay(pair(1))).size
+    // tiny domain → the sketches are exact
+    assert(est.getLong(0) == exactBoth, s"overlap ${est.getLong(0)}")
+    assert(est.getLong(1) == exactGone, s"churn ${est.getLong(1)}")
+  }
+
   test("materializePromotedColumns backfills only missing partitions and is idempotent") {
     val dir = tmp("materialize")
     val logs = logsDf(days = 2, perDay = 24)

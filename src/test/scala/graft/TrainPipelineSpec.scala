@@ -370,6 +370,22 @@ class TrainPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("logTemplates: masks uuid/ip/hex/number with correct precedence, groups by template") {
+    import spark.implicits._
+    val df = Seq(
+      "req 550e8400-e29b-41d4-a716-446655440000 from 192.168.1.10 took 35ms",
+      "req deadbeefcafe1234 from 10.0.0.7 took 7ms",
+      "req 550e8400-e29b-41d4-a716-446655440000 from 192.168.1.11 took 1.5ms",
+      "cache hit ratio 0.95").toDF("log")
+    val got = graft.operators.TextAnalysis.logTemplates(df, "log")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // uuid masked as ONE token (not hex+number shards); ip before hex/num
+    assert(got == Map(
+      "req <UUID> from <IP> took <N>ms" -> 2,
+      "req <HEX> from <IP> took <N>ms" -> 1,
+      "cache hit ratio <N>" -> 1), got.toString)
+  }
+
   test("quantizeInt8: max element pins ±127, reconstruction within scale/2, zero vector safe") {
     import spark.implicits._
     val emb = Seq(
