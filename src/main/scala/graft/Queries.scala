@@ -2257,6 +2257,21 @@ object Queries {
     * tolerance booleans (the pod domain sits far under the sketch's
     * retained-entry budget at oracle SF, so they are in fact exact there).
     */
+  /** Equal-width value histogram per event type — the distribution chart
+    * next to the percentile tiles; one partial-aggregated shuffle on
+    * (type, bin), bin count bounded by the width choice.
+    */
+  private val aggHistogram = Q(
+    (s, dir) => t(s, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") / 50.0).cast(IntegerType).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "bin"),
+    Some("""SELECT event_type, floor(value / 50.0)::INT AS bin,
+        count(*) AS cnt FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2 ORDER BY event_type, bin"""))
+
   /** Template mining over the log lines (the masked-variables "what does
     * this service print" clustering view); the planted `pid=` suffix
     * exercises every mask class on otherwise low-variance synthetic lines.
@@ -2732,6 +2747,7 @@ object Queries {
     "maintenance_rollup_topk" -> maintenanceRollupTopk,
     "maintenance_rollup_theta" -> maintenanceRollupTheta,
     "log_templates" -> logTemplatesQ,
+    "agg_histogram" -> aggHistogram,
     "fn_window_funnel" -> fnWindowFunnel,
     "fn_retention" -> fnRetention,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
