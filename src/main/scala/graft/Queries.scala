@@ -1502,21 +1502,96 @@ object Queries {
   // §2.10 north-star: dedup / similarity / text / multimodal
   // ------------------------------------------------------------------
 
+  /** MinHash banding certified against brute truth (the
+    * agg_approx_distinct pattern): `n_true` — the exact count of pairs at
+    * jaccard ≥ 0.4 over distinct 2-word shingles — hash-compares against
+    * the same computation in SQL; `recall_ok` certifies the banding
+    * surfaced at least the measured floor of those pairs (banding with
+    * b=8, r=4 at j=0.4 has per-pair probability 1−(1−j⁴)⁸, so sub-1.0
+    * recall near the threshold is the math, not a bug — planted near-dups
+    * sit well above it); `precision_ok` certifies every emitted pair
+    * carries a passing EXACT jaccard (the map-side verify contract). The
+    * doc_id < 600 bound is the usual exact-verification-variant contract
+    * (covers all of sf0.01).
+    */
   private val dedupMinhash = Q(
-    (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 2, bands = 8, rowsPerBand = 4, jaccardThreshold = 0.4)
-      .select(col("id_a"), col("id_b"), r(col("jaccard"), 4).as("jaccard"))
-      .orderBy("id_a", "id_b"),
-    None)
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val found = Dedup.minhashPairs(docs.where(col("doc_id") < 600),
+          "doc_id", "text",
+          shingleN = 2, bands = 8, rowsPerBand = 4, jaccardThreshold = 0.4)
+        .select("id_a", "id_b")
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+          threshold = 0.4, maxId = 600)
+        .select("id_a", "id_b")
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nHit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val nFalse = found.join(truth, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_false"))
+      nTrue.crossJoin(nHit).crossJoin(nFalse).select(
+        col("n_true"),
+        (col("n_hit") >= col("n_true") * 0.8).as("recall_ok"),
+        (col("n_false") === 0).as("precision_ok"))
+    },
+    Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents WHERE doc_id < 600),
+        sh AS (SELECT doc_id, list_distinct(CASE
+            WHEN len(tk) = 1 THEN [tk[1]]
+            WHEN len(tk) >= 2 THEN list_transform(
+              generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])
+            END) AS sh
+          FROM toks),
+        pairs AS (SELECT
+            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS j
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        SELECT count(*) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
+        FROM pairs WHERE j >= 0.4"""))
 
+  /** SimHash banding certified against brute truth: unlike MinHash, the
+    * pigeonhole banding is COMPLETE by construction (Hamming ≤ h ⇒ some
+    * chunk matches exactly), so the certification is set EQUALITY with the
+    * brute all-pairs Hamming scan, not a recall floor — `complete_ok`
+    * (every brute pair found, with the same min-Hamming) and `sound_ok`
+    * (nothing extra) both certify TRUE, with the doc count as the SQL
+    * anchor. doc_id < 600 is the exact-verification bound (covers all of
+    * sf0.01; the brute side is quadratic).
+    */
   private val dedupSimhash = Q(
     // radius 12 needs the 128-bit fingerprint: banding 64 bits into 13
     // chunks leaves ~5-bit buckets that collide for 1/32 of all pairs per
     // band (see Dedup.simhashPairsWide scaladoc)
-    (s, dir) => Dedup.simhashPairsWide(t(s, dir, "documents"), "doc_id",
-        "text", maxHamming = 12, words = 2)
-      .orderBy("id_a", "id_b"),
-    None)
+    (s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 600)
+      val found = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = 12, words = 2)
+      val fp = docs.select(col("doc_id").as("id"),
+        graft.expressions.SketchExprs.simhashWide(
+          TF.tokens(col("text")), 2).as("fp"))
+      val ham = (0 until 2).map(w =>
+          graft.functions.VectorFunctions.hamming(
+            element_at(col("a.fp"), w + 1), element_at(col("b.fp"), w + 1)))
+        .reduce(_ + _)
+      val brute = fp.as("a").crossJoin(fp.as("b"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          ham.as("hamming"))
+        .where(col("hamming") <= 12)
+      val missing = brute.join(found, Seq("id_a", "id_b", "hamming"),
+        "left_anti").agg(count(lit(1)).as("n_miss"))
+      val extra = found.join(brute, Seq("id_a", "id_b", "hamming"),
+        "left_anti").agg(count(lit(1)).as("n_extra"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(missing).crossJoin(extra)
+        .select(col("n_docs"),
+          (col("n_miss") === 0).as("complete_ok"),
+          (col("n_extra") === 0).as("sound_ok"))
+    },
+    Some("""SELECT count(*) AS n_docs, TRUE AS complete_ok,
+        TRUE AS sound_ok FROM documents WHERE doc_id < 600"""))
 
   private val dedupNgramJaccard = Q(
     (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
@@ -1578,14 +1653,62 @@ object Queries {
           FROM scored)
         WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** ANN certification harness (agg_approx_distinct pattern): the exact
+    * brute top-k set sizes hash-compare against SQL (the brute formulation
+    * itself is independently hash-verified by sim_search_topk), and
+    * `recall_ok` certifies the approximate index surfaced at least the
+    * measured floor of the true neighbors — bounds sit well under the
+    * deterministic-seed measurements (lsh .36 / ivf .62 / pq .82 /
+    * ivfpq .74 at sf0.01) so they certify the mechanism, not the noise.
+    */
+  private def annCertified(
+      s: SparkSession, dir: String, minRecall: Double)(
+      topk: DataFrame): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val brute = Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .select("qid", "nid")
+    val hit = brute.join(topk.select("qid", "nid"), Seq("qid", "nid"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    brute.agg(count_distinct(col("qid")).as("n_q"),
+        count(lit(1)).as("n_brute"))
+      .crossJoin(hit)
+      .select(col("n_q"), col("n_brute"),
+        (col("n_hit") >= col("n_brute") * minRecall).as("recall_ok"))
+  }
+
+  /** The counting oracle over the same brute top-k CTE sim_search_topk
+    * hash-verifies in full. */
+  private val annOracleSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, c.vec_id AS nid,
+            round(
+              list_sum(list_transform(list_zip(q.qv, c.embedding),
+                p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) *
+               sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+            4) AS cosine
+          FROM q, embeddings c WHERE c.vec_id <> q.qid),
+        topk AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, nid) AS rank
+          FROM scored)
+        WHERE rank <= 5)
+        SELECT count(DISTINCT qid) AS n_q, count(*) AS n_brute,
+          TRUE AS recall_ok FROM topk"""
+
   private val simSearchLsh = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
-          "embedding", k = 5)
-        .orderBy("qid", "rank")
+      annCertified(s, dir, minRecall = 0.2)(
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5))
     },
-    None)
+    Some(annOracleSql))
 
   private val textTfidf = Q(
     (s, dir) => graft.operators.TextAnalysis.tfIdf(
@@ -1614,34 +1737,78 @@ object Queries {
         .agg(graft.expressions.MinHashAgg.minhashUnion(col("sh"), 64).as("sig"))
       val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
       val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
-      a.crossJoin(b).where(col("source_a") < col("source_b"))
+      val est = a.crossJoin(b).where(col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"),
-          r(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-            m => m)).cast(DoubleType) / 64.0, 4).as("est_jaccard"))
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            m => m)).cast(DoubleType) / 64.0).as("est_jaccard"))
+      // exact union-set jaccard per source pair — the SQL-anchored truth
+      // the k=64 signature estimates (agg_approx_distinct pattern since
+      // the continuation session: exact values hash-compare, the booleans
+      // certify every estimate within the sketch's error envelope —
+      // binomial σ ≤ 1/(2√64), bound 0.25 ≈ 4σ over 190 pairs)
+      val ss = t(s, dir, "documents")
+        .select(col("source"), explode(TF.shingles(col("text"), 1)).as("sh"))
+        .distinct()
+      val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ss.as("x")
+        .join(ss.as("y"), col("x.sh") === col("y.sh") &&
+          col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_int"))
+      val sa = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      val sb = sizes.select(col("source").as("source_b"), col("n").as("n_b"))
+      val exact = sa.crossJoin(sb)
+        .where(col("source_a") < col("source_b"))
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          (coalesce(col("n_int"), lit(0L)).cast(DoubleType) /
+            (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L)))
+              .cast(DoubleType)).as("exact_jaccard"))
+      exact.join(est, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"),
+          r(col("exact_jaccard"), 4).as("exact_jaccard"),
+          (abs(col("est_jaccard") - col("exact_jaccard")) <= 0.25)
+            .as("est_ok"))
         .orderBy("source_a", "source_b")
     },
-    None) // xxhash64 family is engine-specific; accuracy asserted in tests
+    Some("""WITH ss AS (
+          SELECT DISTINCT source, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh
+          FROM documents),
+        sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        inter AS (SELECT x.source AS source_a, y.source AS source_b,
+            count(*) AS n_int
+          FROM ss x JOIN ss y ON x.sh = y.sh AND x.source < y.source
+          GROUP BY 1, 2)
+        SELECT a.source AS source_a, b.source AS source_b,
+          round(coalesce(n_int, 0)::DOUBLE /
+            (a.n + b.n - coalesce(n_int, 0))::DOUBLE, 4) AS exact_jaccard,
+          TRUE AS est_ok
+        FROM sizes a JOIN sizes b ON a.source < b.source
+        LEFT JOIN inter ON inter.source_a = a.source
+          AND inter.source_b = b.source
+        ORDER BY source_a, source_b"""))
 
   private val simSearchIvf = Q(
     // query path against the per-process index fixture — the build
     // (sampled KMeans fit + assignment) is the amortized step, like a
     // persisted ANN index in production
-    (s, dir) => Similarity.ivfQuery(Fixtures.ivfIndex(s, dir),
+    (s, dir) => annCertified(s, dir, minRecall = 0.4)(
+      Similarity.ivfQuery(Fixtures.ivfIndex(s, dir),
         t(s, dir, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
-      .orderBy("qid", "rank"),
-    None)
+        "vec_id", "embedding", k = 5)),
+    Some(annOracleSql))
 
   private val simSearchPq = Q(
     // ADC scan of the cached code table (the compressed corpus) plus the
     // exact re-rank refine pass — the codebook fit + encode is the
     // amortized build, like simSearchIvf
-    (s, dir) => Similarity.pqQueryRefined(Fixtures.pqIndex(s, dir),
+    (s, dir) => annCertified(s, dir, minRecall = 0.6)(
+      Similarity.pqQueryRefined(Fixtures.pqIndex(s, dir),
         t(s, dir, "embeddings"),
         t(s, dir, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, shortlist = 50)
-      .orderBy("qid", "rank"),
-    None) // KMeans codebooks are engine-specific; recall vs brute in tests
+        "vec_id", "embedding", k = 5, shortlist = 50)),
+    Some(annOracleSql))
 
   /** The weak-label quality-filter loop, agg_approx_distinct-style oracle:
     * the exact split sizes hash-compare against SQL, and the booleans
@@ -1677,12 +1844,12 @@ object Queries {
     // the full composition: probed cells only (IVF pruning) scanned as
     // codes (PQ compression), then the exact refine pass — FAISS
     // IndexIVFPQ + RefineFlat; the amortized index comes from the fixture
-    (s, dir) => Similarity.ivfPqQueryRefined(Fixtures.ivfPqIndex(s, dir),
+    (s, dir) => annCertified(s, dir, minRecall = 0.5)(
+      Similarity.ivfPqQueryRefined(Fixtures.ivfPqIndex(s, dir),
         t(s, dir, "embeddings"),
         t(s, dir, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, shortlist = 50, nprobe = 4)
-      .orderBy("qid", "rank"),
-    None) // cells + codebooks engine-specific; recall vs brute in tests
+        "vec_id", "embedding", k = 5, shortlist = 50, nprobe = 4)),
+    Some(annOracleSql))
 
   /** Exact-mode k-NN join (nprobe = numCells): every embedding finds its 3
     * nearest neighbors through the full distributed plumbing — sampled
@@ -2142,22 +2309,68 @@ object Queries {
     // half); this times the narrow encode. Engine-specific merge list →
     // no SQL oracle; training parity with a reference implementation,
     // reconstruction, and determinism are pinned in BpeSpec.
-    (s, dir) => graft.operators.Bpe.encode(
-        t(s, dir, "documents"), "doc_id", "text", Fixtures.bpeMerges(s, dir))
-      .select(col("doc").as("doc_id"), col("n_tokens"),
-        concat_ws(" ", col("tokens")).as("tokens_str"))
-      .orderBy("doc_id"),
-    None)
+    // agg_approx_distinct-pattern certification since the continuation
+    // session: the doc count hash-compares, `all_reconstruct_ok` certifies
+    // every doc's subword concatenation restores its whitespace-normalized
+    // text, and `all_compress_ok` certifies the learned merges beat
+    // character-level tokenization on every non-empty doc
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enc = graft.operators.Bpe.encode(
+        docs, "doc_id", "text", Fixtures.bpeMerges(s, dir))
+      val joined = enc.join(docs, enc("doc") === docs("doc_id"))
+        .select(
+          concat_ws("", col("tokens")).as("rebuilt"),
+          regexp_replace(lower(col("text")), "\\s+", "").as("norm"),
+          col("n_tokens"))
+      joined.agg(
+        count(lit(1)).as("n_docs"),
+        (count(when(col("rebuilt") === col("norm"), 1)) === count(lit(1)))
+          .as("all_reconstruct_ok"),
+        (count(when(
+          when(length(col("norm")) === 0, col("n_tokens") === 0)
+            .otherwise(col("n_tokens") < length(col("norm"))), 1)) ===
+          count(lit(1))).as("all_compress_ok"))
+    },
+    Some("""SELECT count(*) AS n_docs, TRUE AS all_reconstruct_ok,
+        TRUE AS all_compress_ok FROM documents"""))
 
+  /** Deflate bytes are engine-specific, but the quality SIGNAL is
+    * certifiable (agg_approx_distinct pattern): the doc count and total
+    * raw UTF-8 bytes hash-compare against SQL (the byte-accounting
+    * contract), `all_in_range_ok` certifies every ratio lands in (0, 1.1]
+    * (deflate overhead can exceed 1 only slightly on tiny docs), and
+    * `ordering_ok` certifies the signal points the right way on two
+    * planted extremes — a pure repetition must compress far below a
+    * hex-entropy chain.
+    */
   private val textCompressionRatio = Q(
-    // deflate output is engine-specific (zlib level-6 byte stream) → no
-    // SQL oracle; determinism, monotonicity vs repetitiveness, and byte
-    // accounting are pinned in TrainPipelineSpec
-    (s, dir) => graft.operators.TextAnalysis.compressionRatio(
-        t(s, dir, "documents"), "doc_id", "text")
-      .withColumnRenamed("doc", "doc_id")
-      .orderBy("doc_id"),
-    None)
+    (s, dir) => {
+      import s.implicits._
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexChain = (0 until 20).map { i =>
+        md.digest(s"graft-$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.mkString
+      val planted = Seq((-1L, "ab" * 500), (-2L, hexChain))
+        .toDF("doc_id", "text")
+      val base = graft.operators.TextAnalysis.compressionRatio(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      val pr = graft.operators.TextAnalysis.compressionRatio(
+          planted, "doc_id", "text")
+        .select(col("doc"), col("ratio"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("raw_bytes")).as("total_raw_bytes"),
+        (count(when(col("ratio") > 0.0 && col("ratio") <= 1.1, 1)) ===
+          count(lit(1))).as("all_in_range_ok"))
+        .withColumn("ordering_ok", lit(pr(-1L) < pr(-2L) * 0.5))
+    },
+    Some("""SELECT count(*) AS n_docs,
+        sum(octet_length(encode(text))) AS total_raw_bytes,
+        TRUE AS all_in_range_ok, TRUE AS ordering_ok
+        FROM documents"""))
 
   private val maintenanceRollup = Q(
     // read side of the incrementally-refreshed rollup (built in two
@@ -2588,17 +2801,38 @@ object Queries {
           round(exp(-avg(logp)), 4) AS ppl
         FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** SemDeDup certified by independent-formulation parity (the
+    * fn_window_funnel pattern): the operator's cell-equi-join path must
+    * agree flag-for-flag with a bounded crossJoin restatement of the same
+    * rule ("a lower-id vector in MY cell within cosine threshold") —
+    * different join strategy, shuffle shape, and dedup mechanics, same
+    * declarative definition. The vector count is the SQL anchor; cell
+    * assignments themselves are engine-specific (KMeans), which is exactly
+    * why the parity must be computed in-engine.
+    */
   private val dedupSemantic = Q(
-    // kmeans cell assignments are engine-specific → no SQL oracle; parity
-    // with a brute-force per-cell oracle and planted-dup recall are
-    // asserted in DedupSpec. Consumes the shared IVF fixture (the real
-    // pipeline clusters once and derives both ANN search and semantic
-    // dedup from the same assignment).
-    (s, dir) => Dedup.semDedupFromCells(
-        Fixtures.ivfIndex(s, dir).bucketed, threshold = 0.4)
-      .withColumnRenamed("id", "vec_id")
-      .orderBy("vec_id"),
-    None)
+    // Consumes the shared IVF fixture (the real pipeline clusters once and
+    // derives both ANN search and semantic dedup from the same assignment)
+    (s, dir) => {
+      val bucketed = Fixtures.ivfIndex(s, dir).bucketed
+      val out = Dedup.semDedupFromCells(bucketed, threshold = 0.4)
+      val cells = bucketed.select(col("nid"), col("cell"),
+        col("nv").cast("array<double>").as("v"))
+      val brute = cells.as("a").crossJoin(cells.as("b"))
+        .where(col("a.cell") === col("b.cell") &&
+          col("b.nid") < col("a.nid") &&
+          graft.expressions.VectorExprs.cosine(col("a.v"), col("b.v")) >= 0.4)
+        .select(col("a.nid").as("id")).distinct()
+        .withColumn("brute_dup", lit(true))
+      val joined = out.join(brute, Seq("id"), "left")
+        .select(col("id"),
+          (col("is_dup") === coalesce(col("brute_dup"), lit(false)))
+            .as("agree"))
+      joined.agg(count(lit(1)).as("n_vectors"),
+        (count(when(col("agree"), 1)) === count(lit(1))).as("parity_ok"))
+    },
+    Some("""SELECT count(*) AS n_vectors, TRUE AS parity_ok
+        FROM embeddings"""))
 
   private val embeddingQuantize = Q(
     // `q` is serialized to a CSV string for the dump: the driver's compare
