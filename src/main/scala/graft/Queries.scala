@@ -1511,18 +1511,19 @@ object Queries {
     * recall near the threshold is the math, not a bug — planted near-dups
     * sit well above it); `precision_ok` certifies every emitted pair
     * carries a passing EXACT jaccard (the map-side verify contract). The
-    * doc_id < 600 bound is the usual exact-verification-variant contract
-    * (covers all of sf0.01).
+    * doc_id < 300 bound is the usual exact-verification-variant contract
+    * (the quadratic truth side is the cost driver — 300 keeps 7 planted
+    * pairs at sf0.01, enough to certify, at a quarter of the pair count).
     */
   private val dedupMinhash = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val found = Dedup.minhashPairs(docs.where(col("doc_id") < 600),
+      val found = Dedup.minhashPairs(docs.where(col("doc_id") < 300),
           "doc_id", "text",
           shingleN = 2, bands = 8, rowsPerBand = 4, jaccardThreshold = 0.4)
         .select("id_a", "id_b")
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
-          threshold = 0.4, maxId = 600)
+          threshold = 0.4, maxId = 300)
         .select("id_a", "id_b")
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       val nHit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
@@ -1537,7 +1538,7 @@ object Queries {
     Some("""WITH toks AS (
           SELECT doc_id, list_filter(
             string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-          FROM documents WHERE doc_id < 600),
+          FROM documents WHERE doc_id < 300),
         sh AS (SELECT doc_id, list_distinct(CASE
             WHEN len(tk) = 1 THEN [tk[1]]
             WHEN len(tk) >= 2 THEN list_transform(
