@@ -274,6 +274,23 @@ object Queries {
           idx.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
 
+    /** Two persisted MinHash-LSH dedup indexes per (process, sf dir): one
+      * over the "historical corpus" slice (doc_id < 400), one over all
+      * docs — the pair the `dedup_incremental` equivalence cert needs.
+      * Built once and probed by every rebuild; paths are (corpus, full).
+      */
+    def dedupIndexDirs(s: SparkSession, dir: String): (String, String) =
+      logTables.getOrElseUpdate(dir + "#dedupidx", {
+        val corpus = java.nio.file.Files.createTempDirectory("graft-dedupidx-c").toString
+        val full = java.nio.file.Files.createTempDirectory("graft-dedupidx-f").toString
+        deleteOnExit(corpus); deleteOnExit(full)
+        val docs = t(s, dir, "documents")
+        graft.model.DedupIndex.build(
+          docs.where(col("doc_id") < 400), "doc_id", "text", corpus)
+        graft.model.DedupIndex.build(docs, "doc_id", "text", full)
+        corpus + "\t" + full
+      }).split('\t') match { case Array(a, b) => (a, b) }
+
     private val qualityModels =
       scala.collection.concurrent.TrieMap.empty[String, (SparkSession, org.apache.spark.ml.PipelineModel)]
 
@@ -1552,6 +1569,38 @@ object Queries {
         SELECT count(*) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
         FROM pairs WHERE j >= 0.4"""))
 
+  /** The persisted-index incremental dedup loop, certified by set EQUALITY:
+    * probing a new increment (doc_id ≥ 400) against the corpus index
+    * (doc_id < 400) must produce exactly the pairs a from-scratch index
+    * over ALL docs yields, restricted to pairs touching a new id (new ids
+    * are the top range, so `id_b ≥ 400` ⇔ touching-new under id_a < id_b).
+    * Same hash families and verification arithmetic on both paths make the
+    * comparison exact — including the jaccard doubles, which join as part
+    * of the key. The SQL anchor is the increment row count.
+    */
+  private val dedupIncremental = Q(
+    (s, dir) => {
+      val (corpusIdx, fullIdx) = Fixtures.dedupIndexDirs(s, dir)
+      val newDocs = t(s, dir, "documents").where(col("doc_id") >= 400)
+      val incr = graft.model.DedupIndex.incrementalPairs(
+        newDocs, "doc_id", "text", corpusIdx, jaccardThreshold = 0.4)
+      val scratch = graft.model.DedupIndex.allPairs(s, fullIdx,
+          jaccardThreshold = 0.4)
+        .where(col("id_b") >= 400)
+      val keys = Seq("id_a", "id_b", "jaccard")
+      val miss = scratch.join(incr, keys, "left_anti")
+        .agg(count(lit(1)).as("n_miss"))
+      val extra = incr.join(scratch, keys, "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      newDocs.agg(count(lit(1)).as("n_new"))
+        .crossJoin(miss).crossJoin(extra)
+        .select(col("n_new"),
+          (col("n_miss") === 0).as("complete_ok"),
+          (col("n_extra") === 0).as("sound_ok"))
+    },
+    Some("""SELECT count(*) AS n_new, TRUE AS complete_ok,
+        TRUE AS sound_ok FROM documents WHERE doc_id >= 400"""))
+
   /** SimHash banding certified against brute truth: unlike MinHash, the
     * pigeonhole banding is COMPLETE by construction (Hamming ≤ h ⇒ some
     * chunk matches exactly), so the certification is set EQUALITY with the
@@ -2617,6 +2666,74 @@ object Queries {
         FROM events WHERE user_id IS NOT NULL
         GROUP BY 1 ORDER BY "user""""))
 
+  /** Volume anomaly detection: hourly counts per event type scored against
+    * each type's trailing-24-bucket baseline. Variance comes from exact
+    * integer window sums (see [[graft.operators.Anomaly.volumeAnomalies]]),
+    * so every double — and the `is_anomaly` threshold decision — is the
+    * same deterministic expression in both engines.
+    */
+  private val anomalyVolume = Q(
+    (s, dir) => graft.operators.Anomaly.volumeAnomalies(
+        t(s, dir, "events"), col("ts"), dims = Seq("event_type"),
+        bucket = "hour", lookback = 24, minSigma = 3.0)
+      .orderBy("event_type", "bucket_ms"),
+    Some("""WITH c AS (
+          SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, b, cnt,
+            count(*) OVER win AS n_base,
+            sum(cnt) OVER win AS s1,
+            sum(cnt * cnt) OVER win AS s2
+          FROM c WINDOW win AS (PARTITION BY event_type ORDER BY b
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        sc AS (SELECT event_type, b, cnt,
+            s1::DOUBLE / n_base::DOUBLE AS mu,
+            (s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n_base::DOUBLE))
+              / (n_base::DOUBLE - 1) AS variance
+          FROM w WHERE n_base = 24),
+        sd AS (SELECT event_type, b, cnt, mu,
+            greatest(sqrt(variance), sqrt(mu)) AS sd_eff FROM sc)
+        SELECT event_type, epoch_ms(b) AS bucket_ms, cnt,
+          round(mu, 4) AS mu, round(sd_eff, 4) AS sd,
+          round((cnt::DOUBLE - mu) / sd_eff, 4) AS z,
+          (cnt::DOUBLE - mu) / sd_eff >= 3.0 AS is_anomaly
+        FROM sd ORDER BY event_type, bucket_ms"""))
+
+  /** Spike attribution: which event type drove the last two days' volume
+    * vs all history before. The pivot is derived from the data's own max
+    * day so the query is deterministic at any SF and any wall-clock time.
+    */
+  private val drilldownContributors = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val pivot = ev
+        .agg(expr("date_trunc('DAY', max(ts)) - INTERVAL 1 DAY"))
+        .head.getTimestamp(0)
+      graft.operators.Anomaly.contributors(ev, col("ts"),
+          dims = Seq("event_type"),
+          spikeFrom = lit(pivot), spikeTo = lit("9999-01-01").cast("timestamp"),
+          baseFrom = lit("1900-01-01").cast("timestamp"), baseTo = lit(pivot))
+        .orderBy(desc("delta_share"), col("event_type"))
+    },
+    Some("""WITH p AS (SELECT date_trunc('day', max(ts)) - INTERVAL 1 DAY
+            AS cutoff FROM events),
+        d AS (SELECT event_type,
+            count(CASE WHEN ts >= cutoff THEN 1 END) AS cnt_spike,
+            count(CASE WHEN ts < cutoff THEN 1 END) AS cnt_base
+          FROM events, p GROUP BY 1),
+        tt AS (SELECT sum(cnt_spike) AS total_spike,
+            sum(cnt_base) AS total_base FROM d)
+        SELECT event_type, cnt_spike, cnt_base,
+          round(cnt_spike::DOUBLE / total_spike, 4) AS share_spike,
+          round(cnt_base::DOUBLE / total_base, 4) AS share_base,
+          round(cnt_spike::DOUBLE / total_spike
+            - cnt_base::DOUBLE / total_base, 4) AS delta_share,
+          round(CASE WHEN cnt_base > 0 THEN
+            (cnt_spike::DOUBLE * total_base) / (cnt_base::DOUBLE * total_spike)
+            END, 4) AS lift
+        FROM d, tt
+        ORDER BY delta_share DESC, event_type"""))
+
   private val maintenanceRollupTopk = Q(
     // the topKMerge read path: per-day host frequencies answered by
     // combining the rollup's frequent-items sketch states. The host
@@ -2933,6 +3050,9 @@ object Queries {
     "agg_quantiles" -> aggQuantiles,
     "join_skew_salted" -> joinSkewSalted,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_incremental" -> dedupIncremental,
+    "anomaly_volume" -> anomalyVolume,
+    "drilldown_contributors" -> drilldownContributors,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
