@@ -78,8 +78,10 @@ object Anomaly {
     * spike), `lift` is the per-dim rate change normalized by the overall
     * rate change (NULL when the dim is absent from the baseline).
     *
-    * One pass over the rows in either window (conditional aggregation),
-    * totals joined back as a single-row broadcast.
+    * One pass over the rows in either window (conditional aggregation);
+    * window totals come from an unpartitioned window over the per-dim
+    * aggregate — one exchange of the TINY dimension table to a single
+    * partition, not a second scan of the raw rows.
     */
   def contributors(
       df: DataFrame,
@@ -94,15 +96,15 @@ object Anomaly {
       .agg(
         count(when(inSpike, 1)).as("cnt_spike"),
         count(when(inBase, 1)).as("cnt_base"))
-    val totals = perDim.agg(
-      sum(col("cnt_spike")).as("total_spike"),
-      sum(col("cnt_base")).as("total_base"))
+    val all = Window.partitionBy()
     val shareSpike = col("cnt_spike").cast(DoubleType) / col("total_spike")
     val shareBase = col("cnt_base").cast(DoubleType) / col("total_base")
     val lift = when(col("cnt_base") > 0,
       (col("cnt_spike").cast(DoubleType) * col("total_base")) /
         (col("cnt_base").cast(DoubleType) * col("total_spike")))
-    perDim.crossJoin(broadcast(totals))
+    perDim
+      .withColumn("total_spike", sum(col("cnt_spike")).over(all))
+      .withColumn("total_base", sum(col("cnt_base")).over(all))
       .select(dims.map(col) ++ Seq(
         col("cnt_spike"), col("cnt_base"),
         graft.functions.Rounding.r(shareSpike, 4).as("share_spike"),
