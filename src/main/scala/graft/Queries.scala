@@ -2666,6 +2666,44 @@ object Queries {
         FROM events WHERE user_id IS NOT NULL
         GROUP BY 1 ORDER BY "user""""))
 
+  /** Sequence-pattern match (ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')`)
+    * — the greedy strictly-increasing fold vs the oracle's declarative
+    * nested-earliest-min formulation; their agreement is the check (the
+    * fn_window_funnel pattern). Both sides compare at millisecond
+    * precision (`unix_millis` / `epoch_ms`) so strictness agrees.
+    */
+  private val fnSequenceMatch = Q(
+    (s, dir) => graft.operators.Funnel.sequenceMatch(
+        t(s, dir, "events"), "user_id", "ts",
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "purchase" && col("value") >= 300,
+          col("event_type") === "error" && col("value") >= 400))
+      .orderBy("user"),
+    Some("""WITH q AS (SELECT user_id, epoch_ms(ts) AS ts, event_type, value
+            FROM events WHERE user_id IS NOT NULL),
+        m1 AS (SELECT user_id, min(ts) AS t FROM q
+            WHERE event_type = 'signup' GROUP BY 1),
+        m2 AS (SELECT q.user_id, min(q.ts) AS t FROM q
+            JOIN m1 ON q.user_id = m1.user_id
+            WHERE q.event_type = 'purchase' AND q.value >= 300
+              AND q.ts > m1.t GROUP BY 1),
+        m3 AS (SELECT q.user_id, min(q.ts) AS t FROM q
+            JOIN m2 ON q.user_id = m2.user_id
+            WHERE q.event_type = 'error' AND q.value >= 400
+              AND q.ts > m2.t GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM q
+            WHERE event_type = 'signup'
+              OR (event_type = 'purchase' AND value >= 300)
+              OR (event_type = 'error' AND value >= 400))
+        SELECT u.user_id AS "user",
+          CASE WHEN m3.t IS NOT NULL THEN 3
+            WHEN m2.t IS NOT NULL THEN 2
+            WHEN m1.t IS NOT NULL THEN 1 ELSE 0 END AS depth,
+          m3.t IS NOT NULL AS matched
+        FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+          LEFT JOIN m3 USING (user_id)
+        ORDER BY "user""""))
+
   /** Volume anomaly detection: hourly counts per event type scored against
     * each type's trailing-24-bucket baseline. Variance comes from exact
     * integer window sums (see [[graft.operators.Anomaly.volumeAnomalies]]),
@@ -3052,6 +3090,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "anomaly_volume" -> anomalyVolume,
+    "fn_sequence_match" -> fnSequenceMatch,
     "drilldown_contributors" -> drilldownContributors,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,

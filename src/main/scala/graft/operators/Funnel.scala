@@ -85,6 +85,63 @@ object Funnel {
       .agg(size(filter(fold(sorted), x => x.isNotNull)).as("level"))
   }
 
+  /** Sequence-pattern match per user — ClickHouse
+    * `sequenceMatch('(?1).*(?2).*…')`: does a chain of events satisfying
+    * cond₁ … cond_n in STRICTLY increasing timestamp order exist?
+    * Returns the matched prefix depth and the full-match flag.
+    *
+    * The fold is the greedy earliest chain — advance the cursor on the
+    * first event satisfying the next condition strictly after the current
+    * chain tip — which matches iff ANY chain matches (taking the earliest
+    * feasible event at each step only widens what can follow; the
+    * standard subsequence-matching exchange argument). Strict ordering
+    * makes equal-timestamp events mutually unchainable, so tie order
+    * cannot change the result. The equivalent declarative form is nested
+    * earliest-firsts: m₁ = min ts(cond₁), m_k = min ts(cond_k) > m_{k−1};
+    * depth = largest k with m_k defined — which is how the oracle states
+    * it in SQL.
+    *
+    * Same scale shape as [[windowFunnel]]: qualifying rows only into one
+    * map-side-combined aggregation, state = sorted qualifying events per
+    * user, no joins.
+    */
+  def sequenceMatch(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "sequenceMatch needs at least one condition")
+    val n = conds.length
+    val flags = array(conds.map(_.cast(BooleanType)): _*)
+    val ev = events
+      .select(col(userCol).as("user"),
+        unix_millis(col(tsCol)).as("ts"), flags.as("f"))
+      .where(col("user").isNotNull && exists(col("f"), x => coalesce(x, lit(false))))
+    val condIdx = coalesce(array_position(col("f"), lit(true)), lit(0L))
+    val sorted = sort_array(collect_list(
+      struct(col("ts"), condIdx.as("ci"), col("f"))))
+    // state = [matched-prefix length, chain tip ts]
+    def fold(sortedEvents: Column): Column =
+      aggregate(
+        sortedEvents,
+        array(lit(0L), lit(Long.MinValue)),
+        (st, e) => {
+          val idx = st.getItem(0)
+          val tip = st.getItem(1)
+          val ts = e.getField("ts")
+          val advance = idx < n &&
+            coalesce(element_at(e.getField("f"),
+              (idx + 1).cast(org.apache.spark.sql.types.IntegerType)),
+              lit(false)) &&
+            ts > tip
+          array(when(advance, idx + 1).otherwise(idx),
+            when(advance, ts).otherwise(tip))
+        })
+    ev.groupBy("user")
+      .agg(fold(sorted).getItem(0).as("depth"))
+      .withColumn("matched", col("depth") === n)
+  }
+
   /** Retention flags per user: `r1` = any cond₁ event; `r_k` = a cond₁
     * event followed (at-or-after) by a cond_k event — i.e.
     * `min ts(cond₁) ≤ max ts(cond_k)`. Output columns `r1 … rN`.

@@ -73,6 +73,42 @@ class FunnelSpec extends SparkTestBase {
       3L -> ((false, false, false))))
   }
 
+  private def seqMatch(df: org.apache.spark.sql.DataFrame) =
+    Funnel.sequenceMatch(df, "user", "ts",
+      Seq(col("t") === "a", col("t") === "b", col("t") === "c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+  test("sequenceMatch: strictly-increasing chain; order violations and ties do not match") {
+    val out = seqMatch(events(
+      // u1: clean a < b < c
+      (1L, 0L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+      // u2: c before b → depth stops at 2 (a later c would be needed)
+      (2L, 0L, "a"), (2L, 10L, "c"), (2L, 20L, "b"),
+      // u3: equal timestamps never chain under strict order
+      (3L, 0L, "a"), (3L, 0L, "b"), (3L, 0L, "c"),
+      // u4: noise between chain steps is fine
+      (4L, 0L, "a"), (4L, 1L, "x"), (4L, 2L, "b"), (4L, 3L, "x"), (4L, 4L, "c")))
+    assert(out(1L) == (3L, true))
+    assert(out(2L) == (2L, false))
+    assert(out(3L) == (1L, false))
+    assert(out(4L) == (3L, true))
+  }
+
+  test("sequenceMatch: greedy earliest chain is rescued by later candidates (existence semantics)") {
+    // earliest b after a is at ts=10; c exists only at ts=5 — no match via
+    // that b... but NO b/c combination works here; then a second b at 20
+    // and c at 30 complete the chain: greedy must find it
+    val out = seqMatch(events(
+      (1L, 0L, "a"), (1L, 5L, "c"), (1L, 10L, "b"), (1L, 20L, "b"), (1L, 30L, "c")))
+    assert(out(1L) == (3L, true))
+  }
+
+  test("sequenceMatch: arrival order does not matter") {
+    val fwd = events((1L, 0L, "a"), (1L, 10L, "b"), (1L, 20L, "c"))
+    val rev = events((1L, 20L, "c"), (1L, 10L, "b"), (1L, 0L, "a"))
+    assert(seqMatch(fwd) == seqMatch(rev))
+  }
+
   test("funnel plan: one partial-aggregated shuffle, no joins") {
     val df = events((1L, 0L, "a"), (1L, 10L, "b"))
     val plan = Funnel.windowFunnel(df, "user", "ts", 100L,
