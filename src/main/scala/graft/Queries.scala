@@ -284,7 +284,7 @@ object Queries {
         val corpus = java.nio.file.Files.createTempDirectory("graft-dedupidx-c").toString
         val full = java.nio.file.Files.createTempDirectory("graft-dedupidx-f").toString
         deleteOnExit(corpus); deleteOnExit(full)
-        val docs = t(s, dir, "documents")
+        val docs = t(s, dir, "documents").where(col("doc_id") < 500)
         graft.model.DedupIndex.build(
           docs.where(col("doc_id") < 400), "doc_id", "text", corpus)
         graft.model.DedupIndex.build(docs, "doc_id", "text", full)
@@ -1570,18 +1570,21 @@ object Queries {
         FROM pairs WHERE j >= 0.4"""))
 
   /** The persisted-index incremental dedup loop, certified by set EQUALITY:
-    * probing a new increment (doc_id ≥ 400) against the corpus index
-    * (doc_id < 400) must produce exactly the pairs a from-scratch index
-    * over ALL docs yields, restricted to pairs touching a new id (new ids
-    * are the top range, so `id_b ≥ 400` ⇔ touching-new under id_a < id_b).
-    * Same hash families and verification arithmetic on both paths make the
-    * comparison exact — including the jaccard doubles, which join as part
-    * of the key. The SQL anchor is the increment row count.
+    * probing a new increment (doc_id in [400, 500)) against the corpus
+    * index (doc_id < 400) must produce exactly the pairs a from-scratch
+    * index over corpus ∪ increment yields, restricted to pairs touching a
+    * new id (new ids are the top range, so `id_b ≥ 400` ⇔ touching-new
+    * under id_a < id_b). Same hash families and verification arithmetic on
+    * both paths make the comparison exact — including the jaccard doubles,
+    * which join as part of the key. The SQL anchor is the increment row
+    * count. Both slices are id-bounded (the ngramJaccardPairs maxId
+    * contract) so the certification stays the same size at every SF.
     */
   private val dedupIncremental = Q(
     (s, dir) => {
       val (corpusIdx, fullIdx) = Fixtures.dedupIndexDirs(s, dir)
-      val newDocs = t(s, dir, "documents").where(col("doc_id") >= 400)
+      val newDocs = t(s, dir, "documents")
+        .where(col("doc_id") >= 400 && col("doc_id") < 500)
       val incr = graft.model.DedupIndex.incrementalPairs(
         newDocs, "doc_id", "text", corpusIdx, jaccardThreshold = 0.4)
       val scratch = graft.model.DedupIndex.allPairs(s, fullIdx,
@@ -1599,7 +1602,8 @@ object Queries {
           (col("n_extra") === 0).as("sound_ok"))
     },
     Some("""SELECT count(*) AS n_new, TRUE AS complete_ok,
-        TRUE AS sound_ok FROM documents WHERE doc_id >= 400"""))
+        TRUE AS sound_ok FROM documents
+        WHERE doc_id >= 400 AND doc_id < 500"""))
 
   /** SimHash banding certified against brute truth: unlike MinHash, the
     * pigeonhole banding is COMPLETE by construction (Hamming ≤ h ⇒ some

@@ -101,4 +101,81 @@ object StreamOps {
     // both sides share the key column name (the natural enrich call)
     logStream.join(broadcast(dim),
       logStream(streamKey) === dim(dimKey), "left_outer")
+
+  /** Near-dedup AT INGEST against a persisted [[graft.model.DedupIndex]]:
+    * each micro-batch of documents is probed against the corpus index (and
+    * itself), survivors are appended to `outPath` and to the index so the
+    * NEXT batch sees them — the streaming form of the incremental dedup
+    * loop, keep-first semantics.
+    *
+    * Drop rule: a doc is dropped when it near-duplicates ANY predecessor —
+    * an indexed corpus doc, or a same-batch doc with a smaller id —
+    * whether or not that predecessor itself survived (the C4/keep-first
+    * convention; near-dup chains collapse to their earliest member).
+    *
+    * Exactly-once via the [[IngestStream.sinkPartitionedParquet]] commit-
+    * marker pattern; replay of a committed batch is a full no-op (marker
+    * short-circuits the write, and [[graft.model.DedupIndex.append]] is
+    * idempotent on ids regardless). Scale shape per batch: the batch is
+    * broadcast into the index probe — the corpus tables never shuffle —
+    * and the batch is persisted once for its three uses (probe, survivor
+    * filter, append).
+    */
+  def dedupAtIngest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      outPath: String,
+      checkpoint: String,
+      jaccardThreshold: Double = 0.5,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var generationId: String = null
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        if (generationId == null)
+          generationId = IngestStream.checkpointGenerationId(checkpoint, conf)
+        val base = new org.apache.hadoop.fs.Path(outPath)
+        val fs = base.getFileSystem(conf)
+        val ns = new org.apache.hadoop.fs.Path(base,
+          s"_graft_batches/$generationId")
+        val marker = new org.apache.hadoop.fs.Path(ns, batchId.toString)
+        if (!fs.exists(marker)) {
+          batch.persist()
+          try {
+            val pairs = graft.model.DedupIndex.incrementalPairs(
+              batch, idCol, textCol, indexDir, jaccardThreshold)
+            val ids = batch
+              .select(col(idCol).cast("long").as("id_b"))
+              .withColumn("b_in", lit(true))
+            // the batch-side member of each pair: id_b when id_b is in the
+            // batch (covers the within-batch case — id_b is the greater),
+            // else id_a (the pair's corpus side carries the larger id)
+            val victims = pairs.join(ids, Seq("id_b"), "left")
+              .select(when(coalesce(col("b_in"), lit(false)), col("id_b"))
+                .otherwise(col("id_a")).as("victim"))
+              .distinct()
+            val survivors = batch.join(broadcast(victims),
+              batch(idCol).cast("long") === victims("victim"), "left_anti")
+            survivors.write.mode("append").parquet(outPath)
+            // index append BEFORE the marker — the opposite order of the
+            // ngram sink, deliberately: marker-then-append could crash in
+            // between and leave a PERMANENT dedup blind spot (nothing
+            // re-probes a committed batch), while a crash anywhere in this
+            // order just replays the batch: same survivors recomputed (the
+            // probe's id≠id filter ignores the docs' own indexed copies),
+            // data re-appended once — the marker pattern's documented
+            // at-least-once floor — and the index append is idempotent.
+            graft.model.DedupIndex.append(survivors, idCol, textCol, indexDir)
+            fs.create(marker, true).close()
+          } finally { batch.unpersist(); () }
+        }
+        ()
+      }
+  }
 }

@@ -191,6 +191,47 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM dedup_out").collect()(0).getLong(0) == 4)
   }
 
+  test("dedup at ingest: batches probe the persisted index, survivors extend it for later batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def doc(seed: Int) =
+      (0 until 30).map(j => s"s${seed * 100 + j}").mkString(" ")
+    val idxDir = tmp("graft-sdedup-idx")
+    val in = tmp("graft-sdedup-in")
+    val out = tmp("graft-sdedup-out")
+    val ckpt = tmp("graft-sdedup-ckpt")
+    // corpus: docs 0..9 indexed up front
+    graft.model.DedupIndex.build(
+      (0 until 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir,
+      graft.model.DedupIndex.Params(shingleN = 2, bands = 16, rowsPerBand = 2))
+    def jline(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    val q = StreamOps.dedupAtIngest(stream, "doc_id", "text",
+      idxDir, out, ckpt, jaccardThreshold = 0.5).start()
+    // batch 1: fresh 200; 201 duplicates corpus doc 5; 202/203 identical
+    // (keep-first inside the batch)
+    writeFixture(in, "b1.json", Seq(
+      jline(200, doc(40)), jline(201, doc(5)),
+      jline(202, doc(41)), jline(203, doc(41))))
+    q.processAllAvailable()
+    // batch 2: 300 duplicates batch-1 SURVIVOR 202 (must be seen via the
+    // appended index); 301 fresh
+    writeFixture(in, "b2.json", Seq(
+      jline(300, doc(41)), jline(301, doc(42))))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(200L, 202L, 301L))
+    // the index grew by exactly the survivors: re-appending them is a no-op
+    assert(graft.model.DedupIndex.append(
+      Seq((202L, doc(41))).toDF("doc_id", "text"), "doc_id", "text", idxDir) == 0)
+  }
+
   test("stream-static enrich join") {
     import spark.implicits._
     val in = tmp("graft-in4")
