@@ -2574,6 +2574,54 @@ object Queries {
         SELECT template, count(*) AS cnt, min(line) AS example
         FROM t GROUP BY 1 ORDER BY template"""))
 
+  /** New-behavior detection over the log stream: templates first seen in
+    * the last two days. The synthetic lines print the same shapes all
+    * month, so the fixture plants a rollout marker on post-cutoff error
+    * lines — those templates (one per error props shape) are the expected
+    * novels, and pre-existing shapes must NOT appear however their volume
+    * moved.
+    */
+  private val anomalyNewTemplates = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val cutoff = ev
+        .agg(expr("date_trunc('DAY', max(ts)) - INTERVAL 1 DAY"))
+        .head.getTimestamp(0)
+      val lg = logs(s, dir).withColumn("log",
+        concat(col("log"),
+          when(col("timestamp") >= lit(cutoff) &&
+              col("namespace") === "error",
+            lit(" phase=rollout")).otherwise(lit(""))))
+      graft.operators.TextAnalysis.novelTemplates(
+          lg, "log", "timestamp", lit(cutoff))
+        .orderBy("template")
+    },
+    Some("""WITH c AS (SELECT date_trunc('day', max(ts)) - INTERVAL 1 DAY
+            AS cutoff FROM events),
+        lines AS (
+          SELECT event_type || ' ' || props ||
+            CASE WHEN ts >= cutoff AND event_type = 'error'
+              THEN ' phase=rollout' ELSE '' END AS line,
+            epoch_ms(ts) AS ts_ms
+          FROM events, c),
+        t AS (SELECT
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(line,
+                  '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                  '<UUID>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                '<IP>', 'g'),
+              '\b(?:0x[0-9a-fA-F]+|[0-9a-fA-F]{8,})\b', '<HEX>', 'g'),
+            '-?[0-9]+(?:\.[0-9]+)?', '<N>', 'g') AS template,
+          line, ts_ms FROM lines)
+        SELECT template, min(ts_ms) AS first_seen_ms,
+          count(*) AS cnt, min(line) AS example
+        FROM t GROUP BY 1
+        HAVING min(ts_ms) >= (SELECT epoch_ms(cutoff) FROM c)
+        ORDER BY template"""))
+
   private val maintenanceRollupTheta = Q(
     (s, dir) => {
       val (src, roll) = Fixtures.rollupDirs(s, dir)
@@ -3096,6 +3144,7 @@ object Queries {
     "anomaly_volume" -> anomalyVolume,
     "fn_sequence_match" -> fnSequenceMatch,
     "drilldown_contributors" -> drilldownContributors,
+    "anomaly_new_templates" -> anomalyNewTemplates,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,

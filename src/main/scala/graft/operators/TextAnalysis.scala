@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Rounding, TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text analytics (SURVEY §2.10 text_analyze): term
@@ -119,20 +119,50 @@ object TextAnalysis {
     * bounded by the service's format strings — thousands, not rows — so
     * the aggregate is small however large the scan.
     */
-  def logTemplates(logs: DataFrame, logCol: String): DataFrame = {
+  /** The Drain-lite mask chain shared by [[logTemplates]] and
+    * [[novelTemplates]]: UUID → IP → hex → number, in precedence order
+    * (a UUID is hex-and-number-shaped; masking it first keeps one token).
+    */
+  def templateOf(line: Column): Column = {
     val uuid = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
     val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
     val hex = "\\b(?:0x[0-9a-fA-F]+|[0-9a-fA-F]{8,})\\b"
     val num = "-?[0-9]+(?:\\.[0-9]+)?"
-    val tpl = regexp_replace(
+    regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(col(logCol), uuid, "<UUID>"),
+          regexp_replace(line, uuid, "<UUID>"),
           ipv4, "<IP>"),
         hex, "<HEX>"),
       num, "<N>")
-    logs.select(tpl.as("template"), col(logCol).as("line"))
+  }
+
+  def logTemplates(logs: DataFrame, logCol: String): DataFrame =
+    logs.select(templateOf(col(logCol)).as("template"), col(logCol).as("line"))
       .groupBy("template")
       .agg(count(lit(1)).as("cnt"), min(col("line")).as("example"))
-  }
+
+  /** New-behavior detection: templates whose FIRST occurrence is at or
+    * after `windowStart` — "what new line shapes did this service start
+    * printing", the question after a deploy or during an incident. A
+    * template the service has always printed never appears, no matter how
+    * much its volume moved ([[graft.operators.Anomaly.volumeAnomalies]]
+    * covers that axis).
+    *
+    * Same scale shape as [[logTemplates]]: narrow codegen mask chain, ONE
+    * map-side-combined aggregate over (template); the novelty test is a
+    * HAVING on that aggregate's min-timestamp — no self-join of the two
+    * time ranges.
+    */
+  def novelTemplates(
+      logs: DataFrame,
+      logCol: String,
+      tsCol: String,
+      windowStart: Column): DataFrame =
+    logs.select(templateOf(col(logCol)).as("template"), col(logCol).as("line"),
+        unix_millis(col(tsCol)).as("ts_ms"))
+      .groupBy("template")
+      .agg(min(col("ts_ms")).as("first_seen_ms"),
+        count(lit(1)).as("cnt"), min(col("line")).as("example"))
+      .where(col("first_seen_ms") >= unix_millis(windowStart))
 }

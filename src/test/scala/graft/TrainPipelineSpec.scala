@@ -386,6 +386,28 @@ class TrainPipelineSpec extends SparkTestBase {
       "cache hit ratio <N>" -> 1), got.toString)
   }
 
+  test("novelTemplates: first-seen-in-window templates only; volume changes of old shapes never flag") {
+    import spark.implicits._
+    val df = Seq(
+      // old shape: printed before AND (100×) inside the window — not novel
+      ("2024-01-01 00:00:00", "conn from 10.0.0.1 ok"),
+      ("2024-01-05 00:00:00", "conn from 10.0.0.2 ok"),
+      // novel shape: first occurrence inside the window
+      ("2024-01-05 01:00:00", "circuit breaker OPEN for billing"),
+      ("2024-01-05 02:00:00", "circuit breaker OPEN for search"),
+      // boundary: first seen exactly AT windowStart counts as novel
+      ("2024-01-04 00:00:00", "tls handshake slow 250ms"))
+      .toDF("tss", "log")
+      .select(to_timestamp(col("tss")).as("ts"), col("log"))
+    val got = graft.operators.TextAnalysis.novelTemplates(df, "log", "ts",
+        lit("2024-01-04 00:00:00").cast("timestamp"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map(
+      "circuit breaker OPEN for billing" -> 1,
+      "circuit breaker OPEN for search" -> 1,
+      "tls handshake slow <N>ms" -> 1), got.toString)
+  }
+
   test("quantizeInt8: max element pins ±127, reconstruction within scale/2, zero vector safe") {
     import spark.implicits._
     val emb = Seq(
