@@ -2756,6 +2756,43 @@ object Queries {
           LEFT JOIN m3 USING (user_id)
         ORDER BY "user""""))
 
+  /** Gap-based session reconstruction (batch twin of
+    * `stream_session_window`): 6-hour inactivity gap over each user's
+    * event timeline; the oracle replays the identical lag/running-sum
+    * window arithmetic at millisecond precision.
+    */
+  private val winSessionize = Q(
+    (s, dir) => graft.operators.Funnel.sessionize(
+        t(s, dir, "events"), "user_id", "ts", gapMs = 6L * 3600 * 1000)
+      .orderBy("user", "session"),
+    Some("""WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ts
+            FROM events WHERE user_id IS NOT NULL),
+        w AS (SELECT u, ts, CASE WHEN
+              lag(ts) OVER (PARTITION BY u ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY u ORDER BY ts) > 21600000
+            THEN 1 ELSE 0 END AS brk FROM e),
+        s AS (SELECT u, ts, sum(brk) OVER (PARTITION BY u ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session FROM w)
+        SELECT u AS "user", session, min(ts) AS start_ms,
+          max(ts) AS end_ms, count(*) AS n_events
+        FROM s GROUP BY 1, 2 ORDER BY "user", session"""))
+
+  /** Exact-size per-group sampling: 20 docs per language, deterministic in
+    * the salt — the balanced-eval-slice draw. The md5 rank arithmetic is
+    * identical in both engines, so rows match exactly.
+    */
+  private val sampleGroupN = Q(
+    (s, dir) => graft.operators.TrainPipeline.sampleGroupN(
+        t(s, dir, "documents"), Seq("lang"), "doc_id", n = 20, salt = "s7")
+      .select("doc_id", "lang", "source")
+      .orderBy("lang", "doc_id"),
+    Some("""SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5('s7' || doc_id::VARCHAR), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY lang, doc_id"""))
+
   /** Volume anomaly detection: hourly counts per event type scored against
     * each type's trailing-24-bucket baseline. Variance comes from exact
     * integer window sums (see [[graft.operators.Anomaly.volumeAnomalies]]),
@@ -3145,6 +3182,8 @@ object Queries {
     "fn_sequence_match" -> fnSequenceMatch,
     "drilldown_contributors" -> drilldownContributors,
     "anomaly_new_templates" -> anomalyNewTemplates,
+    "win_sessionize" -> winSessionize,
+    "sample_group_n" -> sampleGroupN,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,

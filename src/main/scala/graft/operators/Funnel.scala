@@ -142,6 +142,41 @@ object Funnel {
       .withColumn("matched", col("depth") === n)
   }
 
+  /** Gap-based session reconstruction — the batch twin of the streaming
+    * `session_window` (same semantics Spark's session windows implement:
+    * a session extends while consecutive events are ≤ `gapMs` apart).
+    * Returns one row per session: user, ordinal session number (by time),
+    * start/end millis, event count.
+    *
+    * One hash exchange on user (the window partition), then two narrow
+    * window passes — the break flag via `lag`, the session number via a
+    * running sum — and the per-session aggregate rides the same
+    * partitioning.
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapMs: Long): DataFrame = {
+    // ORDER BY ts alone: equal-timestamp events sort in any order, but the
+    // ts-value SEQUENCE each user sees is identical under every such
+    // order, so break positions — and the per-session aggregates — are
+    // deterministic without a tiebreak column
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy("ts")
+    val withBreaks = events
+      .where(col(userCol).isNotNull)
+      .select(col(userCol).as("user"), unix_millis(col(tsCol)).as("ts"))
+      .withColumn("is_break",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) > gapMs ||
+          lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session", sum(col("is_break")).over(
+        byUser.rowsBetween(Long.MinValue, 0)))
+    withBreaks.groupBy("user", "session")
+      .agg(min(col("ts")).as("start_ms"), max(col("ts")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Retention flags per user: `r1` = any cond₁ event; `r_k` = a cond₁
     * event followed (at-or-after) by a cond_k event — i.e.
     * `min ts(cond₁) ≤ max ts(cond_k)`. Output columns `r1 … rN`.

@@ -108,6 +108,28 @@ object TrainPipeline {
         col(idCol))
       .limit(n)
 
+  /** Exact-size deterministic sample PER GROUP — [[sampleUniformN]]'s
+    * grouped form (balanced eval slices: "500 docs per language", "1000
+    * rows per day"), where the rate-based [[sampleStratified]] cannot hit
+    * an exact count. Keeps each group's `n` smallest `md5(salt ‖ id)`;
+    * same salt ⇒ same rows forever, new salt ⇒ fresh draw.
+    *
+    * One hash exchange on the group key feeding a rank window; Spark
+    * inserts WindowGroupLimit before the exchange (rank ≤ n), so each
+    * partition ships at most n candidate rows per group, not the group.
+    */
+  def sampleGroupN(
+      df: DataFrame, groupCols: Seq[String], idCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(concat(lit(salt), col(idCol).cast(StringType))),
+        col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Deterministic pseudo-random shard + within-shard position for a row:
     * the global-shuffle primitive of training-data export. Training wants
     * the corpus order decorrelated from its source order (crawl order,

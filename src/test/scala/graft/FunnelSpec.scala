@@ -109,6 +109,24 @@ class FunnelSpec extends SparkTestBase {
     assert(seqMatch(fwd) == seqMatch(rev))
   }
 
+  test("sessionize: gap splits, boundary-inclusive extension, users independent") {
+    val df = events(
+      // u1: 0,100 together; break (gap 1000 < 1001); 1101, 1200 together
+      (1L, 0L, "a"), (1L, 100L, "a"), (1L, 1101L, "a"), (1L, 1200L, "a"),
+      // u1: a gap of exactly gapMs does NOT break
+      (1L, 2200L, "a"),
+      // u2: single event, its own session
+      (2L, 50L, "a"))
+    val out = Funnel.sessionize(df, "user", "ts", gapMs = 1000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (1L, 1L) -> (0L, 100L, 2L),
+      (1L, 2L) -> (1101L, 2200L, 3L), // 2200 − 1200 == gap → same session
+      (2L, 1L) -> (50L, 50L, 1L)), out.toString)
+  }
+
   test("funnel plan: one partial-aggregated shuffle, no joins") {
     val df = events((1L, 0L, "a"), (1L, 10L, "b"))
     val plan = Funnel.windowFunnel(df, "user", "ts", 100L,

@@ -386,6 +386,22 @@ class TrainPipelineSpec extends SparkTestBase {
       "cache hit ratio <N>" -> 1), got.toString)
   }
 
+  test("sampleGroupN: exact n per group, deterministic per salt, fresh draw per new salt") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    def draw(salt: String) = TrainPipeline
+      .sampleGroupN(df, Seq("g"), "id", n = 10, salt = salt)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val a = draw("s1")
+    assert(a.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+    assert(a == draw("s1"), "same salt must reproduce the identical sample")
+    assert(a != draw("s2"), "a new salt must be a fresh draw")
+    // n larger than the group returns the whole group, no padding
+    val small = (0 until 4).map(i => (i.toLong, "g")).toDF("id", "g")
+    assert(TrainPipeline.sampleGroupN(small, Seq("g"), "id", 10).count() == 4)
+  }
+
   test("novelTemplates: first-seen-in-window templates only; volume changes of old shapes never flag") {
     import spark.implicits._
     val df = Seq(
