@@ -7,6 +7,20 @@ import org.apache.spark.sql.functions._
   * All take/return streaming DataFrames; batch equivalents of the windowed
   * aggregations are oracle-checked in the Queries registry.
   */
+/** Per-dimension state for [[StreamOps.anomalyAlerts]]: the trailing ring
+  * of closed bucket counts, the still-open buckets, and the newest closed
+  * bucket start (the late-data cutoff).
+  */
+case class AnomalyDimState(
+    ring: Vector[Long], open: Map[Long, Long], lastClosed: Long)
+
+/** One scored closed bucket from [[StreamOps.anomalyAlerts]] — the same
+  * row shape the batch `volumeAnomalies` emits.
+  */
+case class AnomalyAlert(
+    dim: String, bucket_ms: Long, cnt: Long,
+    mu: Double, sd: Double, z: Double, is_anomaly: Boolean)
+
 object StreamOps {
 
   /** Tumbling-window event counts (the kobs volume chart, incremental).
@@ -101,6 +115,84 @@ object StreamOps {
     // both sides share the key column name (the natural enrich call)
     logStream.join(broadcast(dim),
       logStream(streamKey) === dim(dimKey), "left_outer")
+
+  /** Streaming volume-anomaly alerts — the live form of
+    * [[graft.operators.Anomaly.volumeAnomalies]], and the engine's
+    * custom-state operator (`flatMapGroupsWithState`; the built-in
+    * windowed aggregates cannot express "score each closed bucket against
+    * a trailing ring of earlier closed buckets").
+    *
+    * State per dimension: the last `lookback` CLOSED bucket counts (the
+    * baseline ring) + the open tail buckets. A bucket closes when a newer
+    * bucket appears for that dimension; closing emits its alert row —
+    * same arithmetic as the batch operator bit-for-bit (exact integer
+    * sums, Poisson-floored sd, half-away rounding), so streaming output ≡
+    * batch output on the same events (StreamingSpec asserts row parity).
+    * Events for buckets at-or-before the last closed one are dropped
+    * (documented late-data bound — the watermark analogue; the reference
+    * accepts unbounded lateness, which cannot scale).
+    *
+    * Scale shape: one hash exchange on the dimension key; state is
+    * `lookback + open` longs per dimension — thousands of dimensions cost
+    * megabytes.
+    */
+  def anomalyAlerts(
+      stream: DataFrame,
+      dimCol: String,
+      tsCol: String,
+      bucketMs: Long = 3600000L,
+      lookback: Int = 24,
+      minSigma: Double = 3.0): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def r4(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4
+      else math.ceil(x * 1e4 - 0.5) / 1e4
+    stream
+      .select(col(dimCol).cast("string").as("dim"),
+        unix_millis(col(tsCol)).as("ts"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyDimState, AnomalyAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (dim, rows, state) =>
+        val st = state.getOption
+          .getOrElse(AnomalyDimState(Vector.empty, Map.empty, Long.MinValue))
+        var open = st.open
+        rows.foreach { case (_, ts) =>
+          val b = Math.floorDiv(ts, bucketMs) * bucketMs
+          if (b > st.lastClosed) // late-past-close events are dropped
+            open = open.updated(b, open.getOrElse(b, 0L) + 1L)
+        }
+        if (open.isEmpty) { state.update(st); Iterator.empty }
+        else {
+          val maxB = open.keys.max
+          var ring = st.ring
+          val alerts = Vector.newBuilder[AnomalyAlert]
+          open.keys.filter(_ < maxB).toSeq.sorted.foreach { b =>
+            val cnt = open(b)
+            if (ring.size == lookback) {
+              // identical expression order to the batch operator: exact
+              // integer window sums, then the same double arithmetic
+              val n = lookback.toDouble
+              val s1 = ring.sum
+              val s2 = ring.map(c => c * c).sum
+              val mu = s1.toDouble / n
+              val variance = (s2.toDouble - s1.toDouble * mu) / (n - 1)
+              val sd = math.max(math.sqrt(variance), math.sqrt(mu))
+              val z = (cnt.toDouble - mu) / sd
+              alerts += AnomalyAlert(dim, b, cnt, r4(mu), r4(sd), r4(z),
+                z >= minSigma)
+            }
+            ring = (ring :+ cnt).takeRight(lookback)
+          }
+          state.update(AnomalyDimState(ring, Map(maxB -> open(maxB)),
+            math.max(st.lastClosed, open.keys.filter(_ < maxB)
+              .foldLeft(Long.MinValue)(math.max))))
+          alerts.result().iterator
+        }
+      }.toDF()
+  }
 
   /** Near-dedup AT INGEST against a persisted [[graft.model.DedupIndex]]:
     * each micro-batch of documents is probed against the corpus index (and

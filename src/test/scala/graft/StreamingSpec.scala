@@ -232,6 +232,59 @@ class StreamingSpec extends SparkTestBase {
       Seq((202L, doc(41))).toDF("doc_id", "text"), "doc_id", "text", idxDir) == 0)
   }
 
+  test("anomalyAlerts: stateful streaming scores ≡ batch volumeAnomalies on the same events") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val in = tmp("graft-alert-in")
+    val ckpt = tmp("graft-alert-ckpt")
+    val hour = 3600000L
+    // two dims over 13 hourly buckets: "spiky" carries 50 events in hour
+    // 10, everything else 5/hour with a small deterministic wobble; hour
+    // 13 is a sentinel so the last interesting bucket closes
+    def eventsFor(h: Int): Seq[(String, Long)] = {
+      val wobble = h % 3
+      val spikes = if (h == 10) 50 else 5 + wobble
+      (0 until spikes).map(i => ("spiky", h * hour + i * 1000L)) ++
+        (0 until (5 + wobble)).map(i => ("steady", h * hour + i * 1000L))
+    }
+    def jlines(hs: Range) = hs.flatMap(eventsFor).map { case (d, ms) =>
+      s"""{"dim":"$d","ms":$ms}"""
+    }
+    val schema = StructType(Seq(StructField("dim", StringType),
+      StructField("ms", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .select(col("dim"), timestamp_millis(col("ms")).as("ts"))
+    val q = StreamOps.anomalyAlerts(stream, "dim", "ts",
+        bucketMs = hour, lookback = 4, minSigma = 3.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("alerts_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    // batch boundary mid-series exercises cross-batch ring/open state
+    writeFixture(in, "b1.json", jlines(0 until 7))
+    q.processAllAvailable()
+    writeFixture(in, "b2.json", jlines(7 until 14))
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("dim", "bucket_ms", "cnt", "mu", "sd", "z", "is_anomaly")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSet
+    val streamed = rows(spark.table("alerts_out"))
+    val batchDf = (0 until 14).flatMap(eventsFor)
+      .toDF("dim", "ms")
+      .select(col("dim"), timestamp_millis(col("ms")).as("ts"))
+    val maxBucket = 13 * hour // still open in the stream — batch-only row
+    val batch = rows(graft.operators.Anomaly.volumeAnomalies(
+        batchDf, col("ts"), Seq("dim"), "hour", lookback = 4, minSigma = 3.0))
+      .filter(_._2 < maxBucket)
+    assert(streamed == batch, s"stream/batch divergence:\n" +
+      s"stream-only: ${streamed -- batch}\nbatch-only: ${batch -- streamed}")
+    // the planted spike is flagged, and only it
+    assert(streamed.filter(_._7).map(t => (t._1, t._2)) ==
+      Set(("spiky", 10 * hour)))
+  }
+
   test("stream-static enrich join") {
     import spark.implicits._
     val in = tmp("graft-in4")
