@@ -176,6 +176,45 @@ object DedupIndex {
     verifyPairs(candidates, sketchesOf(spark, dir), jaccardThreshold)
   }
 
+  /** Drop index rows for ids no longer in the corpus and compact the
+    * append-accumulated small files — the post-retention hygiene step.
+    * Until vacuum runs, probes can still report pairs against deleted
+    * docs (the index is the only place they survive); run it after every
+    * retention/compaction pass, like [[NgramIndex.vacuum]].
+    *
+    * Each table is rewritten STAGE-THEN-SWAP, sized back to
+    * `targetBytes` files. A crash between the two swaps is safe: a dead
+    * id missing from EITHER table is inert (bands without a sketch row
+    * produce candidates the verification join drops; sketches without
+    * band rows are never probed), so partial vacuum only under-deletes.
+    * Returns the number of ids dropped.
+    */
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      liveIds: DataFrame,
+      idCol: String,
+      targetBytes: Long = 128L << 20): Long = {
+    val live = liveIds.select(col(idCol).cast(LongType).as("id")).distinct()
+    val dead = sketchesOf(spark, dir).select("id")
+      .join(live, Seq("id"), "left_anti").count()
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rewrite(table: String, df: DataFrame): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      val fs = dst.getFileSystem(conf)
+      val bytes = fs.getContentSummary(dst).getLength
+      val parts = math.max(1L, bytes / targetBytes).toInt
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/.$table.vacuum")
+      df.join(live, Seq("id"), "left_semi")
+        .coalesce(parts).write.mode("overwrite").parquet(staged.toString)
+      fs.delete(dst, true)
+      require(fs.rename(staged, dst), s"vacuum swap failed for $table")
+    }
+    rewrite("bands", bandsOf(spark, dir))
+    rewrite("sketches", sketchesOf(spark, dir))
+    dead
+  }
+
   /** Near-dup pairs between `newDocs` and the indexed corpus, plus pairs
     * within `newDocs` itself — the per-increment dedup step. Does NOT
     * modify the index; call [[append]] with the surviving docs afterwards.

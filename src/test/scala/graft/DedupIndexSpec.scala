@@ -81,6 +81,36 @@ class DedupIndexSpec extends SparkTestBase {
       "intra-corpus planted pair")
   }
 
+  test("vacuum drops dead ids (post-retention) and compacts append small files; survivors intact") {
+    val dir = tmp("graft-dedupidx-v")
+    val refDir = tmp("graft-dedupidx-vr")
+    DedupIndex.build(corpus, "doc_id", "text", dir, params)
+    DedupIndex.append(increment, "doc_id", "text", dir)
+    // retention deletes the increment's dup-of-corpus docs and doc 20
+    val liveDocs = corpus.unionByName(increment)
+      .where(!col("doc_id").isin(20L, 101L, 102L))
+    val dropped = DedupIndex.vacuum(spark, dir, liveDocs, "doc_id")
+    assert(dropped == 3)
+    // probing a re-arrival of doc 101's text must NOT pair with the dead
+    // 101/102 — only with the still-live corpus originals 5 and 7
+    val again = spark.createDataFrame(Seq(
+        (900L, doc(5).replace("w529", "CHANGED")), (901L, doc(7))))
+      .toDF("doc_id", "text")
+    val pairs = DedupIndex.incrementalPairs(
+        again, "doc_id", "text", dir, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((5L, 900L), (7L, 901L)), pairs.toString)
+    // equivalent to an index built from the live docs directly
+    DedupIndex.build(liveDocs, "doc_id", "text", refDir, params)
+    def all(d: String) = DedupIndex.allPairs(spark, d, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(all(dir) == all(refDir))
+    // append-then-vacuum compacted the table back to one file per side
+    def files(t: String) = new java.io.File(s"$dir/$t").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files("bands") == 1 && files("sketches") == 1)
+  }
+
   test("probe runs with persisted params, not caller guesses: bands table arithmetic matches minhashPairs") {
     // allPairs off a fresh index must agree with the live operator on the
     // same docs/params — the index is a persistence of minhashPairs'
