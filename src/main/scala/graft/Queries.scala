@@ -2769,6 +2769,35 @@ object Queries {
         FROM events WHERE user_id IS NOT NULL
         GROUP BY 1 ORDER BY "user""""))
 
+  /** Interval-lookup join: every event tagged with its value band(s) —
+    * ten disjoint tiers plus one overlapping "hot" band, so multi-match
+    * semantics are exercised. The Spark side is the BUCKETED equi-join
+    * ([[graft.operators.IntervalJoin]]); the oracle is the naive BETWEEN
+    * theta join — identical output, wildly different plan, which is the
+    * point.
+    */
+  private val joinIntervalLookup = Q(
+    (s, dir) => {
+      val tiers = s.range(0, 10).select(
+          (col("id") * 50.0).as("lo"), ((col("id") + 1) * 50.0).as("hi"),
+          concat(lit("band_"), col("id").cast(StringType)).as("tier"))
+        .unionByName(s.range(0, 1).select(lit(100.0).as("lo"),
+          lit(300.0).as("hi"), lit("hot").as("tier")))
+      graft.operators.IntervalJoin.lookupJoin(
+          t(s, dir, "events").select("event_id", "value"),
+          col("value"), tiers, "lo", "hi", width = 50, joinType = "left")
+        .select("event_id", "value", "tier", "lo", "hi")
+        .orderBy("event_id", "tier")
+    },
+    Some("""WITH tiers AS (
+          SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi,
+            'band_' || i::VARCHAR AS tier FROM range(10) t(i)
+          UNION ALL SELECT 100.0, 300.0, 'hot')
+        SELECT e.event_id, e.value, t.tier, t.lo, t.hi
+        FROM events e LEFT JOIN tiers t
+          ON e.value >= t.lo AND e.value < t.hi
+        ORDER BY event_id, tier"""))
+
   /** Sequence-pattern match (ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')`)
     * — the greedy strictly-increasing fold vs the oracle's declarative
     * nested-earliest-min formulation; their agreement is the check (the
@@ -3265,6 +3294,7 @@ object Queries {
     "dedup_incremental" -> dedupIncremental,
     "anomaly_volume" -> anomalyVolume,
     "fn_sequence_match" -> fnSequenceMatch,
+    "join_interval_lookup" -> joinIntervalLookup,
     "drilldown_contributors" -> drilldownContributors,
     "anomaly_new_templates" -> anomalyNewTemplates,
     "win_sessionize" -> winSessionize,
