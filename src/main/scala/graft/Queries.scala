@@ -2836,6 +2836,30 @@ object Queries {
           LEFT JOIN m3 USING (user_id)
         ORDER BY "user""""))
 
+  /** Per-day Shannon entropy of the event-type mix — a collapse to one
+    * type (or an explosion of new ones) moves this before volume moves.
+    * Both engines sum the same p·ln p terms and round half-away at 4.
+    */
+  private val aggEntropy = Q(
+    (s, dir) => graft.operators.Anomaly.entropy(
+        t(s, dir, "events").withColumn("day",
+          date_trunc("DAY", col("ts")).cast("date")),
+        Seq("day"), col("event_type"))
+      .withColumn("day", col("day").cast(StringType))
+      .orderBy("day"),
+    Some("""WITH c AS (SELECT date_trunc('day', ts)::DATE AS day,
+            event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        t AS (SELECT day, event_type, c,
+            sum(c) OVER (PARTITION BY day) AS total FROM c)
+        SELECT day::VARCHAR AS day, max(total)::BIGINT AS n,
+          count(*) AS n_distinct,
+          round(-sum((c::DOUBLE / total) * ln(c::DOUBLE / total)), 4)
+            AS entropy,
+          round(CASE WHEN count(*) > 1 THEN
+            -sum((c::DOUBLE / total) * ln(c::DOUBLE / total))
+              / ln(count(*)::DOUBLE) ELSE 0.0 END, 4) AS entropy_norm
+        FROM t GROUP BY 1 ORDER BY day"""))
+
   /** Gap-based session reconstruction (batch twin of
     * `stream_session_window`): 6-hour inactivity gap over each user's
     * event timeline; the oracle replays the identical lag/running-sum
@@ -3298,6 +3322,7 @@ object Queries {
     "drilldown_contributors" -> drilldownContributors,
     "anomaly_new_templates" -> anomalyNewTemplates,
     "win_sessionize" -> winSessionize,
+    "agg_entropy" -> aggEntropy,
     "sample_group_n" -> sampleGroupN,
     "embedding_project" -> embeddingProject,
     "dedup_simhash" -> dedupSimhash,

@@ -71,6 +71,42 @@ object Anomaly {
         (z >= minSigma).as("is_anomaly")): _*)
   }
 
+  /** Shannon entropy of a categorical column per group — the diversity
+    * metric for both ops ("did this service's event mix collapse?") and
+    * corpus curation ("how balanced is this shard's domain mix?").
+    * Returns per group: total rows, distinct values, entropy (nats) and
+    * the 0..1 normalized form (H / ln(distinct); 1.0 for the uniform
+    * distribution, 0 for a single value — emitted as 0 when a group has
+    * one distinct value).
+    *
+    * One partial-aggregated shuffle to (group, value) cardinality, then
+    * a window + final aggregate over that tiny frame.
+    */
+  def entropy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val counts = df
+      .groupBy(groupCols.map(col) :+ valueCol.as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val p = col("_c").cast(DoubleType) / col("_total").cast(DoubleType)
+    val withTotal = counts.withColumn("_total", sum(col("_c")).over(w))
+    withTotal
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(col("_total")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        (-sum(p * log(p))).as("_h"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"), col("n_distinct"),
+        graft.functions.Rounding.r(col("_h"), 4).as("entropy"),
+        graft.functions.Rounding.r(
+          when(col("n_distinct") > 1,
+            col("_h") / log(col("n_distinct").cast(DoubleType)))
+            .otherwise(lit(0.0)), 4).as("entropy_norm")): _*)
+  }
+
   /** Spike attribution: who drove the volume change between two windows?
     * Per dimension value, count in the spike window vs the baseline
     * window, each as a share of its window's total; `delta_share` ranks

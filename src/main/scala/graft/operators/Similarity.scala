@@ -382,7 +382,30 @@ object Similarity {
     val bucketed = index.bucketed
       .withColumn("nv", col("nv").cast("array<double>"))
       .withColumn("nn", VectorExprs.norm(col("nv")))
-    val scored = probed.join(bucketed, "cell")
+    // SALT the cell join: the join key has only numCells distinct values,
+    // so with few cells (an oracle-exact all-cells probe, or any index
+    // built when the corpus was small) the pair build and the partial
+    // top-k sort above it run on ≤ numCells tasks no matter how many
+    // cores exist — measured 2.8× super-linear at the 100× soak (413 s,
+    // 16 tasks on 32 cores, ~25M-row sorts per task). Splitting each
+    // cell's CORPUS rows across ceil(4·parallelism/numCells) salt lanes
+    // (probe side replicated per lane — it is queries × nprobe rows,
+    // orders of magnitude smaller than the corpus) forms every pair
+    // exactly once while saturating the cluster and shrinking each
+    // task's sort. No-op when the index already has ≥ 4× cells per core.
+    val numCells = math.max(1, index.centroids.count().toInt)
+    val saltN = math.max(1,
+      math.ceil(4.0 * parallelism / numCells.toDouble).toInt)
+    val (probeSide, corpusSide) =
+      if (saltN == 1) (probed, bucketed)
+      else (
+        probed.withColumn("_salt",
+          explode(sequence(lit(0), lit(saltN - 1)))),
+        bucketed.withColumn("_salt",
+          pmod(xxhash64(col("nid")), lit(saltN.toLong)).cast("int")))
+    val joinKeys = if (saltN == 1) Seq("cell") else Seq("cell", "_salt")
+    val scored = probeSide.join(corpusSide, joinKeys)
+      .drop("_salt")
     val filtered =
       if (excludeSelf) scored.where(col("qid") =!= col("nid")) else scored
     val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))

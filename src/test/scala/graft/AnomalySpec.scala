@@ -55,6 +55,22 @@ class AnomalySpec extends SparkTestBase {
     assert(math.abs(out.map(_.getAs[Double]("share_base")).sum - 1.0) < 1e-6)
   }
 
+  test("entropy: uniform mix → norm 1, single value → 0, skew in between") {
+    val df = Seq(
+      ("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),   // uniform over 4
+      ("s", "a"), ("s", "a"), ("s", "a"), ("s", "b"),   // skewed
+      ("one", "a"), ("one", "a"))                        // single value
+      .toDF("g", "v")
+    val out = Anomaly.entropy(df, Seq("g"), col("v"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("entropy_norm"))).toMap
+    assert(out("u") == (4L, 4L, 1.3863, 1.0))           // ln 4
+    assert(out("one") == (2L, 1L, -0.0, 0.0))
+    val (_, _, hs, ns) = out("s")
+    assert(hs > 0 && ns > 0 && ns < 1.0)
+  }
+
   test("a dim absent from the baseline gets NULL lift, not a division blowup") {
     val ev = Seq(
       (Timestamp.valueOf("2024-03-01 00:00:00"), "old"),
