@@ -2590,6 +2590,43 @@ object Queries {
         count(*) AS cnt FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2 ORDER BY event_type, bin"""))
 
+  /** Percentiles READ FROM the histogram buckets (PromQL
+    * `histogram_quantile`): the dashboard path that never rescans raw
+    * values. Both engines replay the identical rank/interpolation
+    * arithmetic over the same exact integer buckets.
+    */
+  private val fnHistogramQuantile = Q(
+    (s, dir) => {
+      val buckets = t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50.0).cast(IntegerType).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Histogram.histogramQuantile(buckets,
+          Seq("event_type"), "bin", "cnt", width = 50.0,
+          qs = Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type", "q")
+    },
+    Some("""WITH b AS (SELECT event_type, floor(value / 50.0)::INT AS bin,
+            count(*) AS cnt FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2),
+        c AS (SELECT event_type, bin, cnt,
+            sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(cnt) OVER (PARTITION BY event_type) AS total
+          FROM b),
+        e AS (SELECT event_type, bin, cnt, cum, total, q.q AS q
+          FROM c, (SELECT unnest([0.5, 0.9, 0.99]) AS q) q),
+        x AS (SELECT event_type, q,
+            bin::DOUBLE * 50.0 + 50.0 *
+              ((q * total::DOUBLE) - (cum - cnt)::DOUBLE) / cnt::DOUBLE
+              AS raw,
+            row_number() OVER (PARTITION BY event_type, q ORDER BY bin)
+              AS rk
+          FROM e WHERE cum::DOUBLE >= q * total::DOUBLE)
+        SELECT event_type, q, round(raw, 4) AS est FROM x WHERE rk = 1
+        ORDER BY event_type, q"""))
+
   /** Template mining over the log lines (the masked-variables "what does
     * this service print" clustering view); the planted `pid=` suffix
     * exercises every mask class on otherwise low-variance synthetic lines.
@@ -3323,6 +3360,7 @@ object Queries {
     "anomaly_new_templates" -> anomalyNewTemplates,
     "win_sessionize" -> winSessionize,
     "agg_entropy" -> aggEntropy,
+    "fn_histogram_quantile" -> fnHistogramQuantile,
     "sample_group_n" -> sampleGroupN,
     "embedding_project" -> embeddingProject,
     "dedup_simhash" -> dedupSimhash,
