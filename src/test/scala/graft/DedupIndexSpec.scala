@@ -111,6 +111,47 @@ class DedupIndexSpec extends SparkTestBase {
     assert(files("bands") == 1 && files("sketches") == 1)
   }
 
+  test("property: incremental ≡ from-scratch on seeded random corpora with heavy overlap") {
+    // small vocabulary → plenty of genuine near-dup pairs across the
+    // corpus/increment split; 5 seeded draws, exact set equality each time
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val vocabN = 12 + rnd.nextInt(10)
+      def randDoc() = (0 until 12 + rnd.nextInt(10))
+        .map(_ => s"v${rnd.nextInt(vocabN)}").mkString(" ")
+      val base = (0 until 40).map(i => (i.toLong, randDoc()))
+      val splitAt = 15 + rnd.nextInt(15)
+      // guarantee cross-split near-dups: 3 increment docs are light
+      // mutations of random corpus docs
+      val all = base.zipWithIndex.map { case ((id, text), i) =>
+        if (i >= splitAt && i < splitAt + 3) {
+          val src = base(rnd.nextInt(splitAt))._2
+          (id, src + " v0")
+        } else (id, text)
+      }
+      val (corpusRows, newRows) = all.splitAt(splitAt)
+      import spark.implicits._
+      val corpusDf = corpusRows.toDF("doc_id", "text")
+      val newDf = newRows.toDF("doc_id", "text")
+      val cDir = tmp(s"graft-didx-prop-c$trial")
+      val fDir = tmp(s"graft-didx-prop-f$trial")
+      DedupIndex.build(corpusDf, "doc_id", "text", cDir, params)
+      DedupIndex.build(corpusDf.unionByName(newDf), "doc_id", "text",
+        fDir, params)
+      val newIds = newRows.map(_._1).toSet
+      val incr = DedupIndex.incrementalPairs(
+          newDf, "doc_id", "text", cDir, jaccardThreshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val scratch = DedupIndex.allPairs(spark, fDir, jaccardThreshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        .filter(p => newIds(p._1) || newIds(p._2))
+      assert(incr == scratch,
+        s"trial $trial (split $splitAt): " +
+          s"incr-only=${incr -- scratch} scratch-only=${scratch -- incr}")
+      assert(incr.nonEmpty, s"trial $trial degenerate: no pairs at all")
+    }
+  }
+
   test("probe runs with persisted params, not caller guesses: bands table arithmetic matches minhashPairs") {
     // allPairs off a fresh index must agree with the live operator on the
     // same docs/params — the index is a persistence of minhashPairs'
