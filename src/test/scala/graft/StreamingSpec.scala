@@ -232,6 +232,40 @@ class StreamingSpec extends SparkTestBase {
       Seq((202L, doc(41))).toDF("doc_id", "text"), "doc_id", "text", idxDir) == 0)
   }
 
+  test("dedup at ingest: restart from checkpoint resumes against the grown index, no loss or dup") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def doc(seed: Int) =
+      (0 until 30).map(j => s"r${seed * 100 + j}").mkString(" ")
+    val idxDir = tmp("graft-sdedup2-idx")
+    val in = tmp("graft-sdedup2-in")
+    val out = tmp("graft-sdedup2-out")
+    val ckpt = tmp("graft-sdedup2-ckpt")
+    graft.model.DedupIndex.build(
+      (0 until 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir,
+      graft.model.DedupIndex.Params(shingleN = 2, bands = 16, rowsPerBand = 2))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def start() = StreamOps.dedupAtIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+      "doc_id", "text", idxDir, out, ckpt, jaccardThreshold = 0.5).start()
+    // batch 1 under the first query instance
+    writeFixture(in, "b1.json", Seq(
+      s"""{"doc_id":100,"text":"${doc(50)}"}""",
+      s"""{"doc_id":101,"text":"${doc(2)}"}"""))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // restart on the SAME checkpoint: batch 2 dups a batch-1 survivor —
+    // only the persisted index can know that
+    writeFixture(in, "b2.json", Seq(
+      s"""{"doc_id":200,"text":"${doc(50)}"}""",
+      s"""{"doc_id":201,"text":"${doc(51)}"}"""))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(100L, 201L), kept.toString)
+  }
+
   test("anomalyAlerts: stateful streaming scores ≡ batch volumeAnomalies on the same events") {
     import spark.implicits._
     import org.apache.spark.sql.types._
