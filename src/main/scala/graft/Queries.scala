@@ -2847,6 +2847,40 @@ object Queries {
         FROM events WHERE user_id IS NOT NULL
         GROUP BY 1 ORDER BY "user""""))
 
+  /** Non-overlapping sequence count (ClickHouse `sequenceCount`): the
+    * greedy fold vs the oracle's recursive-CTE nested-earliest-min replay
+    * of the same greedy — two formulations, one semantics.
+    */
+  private val fnSequenceCount = Q(
+    (s, dir) => graft.operators.Funnel.sequenceCount(
+        t(s, dir, "events"), "user_id", "ts",
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "purchase" && col("value") >= 300))
+      .orderBy("user"),
+    Some("""WITH RECURSIVE q AS (SELECT user_id AS u, epoch_ms(ts) AS ts,
+            event_type, value FROM events WHERE user_id IS NOT NULL),
+        chains(u, end_ts, n) AS (
+          SELECT DISTINCT u, CAST(NULL AS BIGINT), 0 FROM q
+          WHERE event_type = 'signup'
+            OR (event_type = 'purchase' AND value >= 300)
+          UNION ALL
+          SELECT c.u,
+            (SELECT min(b.ts) FROM q b WHERE b.u = c.u
+              AND b.event_type = 'purchase' AND b.value >= 300
+              AND b.ts > (SELECT min(a.ts) FROM q a WHERE a.u = c.u
+                AND a.event_type = 'signup'
+                AND a.ts > coalesce(c.end_ts, -9223372036854775808))),
+            c.n + 1
+          FROM chains c
+          WHERE (SELECT min(b.ts) FROM q b WHERE b.u = c.u
+              AND b.event_type = 'purchase' AND b.value >= 300
+              AND b.ts > (SELECT min(a.ts) FROM q a WHERE a.u = c.u
+                AND a.event_type = 'signup'
+                AND a.ts > coalesce(c.end_ts, -9223372036854775808)))
+            IS NOT NULL)
+        SELECT u AS "user", max(n) AS n_chains FROM chains
+        GROUP BY 1 ORDER BY "user""""))
+
   /** Interval-lookup join: every event tagged with its value band(s) —
     * ten disjoint tiers plus one overlapping "hot" band, so multi-match
     * semantics are exercised. The Spark side is the BUCKETED equi-join
@@ -3397,6 +3431,7 @@ object Queries {
     "anomaly_volume" -> anomalyVolume,
     "fn_sequence_match" -> fnSequenceMatch,
     "join_interval_lookup" -> joinIntervalLookup,
+    "fn_sequence_count" -> fnSequenceCount,
     "drilldown_contributors" -> drilldownContributors,
     "anomaly_new_templates" -> anomalyNewTemplates,
     "win_sessionize" -> winSessionize,

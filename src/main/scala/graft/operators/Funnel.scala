@@ -142,6 +142,59 @@ object Funnel {
       .withColumn("matched", col("depth") === n)
   }
 
+  /** Non-overlapping sequence-match count per user — ClickHouse
+    * `sequenceCount('(?1).*(?2)…')`: how many DISJOINT strictly
+    * time-increasing cond₁…cond_n chains fit in the user's timeline.
+    *
+    * Greedy earliest-completion, which maximizes the count (the
+    * interval-scheduling exchange argument: finishing a chain as early as
+    * possible never blocks a later chain another strategy could fit);
+    * after a chain completes, the next one must start strictly after its
+    * final event. The oracle replays the same greedy as a recursive CTE
+    * of nested earliest-mins — agreement of the imperative fold and the
+    * declarative recursion is the check.
+    */
+  def sequenceCount(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "sequenceCount needs at least one condition")
+    val n = conds.length
+    val flags = array(conds.map(_.cast(BooleanType)): _*)
+    val ev = events
+      .select(col(userCol).as("user"),
+        unix_millis(col(tsCol)).as("ts"), flags.as("f"))
+      .where(col("user").isNotNull && exists(col("f"), x => coalesce(x, lit(false))))
+    val condIdx = coalesce(array_position(col("f"), lit(true)), lit(0L))
+    val sorted = sort_array(collect_list(
+      struct(col("ts"), condIdx.as("ci"), col("f"))))
+    // state = [chains completed, matched-prefix length, chain tip ts]
+    def fold(sortedEvents: Column): Column =
+      aggregate(
+        sortedEvents,
+        array(lit(0L), lit(0L), lit(Long.MinValue)),
+        (st, e) => {
+          val cnt = st.getItem(0)
+          val idx = st.getItem(1)
+          val tip = st.getItem(2)
+          val ts = e.getField("ts")
+          val advance = idx < n &&
+            coalesce(element_at(e.getField("f"),
+              (idx + 1).cast(org.apache.spark.sql.types.IntegerType)),
+              lit(false)) &&
+            ts > tip
+          val idxAdv = when(advance, idx + 1).otherwise(idx)
+          val completed = idxAdv === n
+          array(
+            when(completed, cnt + 1).otherwise(cnt),
+            when(completed, lit(0L)).otherwise(idxAdv),
+            when(advance, ts).otherwise(tip))
+        })
+    ev.groupBy("user")
+      .agg(fold(sorted).getItem(0).as("n_chains"))
+  }
+
   /** Gap-based session reconstruction — the batch twin of the streaming
     * `session_window` (same semantics Spark's session windows implement:
     * a session extends while consecutive events are ≤ `gapMs` apart).

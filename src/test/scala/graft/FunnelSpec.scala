@@ -109,6 +109,36 @@ class FunnelSpec extends SparkTestBase {
     assert(seqMatch(fwd) == seqMatch(rev))
   }
 
+  private def seqCount(df: org.apache.spark.sql.DataFrame) =
+    Funnel.sequenceCount(df, "user", "ts",
+      Seq(col("t") === "a", col("t") === "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("sequenceCount: disjoint chains only; an event never serves two chains") {
+    val out = seqCount(events(
+      // u1: a b a b → 2 chains
+      (1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "a"), (1L, 3L, "b"),
+      // u2: a a b → ONE chain (second a cannot start a chain past the
+      // single b)
+      (2L, 0L, "a"), (2L, 1L, "a"), (2L, 2L, "b"),
+      // u3: b a → 0 chains (order)
+      (3L, 0L, "b"), (3L, 1L, "a"),
+      // u4: next chain must start strictly AFTER the previous chain's end
+      (4L, 0L, "a"), (4L, 1L, "b"), (4L, 1L, "a"), (4L, 2L, "b")))
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L), out.toString)
+  }
+
+  test("sequenceCount: greedy earliest completion maximizes the count") {
+    // a@0, b@10, a@1, b@2: lazy matching (a@0 with b@10) yields 1; greedy
+    // (a@0 with b@2... wait, earliest completion pairs a@0+b@2, leaving
+    // a@1 unusable but b@10 chainable with nothing → still 1; with a@3
+    // added, greedy gets (a@0,b@2)+(a@3,b@10) = 2
+    val out = seqCount(events(
+      (1L, 0L, "a"), (1L, 10L, "b"), (1L, 1L, "a"), (1L, 2L, "b"),
+      (1L, 3L, "a")))
+    assert(out(1L) == 2L)
+  }
+
   test("sessionize: gap splits, boundary-inclusive extension, users independent") {
     val df = events(
       // u1: 0,100 together; break (gap 1000 < 1001); 1101, 1200 together
