@@ -2526,7 +2526,7 @@ object Queries {
         .withColumn("ordering_ok", lit(pr(-1L) < pr(-2L) * 0.5))
     },
     Some("""SELECT count(*) AS n_docs,
-        sum(octet_length(encode(text))) AS total_raw_bytes,
+        sum(octet_length(encode(text)))::BIGINT AS total_raw_bytes,
         TRUE AS all_in_range_ok, TRUE AS ordering_ok
         FROM documents"""))
 
@@ -2988,7 +2988,7 @@ object Queries {
               OR ts - lag(ts) OVER (PARTITION BY u ORDER BY ts) > 21600000
             THEN 1 ELSE 0 END AS brk FROM e),
         s AS (SELECT u, ts, sum(brk) OVER (PARTITION BY u ORDER BY ts
-            ROWS UNBOUNDED PRECEDING) AS session FROM w)
+            ROWS UNBOUNDED PRECEDING)::BIGINT AS session FROM w)
         SELECT u AS "user", session, min(ts) AS start_ms,
           max(ts) AS end_ms, count(*) AS n_events
         FROM s GROUP BY 1, 2 ORDER BY "user", session"""))
