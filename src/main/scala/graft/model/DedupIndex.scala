@@ -48,14 +48,24 @@ object DedupIndex {
     */
   final case class Params(shingleN: Int, bands: Int, rowsPerBand: Int)
 
+  /** Derives the band and sketch tables from one shingling pass. With
+    * `persistShingles` the shared shingle stage is cached so a caller that
+    * runs MULTIPLE actions over the pair (build's two writes, append's
+    * count+writes) re-shingles the text once, not per action; the returned
+    * thunk unpersists it and must be called after the last action.
+    * Callers that fold both frames into a single lazy plan (e.g.
+    * [[incrementalPairs]], whose result outlives the call) pass false.
+    */
   private def sketch(
-      docs: DataFrame, idCol: String, textCol: String, p: Params)
-    : (DataFrame, DataFrame) = {
+      docs: DataFrame, idCol: String, textCol: String, p: Params,
+      persistShingles: Boolean = false)
+    : (DataFrame, DataFrame, () => Unit) = {
     SketchExprs.register(docs.sparkSession)
     val numHashes = p.bands * p.rowsPerBand
-    val withSh = docs.select(
+    val withSh0 = docs.select(
       col(idCol).cast(LongType).as("id"),
       array_distinct(TF.shingles(col(textCol), p.shingleN)).as("sh"))
+    val withSh = if (persistShingles) withSh0.persist() else withSh0
     // identical band arithmetic to Dedup.minhashPairs: slice the signature
     // into `bands` runs of `rowsPerBand`, hash each run seeded by its index
     val bandRows = withSh
@@ -71,7 +81,8 @@ object DedupIndex {
     val sketchRows = withSh.select(
       col("id"),
       array_distinct(transform(col("sh"), s => xxhash64(s))).as("shash"))
-    (bandRows, sketchRows)
+    (bandRows, sketchRows,
+      () => if (persistShingles) { withSh.unpersist(); () })
   }
 
   /** Sketch `docs` and write a fresh index at `dir` (overwrites). One pass
@@ -87,12 +98,15 @@ object DedupIndex {
     : Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (bandRows, sketchRows) = sketch(docs, idCol, textCol, params)
-    Seq((params.shingleN, params.bands, params.rowsPerBand))
-      .toDF("shingle_n", "bands", "rows_per_band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    bandRows.write.mode("overwrite").parquet(s"$dir/bands")
-    sketchRows.write.mode("overwrite").parquet(s"$dir/sketches")
+    val (bandRows, sketchRows, done) =
+      sketch(docs, idCol, textCol, params, persistShingles = true)
+    try {
+      Seq((params.shingleN, params.bands, params.rowsPerBand))
+        .toDF("shingle_n", "bands", "rows_per_band")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      bandRows.write.mode("overwrite").parquet(s"$dir/bands")
+      sketchRows.write.mode("overwrite").parquet(s"$dir/sketches")
+    } finally done()
   }
 
   def readParams(spark: SparkSession, dir: String): Params = {
@@ -101,10 +115,24 @@ object DedupIndex {
       r.getAs[Int]("rows_per_band"))
   }
 
+  /** Reads a table dir, first completing an interrupted [[vacuum]] swap:
+    * the staged dir is complete the instant it exists, so table-missing +
+    * staged-present can only mean the crash fell between vacuum's two
+    * renames — promote the staged dir and read it.
+    */
+  private def tableOf(spark: SparkSession, dir: String, table: String)
+    : DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/.$table.vacuum")
+    if (!fs.exists(dst) && fs.exists(staged))
+      require(fs.rename(staged, dst), s"vacuum recovery failed for $table")
+    spark.read.parquet(dst.toString)
+  }
   private def bandsOf(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/bands")
+    tableOf(spark, dir, "bands")
   private def sketchesOf(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/sketches")
+    tableOf(spark, dir, "sketches")
 
   /** Append `newDocs`' sketch rows to the index, using the PERSISTED
     * parameters. Ids already present are skipped (idempotent re-append of
@@ -118,20 +146,25 @@ object DedupIndex {
     val spark = newDocs.sparkSession
     val p = readParams(spark, dir)
     val newIds = newDocs.select(col(idCol).cast(LongType).as("id")).distinct()
+    // ids already indexed, bounded by the increment (left_semi against the
+    // broadcast new-id set). Dropped via a broadcast left_anti — never
+    // collected to the driver: a largely-replayed increment would inline an
+    // increment-sized isin literal into the plan otherwise
     val already = sketchesOf(spark, dir).select("id")
       .join(broadcast(newIds), Seq("id"), "left_semi")
-      .collect().map(_.getLong(0)).toSet
-    val fresh =
-      if (already.isEmpty) newDocs
-      else newDocs.where(!col(idCol).cast(LongType)
-        .isin(already.toSeq.map(Long.box): _*))
-    val (bandRows, sketchRows) = sketch(fresh, idCol, textCol, p)
-    val n = sketchRows.count()
-    if (n > 0) {
-      bandRows.write.mode("append").parquet(s"$dir/bands")
-      sketchRows.write.mode("append").parquet(s"$dir/sketches")
-    }
-    n
+      .select(col("id").as("_graft_indexed_id"))
+    val fresh = newDocs.join(broadcast(already),
+      col(idCol).cast(LongType) === col("_graft_indexed_id"), "left_anti")
+    val (bandRows, sketchRows, done) =
+      sketch(fresh, idCol, textCol, p, persistShingles = true)
+    try {
+      val n = sketchRows.count()
+      if (n > 0) {
+        bandRows.write.mode("append").parquet(s"$dir/bands")
+        sketchRows.write.mode("append").parquet(s"$dir/sketches")
+      }
+      n
+    } finally done()
   }
 
   /** Exact-Jaccard verification of candidate pairs against the sketch
@@ -183,11 +216,16 @@ object DedupIndex {
     * retention/compaction pass, like [[NgramIndex.vacuum]].
     *
     * Each table is rewritten STAGE-THEN-SWAP, sized back to
-    * `targetBytes` files. A crash between the two swaps is safe: a dead
-    * id missing from EITHER table is inert (bands without a sketch row
-    * produce candidates the verification join drops; sketches without
-    * band rows are never probed), so partial vacuum only under-deletes.
-    * Returns the number of ids dropped.
+    * `targetBytes` files, with the old dir renamed ASIDE (dst → .old,
+    * staged → dst, drop .old) so a crash at any instant leaves the table
+    * readable: before the first rename dst is untouched; between the two
+    * renames the staged dir is already complete and the read path
+    * promotes it ([[tableOf]]); after the second only a stale .old
+    * lingers, cleared by the next vacuum. A crash between the two TABLE
+    * rewrites is also safe: a dead id missing from EITHER table is inert
+    * (bands without a sketch row produce candidates the verification join
+    * drops; sketches without band rows are never probed), so partial
+    * vacuum only under-deletes. Returns the number of ids dropped.
     */
   def vacuum(
       spark: SparkSession,
@@ -205,10 +243,15 @@ object DedupIndex {
       val bytes = fs.getContentSummary(dst).getLength
       val parts = math.max(1L, bytes / targetBytes).toInt
       val staged = new org.apache.hadoop.fs.Path(s"$dir/.$table.vacuum")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/.$table.old")
       df.join(live, Seq("id"), "left_semi")
         .coalesce(parts).write.mode("overwrite").parquet(staged.toString)
-      fs.delete(dst, true)
-      require(fs.rename(staged, dst), s"vacuum swap failed for $table")
+      fs.delete(old, true)
+      require(fs.rename(dst, old), s"vacuum swap (aside) failed for $table")
+      require(fs.rename(staged, dst),
+        s"vacuum swap (promote) failed for $table")
+      fs.delete(old, true)
+      ()
     }
     rewrite("bands", bandsOf(spark, dir))
     rewrite("sketches", sketchesOf(spark, dir))
@@ -236,7 +279,7 @@ object DedupIndex {
       broadcastNew: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val p = readParams(spark, dir)
-    val (newBands, newSketches) = sketch(newDocs, idCol, textCol, p)
+    val (newBands, newSketches, _) = sketch(newDocs, idCol, textCol, p)
     val probe = if (broadcastNew) broadcast(newBands) else newBands
     // new × corpus: corpus side stays in place, new side ships to it
     val nc = bandsOf(spark, dir)

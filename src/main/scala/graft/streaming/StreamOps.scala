@@ -126,8 +126,12 @@ object StreamOps {
     * baseline ring) + the open tail buckets. A bucket closes when a newer
     * bucket appears for that dimension; closing emits its alert row —
     * same arithmetic as the batch operator bit-for-bit (exact integer
-    * sums, Poisson-floored sd, half-away rounding), so streaming output ≡
-    * batch output on the same events (StreamingSpec asserts row parity).
+    * sums, Poisson-floored sd, half-away rounding), and buckets come from
+    * the SAME `date_trunc(bucket, ts)` expression the batch operator
+    * uses (session-timezone semantics included — an epoch-ms floorDiv
+    * would diverge under non-whole-hour offsets like +05:30), so
+    * streaming output ≡ batch output on the same events in any session
+    * timezone (StreamingSpec asserts row parity).
     * Events for buckets at-or-before the last closed one are dropped
     * (documented late-data bound — the watermark analogue; the reference
     * accepts unbounded lateness, which cannot scale).
@@ -140,7 +144,7 @@ object StreamOps {
       stream: DataFrame,
       dimCol: String,
       tsCol: String,
-      bucketMs: Long = 3600000L,
+      bucket: String = "hour",
       lookback: Int = 24,
       minSigma: Double = 3.0): DataFrame = {
     val spark = stream.sparkSession
@@ -151,7 +155,7 @@ object StreamOps {
       else math.ceil(x * 1e4 - 0.5) / 1e4
     stream
       .select(col(dimCol).cast("string").as("dim"),
-        unix_millis(col(tsCol)).as("ts"))
+        unix_millis(date_trunc(bucket, col(tsCol))).as("bucket_start"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AnomalyDimState, AnomalyAlert](
@@ -159,8 +163,7 @@ object StreamOps {
         val st = state.getOption
           .getOrElse(AnomalyDimState(Vector.empty, Map.empty, Long.MinValue))
         var open = st.open
-        rows.foreach { case (_, ts) =>
-          val b = Math.floorDiv(ts, bucketMs) * bucketMs
+        rows.foreach { case (_, b) => // b = bucket start ms, pre-truncated
           if (b > st.lastClosed) // late-past-close events are dropped
             open = open.updated(b, open.getOrElse(b, 0L) + 1L)
         }
@@ -205,10 +208,14 @@ object StreamOps {
     * whether or not that predecessor itself survived (the C4/keep-first
     * convention; near-dup chains collapse to their earliest member).
     *
-    * Exactly-once via the [[IngestStream.sinkPartitionedParquet]] commit-
-    * marker pattern; replay of a committed batch is a full no-op (marker
+    * At-least-once via the [[IngestStream.sinkPartitionedParquet]] commit-
+    * marker pattern: replay of a COMMITTED batch is a full no-op (marker
     * short-circuits the write, and [[graft.model.DedupIndex.append]] is
-    * idempotent on ids regardless). Scale shape per batch: the batch is
+    * idempotent on ids regardless), but a crash after the survivor append
+    * and before the marker re-appends that batch's survivors once on
+    * replay — the marker pattern's documented floor. Markers older than
+    * [[IngestStream.MarkerRetention]] batches are pruned as newer ones
+    * commit, so `_graft_batches` stays bounded on long-lived streams. Scale shape per batch: the batch is
     * broadcast into the index probe — the corpus tables never shuffle —
     * and the batch is persisted once for its three uses (probe, survivor
     * filter, append).
@@ -265,6 +272,11 @@ object StreamOps {
             // at-least-once floor — and the index append is idempotent.
             graft.model.DedupIndex.append(survivors, idCol, textCol, indexDir)
             fs.create(marker, true).close()
+            if (batchId >= IngestStream.MarkerRetention) {
+              val old = new org.apache.hadoop.fs.Path(ns,
+                (batchId - IngestStream.MarkerRetention).toString)
+              try { fs.delete(old, false); () } catch { case _: Exception => }
+            }
           } finally { batch.unpersist(); () }
         }
         ()

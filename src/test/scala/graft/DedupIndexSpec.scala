@@ -111,6 +111,25 @@ class DedupIndexSpec extends SparkTestBase {
     assert(files("bands") == 1 && files("sketches") == 1)
   }
 
+  test("vacuum crash between the two renames: read path promotes the staged dir") {
+    val dir = tmp("graft-dedupidx-crash")
+    DedupIndex.build(corpus, "doc_id", "text", dir, params)
+    def all() = DedupIndex.allPairs(spark, dir, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = all()
+    assert(before.nonEmpty)
+    // reproduce the exact crash window: dst renamed aside, staged dir
+    // complete, promote-rename never executed — dst missing, staged
+    // present, a stale .old lingering
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(s"$dir/bands"), Paths.get(s"$dir/.bands.vacuum"))
+    Files.createDirectory(Paths.get(s"$dir/.bands.old"))
+    assert(all() == before) // read recovered, not errored
+    // and the recovery was durable: the table dir is back in place
+    assert(Files.exists(Paths.get(s"$dir/bands")))
+    assert(!Files.exists(Paths.get(s"$dir/.bands.vacuum")))
+  }
+
   test("property: incremental ≡ from-scratch on seeded random corpora with heavy overlap") {
     // small vocabulary → plenty of genuine near-dup pairs across the
     // corpus/increment split; 5 seeded draws, exact set equality each time

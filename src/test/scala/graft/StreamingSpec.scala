@@ -290,7 +290,7 @@ class StreamingSpec extends SparkTestBase {
       .option("maxFilesPerTrigger", 1).json(in)
       .select(col("dim"), timestamp_millis(col("ms")).as("ts"))
     val q = StreamOps.anomalyAlerts(stream, "dim", "ts",
-        bucketMs = hour, lookback = 4, minSigma = 3.0)
+        bucket = "hour", lookback = 4, minSigma = 3.0)
       .writeStream.outputMode("append")
       .format("memory").queryName("alerts_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
