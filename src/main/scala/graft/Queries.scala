@@ -154,6 +154,26 @@ object Queries {
         base
       })
 
+    /** The events table rewritten Z-order-clustered on
+      * (user_id, event-time millis) — [[graft.operators.ZOrder.cluster]]'s
+      * 8×8 Morton grid, one `zbucket=` directory per cell. Cached with the
+      * dimension bounds so the prune query can derive its box from the
+      * same statistics the oracle's min/max CTE recomputes.
+      */
+    private val zorderTables =
+      scala.collection.concurrent.TrieMap.empty[String, (String, (Long, Long, Long, Long))]
+
+    def zorderedEventsDir(
+        s: SparkSession, dir: String): (String, (Long, Long, Long, Long)) =
+      zorderTables.getOrElseUpdate(dir, {
+        val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+        deleteOnExit(out)
+        val ev = t(s, dir, "events")
+          .withColumn("ts_ms", unix_millis(col("ts")))
+        val bounds = graft.operators.ZOrder.cluster(ev, "user_id", "ts_ms", out)
+        (out, bounds)
+      })
+
     /** A log table plus its incrementally-maintained rollup
       * ([[graft.model.Rollup]]): ingest lands in two batches — everything
       * except a deterministic third of the newest day, then that remainder
@@ -2430,6 +2450,112 @@ object Queries {
         SELECT cluster, doc_id, score, cluster_size
         FROM ranked WHERE rk = 1 ORDER BY cluster"""))
 
+  /** Explicit runtime bloom-pruned join ([[graft.operators.BloomJoin]]):
+    * the filtered dim's keys fold into one partial-aggregated bloom that
+    * pre-filters the fact side at its scan, so only can-match rows reach
+    * the join. False positives are removed by the exact join, so the
+    * result — and therefore the oracle — is the plain join's.
+    */
+  private val joinBloomPruned = Q(
+    (s, dir) => {
+      val pruned = graft.operators.BloomJoin.bloomPrunedJoin(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part").where(col("p_size") <= 2), "p_partkey",
+        "inner", expectedNdv = 1L << 16)
+      pruned.groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, count(*) AS cnt,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 2 GROUP BY 1 ORDER BY p_brand"""))
+
+  /** The Morton arithmetic of [[graft.operators.ZOrder]] restated as a
+    * DuckDB CTE chain: scale both dimensions to 16 bits against the
+    * min/max bounds (`m`), spread each through the four mask-shift
+    * steps, interleave, and keep the top 6 bits — yielding `z(event_id,
+    * user_id, ts, zbucket)` for the two z-order oracles. Bit-for-bit the
+    * engine's expression (same IEEE double scaling, same masks), so the
+    * clustered LAYOUT is hash-verified, not just row counts.
+    */
+  private val zorderSqlCte: String =
+    """WITH m AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+          min(epoch_ms(ts)) AS tmin, max(epoch_ms(ts)) AS tmax FROM events),
+      s0 AS (SELECT event_id, user_id, ts,
+          floor((user_id - umin) * 65535.0 / (umax - umin))::BIGINT AS x0,
+          floor((epoch_ms(ts) - tmin) * 65535.0 / (tmax - tmin))::BIGINT AS y0
+        FROM events, m),
+      s1 AS (SELECT event_id, user_id, ts,
+          (x0 | (x0 << 8)) & 16711935 AS x1,
+          (y0 | (y0 << 8)) & 16711935 AS y1 FROM s0),
+      s2 AS (SELECT event_id, user_id, ts,
+          (x1 | (x1 << 4)) & 252645135 AS x2,
+          (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+      s3 AS (SELECT event_id, user_id, ts,
+          (x2 | (x2 << 2)) & 858993459 AS x3,
+          (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+      s4 AS (SELECT event_id, user_id, ts,
+          (x3 | (x3 << 1)) & 1431655765 AS x4,
+          (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+      z AS (SELECT event_id, user_id, ts,
+          (x4 | (y4 << 1)) >> 26 AS zbucket FROM s4)"""
+
+  /** Content proof for the Z-order rewrite: per-cell counts + checksums
+    * of the CLUSTERED table must equal the oracle recomputing the full
+    * Morton arithmetic from raw events — the layout rewrite lost nothing
+    * and the cell math is bit-exact.
+    */
+  private val maintenanceZorder = Q(
+    (s, dir) => {
+      val (zdir, _) = Fixtures.zorderedEventsDir(s, dir)
+      s.read.parquet(zdir)
+        .groupBy(col("zbucket").cast(LongType).as("zbucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("checksum"))
+        .orderBy("zbucket")
+    },
+    Some(s"""$zorderSqlCte
+        SELECT zbucket, count(*) AS cnt, sum(event_id)::BIGINT AS checksum
+        FROM z GROUP BY 1 ORDER BY zbucket"""))
+
+  /** The pruning win the clustering exists for: a box covering ~10% of
+    * each dimension touches at most a 2×2 block of the 8×8 Morton grid —
+    * `buckets_touched` (≤ 4 cells, certified ≤ 8) instead of the ~64 a
+    * row-shuffled layout would hit, and since each cell is a partition
+    * directory, that IS the file-level scan bound (ZOrderSpec pins the
+    * files-touched equality). Box bounds derive from the same min/max
+    * statistics the oracle's `m` CTE recomputes, by integer arithmetic
+    * exact on both engines.
+    */
+  private val maintenanceZorderPrune = Q(
+    (s, dir) => {
+      val (zdir, (umin, umax, tmin, tmax)) = Fixtures.zorderedEventsDir(s, dir)
+      val ulo = umin + (umax - umin) * 3 / 10
+      val uhi = umin + (umax - umin) * 4 / 10
+      val tlo = tmin + (tmax - tmin) * 45 / 100
+      val thi = tmin + (tmax - tmin) * 55 / 100
+      s.read.parquet(zdir)
+        .where(col("user_id").between(ulo, uhi) &&
+          col("ts_ms").between(tlo, thi))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("checksum"),
+          count_distinct(col("zbucket")).as("buckets_touched"))
+        .withColumn("locality_ok", col("buckets_touched") <= lit(8L))
+    },
+    Some(s"""$zorderSqlCte
+        SELECT count(*) AS n_rows, sum(event_id)::BIGINT AS checksum,
+          count(DISTINCT zbucket) AS buckets_touched,
+          count(DISTINCT zbucket) <= 8 AS locality_ok
+        FROM z, m
+        WHERE user_id >= umin + ((umax - umin) * 3) // 10
+          AND user_id <= umin + ((umax - umin) * 4) // 10
+          AND epoch_ms(ts) >= tmin + ((tmax - tmin) * 45) // 100
+          AND epoch_ms(ts) <= tmin + ((tmax - tmin) * 55) // 100"""))
+
   private val maintenanceCompact = Q(
     // read side of the compacted fixture: per-day counts + a distinct
     // metadata rollup must equal the source table's, proving the
@@ -3494,5 +3620,8 @@ object Queries {
     "fn_retention" -> fnRetention,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
     "query_language_indexed" -> queryLanguageIndexed,
+    "join_bloom_pruned" -> joinBloomPruned,
+    "maintenance_zorder" -> maintenanceZorder,
+    "maintenance_zorder_prune" -> maintenanceZorderPrune,
   )
 }

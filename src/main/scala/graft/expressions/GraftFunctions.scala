@@ -26,6 +26,19 @@ object GraftFunctions {
     "graft_round" -> (es => RoundHalfAway(es.head, es(1))),
     "graft_ingest" -> (es => JsonIngest.fromArgs(es)),
     "graft_fb_records" -> (es => FbRecords(es.head)),
+    // Spark's own runtime-filter bloom pair (the machinery behind
+    // spark.sql.optimizer.runtime.bloomFilter), surfaced as callable
+    // functions so graft.operators.BloomJoin can build the same
+    // partial-aggregated bloom and codegen'd probe EXPLICITLY — for join
+    // keys the optimizer's InjectRuntimeFilter heuristics won't cover
+    // (derived keys, pre-aggregated probes). Same-family build+probe
+    // guarantees the serialized format always matches.
+    "graft_bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es.head, es(1), es(2))),
+    "graft_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es.head, es(1))),
   )
 
   // Memoized on the LIVE session object (weak keys, identity equality —

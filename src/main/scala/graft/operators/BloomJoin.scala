@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-pruned equi-join: a runtime semi-join filter built from the
+  * build side's keys, applied as a narrow pre-filter on the probe side
+  * BEFORE the join moves any probe rows.
+  *
+  * This is the pattern behind Spark's own
+  * `spark.sql.optimizer.runtime.bloomFilter` injection (and ClickHouse's
+  * set-index pruning; cf. /root/reference/schema.sql:15-19's skip
+  * indexes): at 100 TB the probe side dominates every cost — the bloom
+  * drops non-matching probe rows at the scan, so the join's
+  * shuffle/broadcast hash only ever sees rows that can match. False
+  * positives cost nothing but wasted transport: the exact join that
+  * follows removes them, so the result is bit-identical to the plain
+  * join (the oracle's check).
+  *
+  * Mechanics: the build side's keys are hashed (`xxhash64`) and folded
+  * into ONE bloom via Spark's [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+  * — a partial-combined aggregate, so each build task ships one compact
+  * bloom, never key rows. The merged bloom (a few MB, same order as a
+  * broadcast side) is injected into the probe as a foldable literal
+  * feeding [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]],
+  * which codegens into the probe's scan stage — one narrow, whole-stage
+  * compiled filter, no shuffle, no driver-side row movement (only the
+  * merged bloom itself returns to the driver, exactly like a broadcast
+  * relation build).
+  *
+  * Only probe-row-DROPPING join types are sound: `inner` and `left_semi`
+  * need every emitted probe row to have a build match, so pre-dropping
+  * bloom-negative rows is a no-op on the result. `left_outer`/`left_anti`
+  * must EMIT unmatched probe rows and are rejected.
+  */
+object BloomJoin {
+
+  /** Picks numBits for ~2% fpp at the expected cardinality, capped at
+    * 8 MiB (2^26 bits) — past that the literal's task-binary cost beats
+    * the pruning win and the caller should reconsider the ndv estimate.
+    */
+  def defaultNumBits(expectedNdv: Long): Long =
+    math.min(math.max(expectedNdv * 8L, 1L << 10), 1L << 26)
+
+  def bloomPrunedJoin(
+      probe: DataFrame,
+      probeKey: String,
+      build: DataFrame,
+      buildKey: String,
+      joinType: String = "inner",
+      expectedNdv: Long = 1L << 20,
+      numBits: Option[Long] = None): DataFrame = {
+    val allowed = Set("inner", "left_semi", "leftsemi", "semi")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"bloomPrunedJoin supports inner/left_semi only, got '$joinType': " +
+        "outer/anti variants must emit probe rows the bloom would drop")
+    graft.expressions.GraftFunctions.registerAll(probe.sparkSession)
+    val bits = numBits.getOrElse(defaultNumBits(expectedNdv))
+    // one tiny job over the build side; the row carries only the merged
+    // bloom bytes (null when the build side is empty — handled below)
+    val bloomRow = build
+      .select(call_function("graft_bloom_agg",
+        xxhash64(col(buildKey)), lit(expectedNdv), lit(bits)).as("bf"))
+      .head()
+    val bloomBytes =
+      if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0)
+    // empty build: might_contain(NULL, h) is NULL → the filter drops every
+    // probe row, which IS the inner/semi result for an empty build side
+    val pruned = probe.where(call_function("graft_might_contain",
+      lit(bloomBytes), xxhash64(col(probeKey))))
+    // dataset-qualified keys: same AMBIGUOUS_REFERENCE hazard SkewJoin
+    // documents when both sides share the key name
+    pruned.join(build, pruned(probeKey) === build(buildKey), joinType)
+  }
+}
