@@ -511,6 +511,7 @@ object Queries {
     Fixtures.ivfPqIndex(s, dir).codes.count()
     Fixtures.qualityModel(s, dir)
     Fixtures.clusters(s, dir).count()
+    Fixtures.zorderedEventsDir(s, dir)
     ()
   }
 

@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   * need every emitted probe row to have a build match, so pre-dropping
   * bloom-negative rows is a no-op on the result. `left_outer`/`left_anti`
   * must EMIT unmatched probe rows and are rejected.
+  *
+  * Boundary vs the optimizer's own injection (measured, ProbeRuntimeFilter
+  * on the lineitem⋈σ(part) shape): InjectRuntimeFilter fires only when the
+  * probe scan exceeds `runtime.bloomFilter.applicationSideScanSizeThreshold`
+  * (10 GB default — so it DOES cover plain shuffle joins at warehouse
+  * scale) AND the join isn't broadcast-planned. The explicit operator is
+  * for what that leaves: broadcast-planned joins where scan-level pruning
+  * still pays (rows die before flowing through downstream operators),
+  * derived/computed join keys, and semi-filters against frames the
+  * heuristic can't see through.
   */
 object BloomJoin {
 
