@@ -1309,6 +1309,32 @@ object Queries {
           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS rsum
         FROM events ORDER BY id"""))
 
+  /** Time-RANGE window frame — the "activity in the trailing 10 minutes
+    * as of each event" rolling metric. Distinct from [[winRunningFrame]]'s
+    * ROWS frame: the frame is bounded by the ORDER value (epoch millis),
+    * not a row count, so bursty users get wide frames and quiet users
+    * narrow ones. Same scale shape as any window: one hash exchange on
+    * the partition key + an in-partition sort; frame state is bounded by
+    * the time width, not the partition.
+    */
+  private val winTimeRangeFrame = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+        .rangeBetween(-600000L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .select(col("event_id").as("id"),
+          count(lit(1)).over(w).as("cnt_10m"),
+          r(sum("value").over(w), 2).as("sum_10m"))
+        .orderBy("id")
+    },
+    Some("""SELECT event_id AS id, count(*) OVER w AS cnt_10m,
+        round(sum(value) OVER w, 2) AS sum_10m
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+        ORDER BY id"""))
+
   // ------------------------------------------------------------------
   // §2.7 sorts / limits / set ops / exact dedup
   // ------------------------------------------------------------------
@@ -3624,5 +3650,6 @@ object Queries {
     "join_bloom_pruned" -> joinBloomPruned,
     "maintenance_zorder" -> maintenanceZorder,
     "maintenance_zorder_prune" -> maintenanceZorderPrune,
+    "win_time_range_frame" -> winTimeRangeFrame,
   )
 }
