@@ -1321,15 +1321,20 @@ object Queries {
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
         .rangeBetween(-600000L, Window.currentRow)
+      // the summed metric is pre-rounded to integer cents: a RANGE frame
+      // orders by ONE numeric key, so tied ts_ms rows have no
+      // deterministic tiebreak and a double sum's addition order (hence
+      // its last ulp) would be run-dependent; a long sum is order-free
       t(s, dir, "events")
         .withColumn("ts_ms", unix_millis(col("ts")))
+        .withColumn("cents", r(col("value") * lit(100), 0).cast(LongType))
         .select(col("event_id").as("id"),
           count(lit(1)).over(w).as("cnt_10m"),
-          r(sum("value").over(w), 2).as("sum_10m"))
+          sum("cents").over(w).as("sum_cents_10m"))
         .orderBy("id")
     },
     Some("""SELECT event_id AS id, count(*) OVER w AS cnt_10m,
-        round(sum(value) OVER w, 2) AS sum_10m
+        (sum(round(value * 100)::BIGINT) OVER w)::BIGINT AS sum_cents_10m
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
           RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
