@@ -174,6 +174,20 @@ object Queries {
         (out, bounds)
       })
 
+    /** The z-ordered events table plus its min/max zone-map sidecar
+      * ([[graft.model.ZoneMapIndex]]) over both clustered dimensions —
+      * the layout whose tight per-file spans the index exists for.
+      * Shares [[zorderedEventsDir]]'s physical table (the sidecar lives
+      * in an underscore dir, invisible to table reads).
+      */
+    def zorderedIndexedEventsDir(
+        s: SparkSession, dir: String): (String, (Long, Long, Long, Long)) =
+      zorderTables.getOrElseUpdate(dir + "#zonemap", {
+        val (out, bounds) = zorderedEventsDir(s, dir)
+        graft.model.ZoneMapIndex.build(s, out, Seq("user_id", "ts_ms"))
+        (out, bounds)
+      })
+
     /** A log table plus its incrementally-maintained rollup
       * ([[graft.model.Rollup]]): ingest lands in two batches — everything
       * except a deterministic third of the newest day, then that remainder
@@ -511,7 +525,7 @@ object Queries {
     Fixtures.ivfPqIndex(s, dir).codes.count()
     Fixtures.qualityModel(s, dir)
     Fixtures.clusters(s, dir).count()
-    Fixtures.zorderedEventsDir(s, dir)
+    Fixtures.zorderedIndexedEventsDir(s, dir) // builds the z-table too
     ()
   }
 
@@ -2588,6 +2602,30 @@ object Queries {
           AND epoch_ms(ts) >= tmin + ((tmax - tmin) * 45) // 100
           AND epoch_ms(ts) <= tmin + ((tmax - tmin) * 55) // 100"""))
 
+  /** Numeric range scan through the min/max zone-map sidecar
+    * ([[graft.model.ZoneMapIndex]] — ClickHouse `minmax` skip-index
+    * analogue) over the z-clustered table: the index shrinks the file
+    * list before any data file is opened, the exact predicate re-applies
+    * on the survivors, so the result — and the oracle — is the plain
+    * range filter's. ZoneMapSpec pins the pruning itself (candidates ≪
+    * live files, staleness, vacuum); this row pins content equivalence.
+    */
+  private val filterRangeZonemap = Q(
+    (s, dir) => {
+      val (zdir, (umin, umax, _, _)) = Fixtures.zorderedIndexedEventsDir(s, dir)
+      val ulo = umin + (umax - umin) * 3 / 10
+      val uhi = umin + (umax - umin) * 4 / 10
+      graft.model.ZoneMapIndex.rangeScan(
+          s, zdir, "user_id", ulo.toDouble, uhi.toDouble)
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("checksum"))
+    },
+    Some("""WITH m AS (SELECT min(user_id) AS umin, max(user_id) AS umax
+          FROM events)
+        SELECT count(*) AS n_rows, sum(event_id)::BIGINT AS checksum
+        FROM events, m
+        WHERE user_id >= umin + ((umax - umin) * 3) // 10
+          AND user_id <= umin + ((umax - umin) * 4) // 10"""))
+
   private val maintenanceCompact = Q(
     // read side of the compacted fixture: per-day counts + a distinct
     // metadata rollup must equal the source table's, proving the
@@ -3656,5 +3694,6 @@ object Queries {
     "maintenance_zorder" -> maintenanceZorder,
     "maintenance_zorder_prune" -> maintenanceZorderPrune,
     "win_time_range_frame" -> winTimeRangeFrame,
+    "filter_range_zonemap" -> filterRangeZonemap,
   )
 }

@@ -1,0 +1,186 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A file-skipping min/max (zone-map) sidecar index for numeric columns —
+  * the Spark-lake analogue of ClickHouse's `minmax` MergeTree skip index,
+  * the second index type (next to `ngrambf_v1`, [[NgramIndex]]) that
+  * klogs deployments bolt onto the reference's table
+  * (/root/reference/schema.sql:15-19) when range predicates at scale read
+  * every granule.
+  *
+  * Parquet footers already carry row-group min/max, but using them still
+  * means OPENING every footer: at 100 TB ≈ 10⁵–10⁶ files, the listing +
+  * footer storm is itself the bottleneck. The zone map is one tiny
+  * sidecar table — `(file, col, lo, hi)`, parquet under
+  * `_graft_zonemap_index/` inside the table directory (underscore dir,
+  * invisible to table reads) — so a range query prunes the FILE LIST with
+  * one scan of O(files) index rows before any data file is touched. It
+  * pays off precisely on layouts where file spans are tight: the
+  * sort-keyed daily partitions ([[LogSchema.writePartitioned]]) and the
+  * z-ordered rewrite ([[graft.operators.ZOrder]]) both exist to make this
+  * index selective.
+  *
+  * Scale contract (mirrors [[NgramIndex]]):
+  *   - the build is one partial-combined `groupBy(input_file_name())`
+  *     min/max aggregate — tasks scan only the indexed COLUMNS of their
+  *     own files (parquet column pruning applies) and the shuffle carries
+  *     two doubles per (file, column). Incremental: only unindexed files
+  *     are read.
+  *   - staleness is safe, not corrupting: a live file missing from the
+  *     index (fresh ingest, compaction rewrite) is always scanned; an
+  *     index row whose file is gone is ignored. Re-running [[build]]
+  *     converges; [[vacuum]] drops dead rows.
+  *   - bounds are stored as DOUBLE; a long that doesn't fit 2⁵³ can round
+  *     by ≤ 0.5 ulp in either direction, so [[prune]] widens the QUERY
+  *     bounds by one ulp before comparing — pruning stays conservative
+  *     for every numeric input type.
+  */
+object ZoneMapIndex {
+  val IndexDirName = "_graft_zonemap_index"
+
+  /** Which live data files a range predicate must read, and why:
+    * `candidates` = range-overlapping indexed files + unindexed files;
+    * `pruned` = live files the index proved cannot match.
+    */
+  case class Pruning(candidates: Seq[String], pruned: Long, unindexed: Long)
+
+  private def indexPath(tablePath: String) =
+    new org.apache.hadoop.fs.Path(tablePath, IndexDirName)
+
+  /** Scheme-insensitive file identity (same hazard [[NgramIndex.norm]]
+    * documents: `file:///p` vs `file:/p` vs `/p`).
+    */
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def indexExists(spark: SparkSession, tablePath: String): Boolean = {
+    val p = indexPath(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  private def readIndex(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(indexPath(tablePath).toString)
+
+  private def tableFiles(spark: SparkSession, tablePath: String): Seq[String] =
+    spark.read.parquet(tablePath).inputFiles.toSeq
+
+  /** Index every live data file not yet indexed for `cols`; returns the
+    * newly indexed files. `rebuild = true` starts from scratch (also the
+    * way to change the column set; implicitly vacuums dead rows).
+    */
+  def build(
+      spark: SparkSession,
+      tablePath: String,
+      cols: Seq[String],
+      rebuild: Boolean = false): Seq[String] = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val live = tableFiles(spark, tablePath)
+    val have: Set[String] =
+      if (rebuild || !indexExists(spark, tablePath)) Set.empty
+      else readIndex(spark, tablePath).select("file").distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    val todo = live.filterNot(f => have(norm(f)))
+    if (todo.isEmpty) return Seq.empty
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"lo_$c"),
+      max(col(c)).cast("double").as(s"hi_$c")))
+    val perFile = spark.read.option("basePath", tablePath).parquet(todo: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    // unpivot to the narrow (file, col, lo, hi) shape so one sidecar
+    // serves any column set and later builds can add columns per file
+    val rows = cols.map(c => perFile.select(
+        col("file"), lit(c).as("col"),
+        col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi")))
+      .reduce(_ unionAll _)
+    rows.write.mode(if (rebuild) "overwrite" else "append")
+      .parquet(indexPath(tablePath).toString)
+    todo
+  }
+
+  /** Drop index rows whose data file no longer exists (post-compaction /
+    * post-TTL hygiene; correctness never needs it — dead rows are ignored
+    * by [[prune]]). Stage-then-swap like [[NgramIndex.vacuum]].
+    */
+  def vacuum(spark: SparkSession, tablePath: String): Long = {
+    if (!indexExists(spark, tablePath)) return 0L
+    val liveSet = tableFiles(spark, tablePath).map(norm).toSet
+    val all = readIndex(spark, tablePath).collect()
+    val keep = all.filter(r => liveSet(norm(r.getString(r.fieldIndex("file")))))
+    val dead = all.length - keep.length
+    if (dead > 0) {
+      val kept = spark.createDataFrame(
+        java.util.Arrays.asList(keep: _*),
+        readIndex(spark, tablePath).schema)
+      val ip = indexPath(tablePath)
+      val staged = new org.apache.hadoop.fs.Path(tablePath, "." + IndexDirName + ".vacuum")
+      kept.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ip, true)
+      fs.rename(staged, ip)
+    }
+    dead.toLong
+  }
+
+  /** The pruning decision for `lo ≤ colName ≤ hi`, or None when the index
+    * cannot help (missing, or the column was never indexed).
+    *
+    * A file whose indexed bounds are NULL holds no non-null values of the
+    * column — a range predicate cannot select any of its rows, so it is
+    * pruned. Query bounds are ulp-widened against the stored-double
+    * rounding (scaladoc above).
+    */
+  def prune(
+      spark: SparkSession,
+      tablePath: String,
+      colName: String,
+      lo: Double,
+      hi: Double): Option[Pruning] = {
+    if (!indexExists(spark, tablePath)) return None
+    val qlo = Math.nextDown(lo)
+    val qhi = Math.nextUp(hi)
+    val rows = readIndex(spark, tablePath)
+      .where(col("col") === colName)
+      .select("file", "lo", "hi")
+      .collect()
+    if (rows.isEmpty) return None
+    val verdicts = rows.map { r =>
+      val ok = !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getDouble(2) >= qlo && r.getDouble(1) <= qhi
+      norm(r.getString(0)) -> ok
+    }.toMap
+    val passing = verdicts.collect { case (f, true) => f }.toSet
+    val live = tableFiles(spark, tablePath)
+    val (known, unindexed) = live.partition(f => verdicts.contains(norm(f)))
+    val candidates = known.filter(f => passing(norm(f))) ++ unindexed
+    Some(Pruning(candidates, pruned = (live.size - candidates.size).toLong,
+      unindexed = unindexed.size.toLong))
+  }
+
+  /** Range scan through the index: exactly equivalent to
+    * `spark.read.parquet(table).where(col between (lo, hi))` for every
+    * index state — the zone map only ever shrinks the file list, and the
+    * exact predicate is re-applied on what remains.
+    */
+  def rangeScan(
+      spark: SparkSession,
+      tablePath: String,
+      colName: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    val full = spark.read.parquet(tablePath)
+      .where(col(colName).between(lo, hi))
+    prune(spark, tablePath, colName, lo, hi) match {
+      case Some(p) if p.pruned > 0 =>
+        if (p.candidates.isEmpty) full.limit(0)
+        else spark.read
+          .option("basePath", tablePath) // keep partition columns
+          .parquet(p.candidates: _*)
+          .where(col(colName).between(lo, hi))
+      case _ => full
+    }
+  }
+}

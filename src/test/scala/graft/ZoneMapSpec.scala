@@ -1,0 +1,82 @@
+package graft
+
+import graft.model.ZoneMapIndex
+import org.apache.spark.sql.functions._
+
+/** Zone-map skip index: range scans through the index must equal the
+  * plain filtered read for EVERY index state (fresh, stale-unindexed,
+  * dead-rows, boundary queries), while provably shrinking the file list
+  * on a span-tight layout.
+  */
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 8 range-clustered files over x ∈ [0, 8000): file i spans ~[1000i,
+    * 1000(i+1)) — the tight-span layout zone maps exist for.
+    */
+  private def writeClustered(out: String): Unit =
+    (0 until 8000).map(i => (i.toLong, i.toLong, s"r$i")).toDF("id", "x", "s")
+      .repartitionByRange(8, col("x"))
+      .sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(out)
+
+  test("rangeScan equals the plain filter and prunes most files") {
+    val out = tmp("graft-zonemap")
+    writeClustered(out)
+    assert(ZoneMapIndex.build(spark, out, Seq("x")).nonEmpty)
+
+    val got = ZoneMapIndex.rangeScan(spark, out, "x", 2500d, 3500d)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.read.parquet(out).where(col("x").between(2500, 3500))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.size == 1001)
+
+    val p = ZoneMapIndex.prune(spark, out, "x", 2500d, 3500d).get
+    assert(p.unindexed == 0)
+    assert(p.pruned >= 5, s"a 1/8-span query must prune most of 8 files: $p")
+    assert(p.candidates.size <= 3)
+  }
+
+  test("unindexed (freshly appended) files are always scanned; build indexes only them") {
+    val out = tmp("graft-zonemap-stale")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    // fresh ingest the index has not seen — MUST survive every pruning
+    Seq((90001L, 3000L, "late")).toDF("id", "x", "s")
+      .write.mode("append").parquet(out)
+
+    val p = ZoneMapIndex.prune(spark, out, "x", 6000d, 6100d).get
+    assert(p.unindexed >= 1, "the appended file is not in the index yet")
+    val got = ZoneMapIndex.rangeScan(spark, out, "x", 2999d, 3001d)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.contains(90001L), "stale index must not hide fresh rows")
+
+    val newlyIndexed = ZoneMapIndex.build(spark, out, Seq("x"))
+    assert(newlyIndexed.size == p.unindexed,
+      "incremental build reads exactly the unindexed files")
+    assert(ZoneMapIndex.prune(spark, out, "x", 6000d, 6100d).get.unindexed == 0)
+  }
+
+  test("query bounds exactly on a file's min/max keep the file (ulp-widened compare)") {
+    val out = tmp("graft-zonemap-boundary")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    val got = ZoneMapIndex.rangeScan(spark, out, "x", 0d, 0d)
+      .select("id").collect()
+    assert(got.length == 1, "the file whose min IS the query point must be read")
+  }
+
+  test("vacuum drops rows for deleted files; scans stay exact afterwards") {
+    val out = tmp("graft-zonemap-vacuum")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    val victim = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(out).inputFiles.head)
+    victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victim, false)
+    assert(ZoneMapIndex.vacuum(spark, out) == 1L)
+    val got = ZoneMapIndex.rangeScan(spark, out, "x", 0d, 8000d).count()
+    val want = spark.read.parquet(out).count()
+    assert(got == want, "post-vacuum scans must match the surviving table")
+  }
+}
