@@ -64,20 +64,37 @@ object BloomJoin {
     require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
       s"bloomPrunedJoin supports inner/left_semi only, got '$joinType': " +
         "outer/anti variants must emit probe rows the bloom would drop")
+    // xxhash64 is TYPE-sensitive (an INT 5 and a BIGINT 5 hash differently)
+    // while the exact join coerces both sides to a common type before
+    // comparing — hashing the raw columns would bloom-drop every true
+    // match across an int/long key pair. Equal-typed keys hash raw;
+    // mixed NUMERIC keys hash through a double cast, which is
+    // CONSERVATIVE: join-equal values cast to the same double (no false
+    // negatives), distinct values that collide in double are mere bloom
+    // false positives the exact join removes. Anything else must match.
+    val (pt, bt) = (probe.schema(probeKey).dataType, build.schema(buildKey).dataType)
+    val (probeHashIn, buildHashIn) =
+      if (pt == bt) (col(probeKey), col(buildKey))
+      else {
+        require(pt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          bt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"bloomPrunedJoin keys must share a type or both be numeric, got $pt vs $bt")
+        (col(probeKey).cast("double"), col(buildKey).cast("double"))
+      }
     graft.expressions.GraftFunctions.registerAll(probe.sparkSession)
     val bits = numBits.getOrElse(defaultNumBits(expectedNdv))
     // one tiny job over the build side; the row carries only the merged
     // bloom bytes (null when the build side is empty — handled below)
     val bloomRow = build
       .select(call_function("graft_bloom_agg",
-        xxhash64(col(buildKey)), lit(expectedNdv), lit(bits)).as("bf"))
+        xxhash64(buildHashIn), lit(expectedNdv), lit(bits)).as("bf"))
       .head()
     val bloomBytes =
       if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0)
     // empty build: might_contain(NULL, h) is NULL → the filter drops every
     // probe row, which IS the inner/semi result for an empty build side
     val pruned = probe.where(call_function("graft_might_contain",
-      lit(bloomBytes), xxhash64(col(probeKey))))
+      lit(bloomBytes), xxhash64(probeHashIn)))
     // dataset-qualified keys: same AMBIGUOUS_REFERENCE hazard SkewJoin
     // documents when both sides share the key name
     pruned.join(build, pruned(probeKey) === build(buildKey), joinType)

@@ -82,6 +82,8 @@ object ZOrder {
     val b = df.agg(
       min(col(xCol)).cast(LongType), max(col(xCol)).cast(LongType),
       min(col(yCol)).cast(LongType), max(col(yCol)).cast(LongType)).head()
+    require(!b.anyNull,
+      s"z-order needs rows with non-null $xCol/$yCol, got none")
     val (xmin, xmax, ymin, ymax) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     require(xmax > xmin && ymax > ymin,

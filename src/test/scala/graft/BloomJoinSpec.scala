@@ -32,6 +32,23 @@ class BloomJoinSpec extends SparkTestBase {
     assert(semi == plainSemi)
   }
 
+  test("mixed int/long key types still match (hash coerced like the join)") {
+    // xxhash64 hashes INT 5 and BIGINT 5 differently; without the double
+    // coercion the bloom would drop every true match between these sides
+    val intProbe = (0 until 100).map(i => (i % 20, s"p$i")).toDF("k", "pv")
+    val longBuild = Seq((0L, "b0"), (5L, "b5"), (19L, "b19")).toDF("bk", "bv")
+    val got = BloomJoin.bloomPrunedJoin(intProbe, "k", longBuild, "bk")
+      .select("k", "pv", "bv").collect().map(_.toString).sorted.toSeq
+    val want = intProbe.join(longBuild, col("k") === col("bk"))
+      .select("k", "pv", "bv").collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.size == 15)
+    // non-numeric type mismatch is rejected, not silently wrong
+    val strBuild = Seq(("5", "s")).toDF("bk", "bv")
+    assertThrows[IllegalArgumentException] {
+      BloomJoin.bloomPrunedJoin(intProbe, "k", strBuild, "bk")
+    }
+  }
+
   test("probe-emitting join types are rejected") {
     for (jt <- Seq("left_outer", "left_anti", "full_outer", "right"))
       assertThrows[IllegalArgumentException] {

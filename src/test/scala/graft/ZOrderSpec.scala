@@ -66,5 +66,11 @@ class ZOrderSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException] {
       ZOrder.cluster(df, "x", "y", tmp("graft-zorder-degenerate"))
     }
+    // empty input: the null min/max must surface as the same descriptive
+    // guard, not an opaque NPE from Row.getLong on a null cell
+    assertThrows[IllegalArgumentException] {
+      ZOrder.cluster(df.where(lit(false)), "x", "y",
+        tmp("graft-zorder-empty"))
+    }
   }
 }
