@@ -43,29 +43,22 @@ object NgramIndex {
   case class Config(n: Int = 4, expectedNdv: Long = 1L << 20, fpp: Double = 0.02)
 
   /** Pruning decision for one search: which live data files must be read,
-    * and why. `candidates` = bloom-passing indexed files + unindexed
-    * files; `pruned` = live files the index proved cannot match.
+    * and why — the shared sidecar-index decision shape
+    * ([[SidecarIndex.Pruning]]).
     */
-  case class Pruning(candidates: Seq[String], pruned: Long, unindexed: Long)
+  type Pruning = SidecarIndex.Pruning
+  val Pruning = SidecarIndex.Pruning
 
   private def indexPath(tablePath: String) =
-    new org.apache.hadoop.fs.Path(tablePath, IndexDirName)
+    SidecarIndex.indexPath(tablePath, IndexDirName)
 
-  /** Scheme-insensitive file identity: `input_file_name()`, `inputFiles`
-    * and Hadoop listings render the same local file as `file:///p`,
-    * `file:/p` or `/p` depending on the producer.
-    */
-  private def norm(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  private def norm(p: String): String = SidecarIndex.norm(p)
 
-  private def indexExists(spark: SparkSession, tablePath: String): Boolean = {
-    val p = indexPath(tablePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-  }
+  private def indexExists(spark: SparkSession, tablePath: String): Boolean =
+    SidecarIndex.exists(spark, tablePath, IndexDirName)
 
   private def readIndex(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(indexPath(tablePath).toString)
+    SidecarIndex.read(spark, tablePath, IndexDirName)
 
   /** Index every live data file not yet indexed; returns the newly indexed
     * files. `rebuild = true` starts from scratch (also the way to change
@@ -152,26 +145,9 @@ object NgramIndex {
     * post-TTL hygiene; correctness never needs it — dead rows are ignored
     * by [[prune]] — but they cost probe I/O forever).
     */
-  def vacuum(spark: SparkSession, tablePath: String): Long = {
-    if (!indexExists(spark, tablePath)) return 0L
-    val liveSet = LogSchema.readLogs(spark, tablePath).inputFiles.map(norm).toSet
-    val all = readIndex(spark, tablePath).collect()
-    val keep = all.filter(r => liveSet(norm(r.getString(r.fieldIndex("file")))))
-    val dead = all.length - keep.length
-    if (dead > 0) {
-      val kept = spark.createDataFrame(
-        java.util.Arrays.asList(keep: _*),
-        readIndex(spark, tablePath).schema)
-      // stage-then-swap so a crash mid-vacuum leaves a usable index
-      val ip = indexPath(tablePath)
-      val staged = new org.apache.hadoop.fs.Path(tablePath, "." + IndexDirName + ".vacuum")
-      kept.coalesce(1).write.mode("overwrite").parquet(staged.toString)
-      val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(ip, true)
-      fs.rename(staged, ip)
-    }
-    dead.toLong
-  }
+  def vacuum(spark: SparkSession, tablePath: String): Long =
+    SidecarIndex.vacuum(spark, tablePath, IndexDirName,
+      LogSchema.readLogs(spark, tablePath).inputFiles.toSeq)
 
   /** The pruning decision for `needle`, or None when the index cannot help
     * (missing, or the needle is shorter than the gram width — no gram of
@@ -192,13 +168,8 @@ object NgramIndex {
       .select(col("file"),
         NgramBloomExprs.bloomContainsAll(col("bloom"), hashes).as("ok"))
       .collect().map(r => norm(r.getString(0)) -> r.getBoolean(1)).toMap
-    val passing = verdicts.collect { case (f, true) => f }.toSet
-    val indexed = verdicts.keySet
-    val live = LogSchema.readLogs(spark, tablePath).inputFiles.toSeq
-    val (known, unindexed) = live.partition(f => indexed(norm(f)))
-    val candidates = known.filter(f => passing(norm(f))) ++ unindexed
-    Some(Pruning(candidates, pruned = (live.size - candidates.size).toLong,
-      unindexed = unindexed.size.toLong))
+    Some(SidecarIndex.decide(verdicts,
+      LogSchema.readLogs(spark, tablePath).inputFiles.toSeq))
   }
 
   /** Substring search over the table's `log` column, skip-reading via the

@@ -40,29 +40,19 @@ import org.apache.spark.sql.functions._
 object ZoneMapIndex {
   val IndexDirName = "_graft_zonemap_index"
 
-  /** Which live data files a range predicate must read, and why:
-    * `candidates` = range-overlapping indexed files + unindexed files;
-    * `pruned` = live files the index proved cannot match.
+  /** Which live data files a range predicate must read, and why —
+    * the shared sidecar-index decision shape.
     */
-  case class Pruning(candidates: Seq[String], pruned: Long, unindexed: Long)
+  type Pruning = SidecarIndex.Pruning
+  val Pruning = SidecarIndex.Pruning
 
-  private def indexPath(tablePath: String) =
-    new org.apache.hadoop.fs.Path(tablePath, IndexDirName)
+  private def norm(p: String): String = SidecarIndex.norm(p)
 
-  /** Scheme-insensitive file identity (same hazard [[NgramIndex.norm]]
-    * documents: `file:///p` vs `file:/p` vs `/p`).
-    */
-  private def norm(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
-
-  private def indexExists(spark: SparkSession, tablePath: String): Boolean = {
-    val p = indexPath(tablePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-  }
+  private def indexExists(spark: SparkSession, tablePath: String): Boolean =
+    SidecarIndex.exists(spark, tablePath, IndexDirName)
 
   private def readIndex(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.parquet(indexPath(tablePath).toString)
+    SidecarIndex.read(spark, tablePath, IndexDirName)
 
   private def tableFiles(spark: SparkSession, tablePath: String): Seq[String] =
     spark.read.parquet(tablePath).inputFiles.toSeq
@@ -97,33 +87,17 @@ object ZoneMapIndex {
         col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi")))
       .reduce(_ unionAll _)
     rows.write.mode(if (rebuild) "overwrite" else "append")
-      .parquet(indexPath(tablePath).toString)
+      .parquet(SidecarIndex.indexPath(tablePath, IndexDirName).toString)
     todo
   }
 
   /** Drop index rows whose data file no longer exists (post-compaction /
     * post-TTL hygiene; correctness never needs it — dead rows are ignored
-    * by [[prune]]). Stage-then-swap like [[NgramIndex.vacuum]].
+    * by [[prune]]). Shared stage-then-swap ([[SidecarIndex.vacuum]]).
     */
-  def vacuum(spark: SparkSession, tablePath: String): Long = {
-    if (!indexExists(spark, tablePath)) return 0L
-    val liveSet = tableFiles(spark, tablePath).map(norm).toSet
-    val all = readIndex(spark, tablePath).collect()
-    val keep = all.filter(r => liveSet(norm(r.getString(r.fieldIndex("file")))))
-    val dead = all.length - keep.length
-    if (dead > 0) {
-      val kept = spark.createDataFrame(
-        java.util.Arrays.asList(keep: _*),
-        readIndex(spark, tablePath).schema)
-      val ip = indexPath(tablePath)
-      val staged = new org.apache.hadoop.fs.Path(tablePath, "." + IndexDirName + ".vacuum")
-      kept.coalesce(1).write.mode("overwrite").parquet(staged.toString)
-      val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(ip, true)
-      fs.rename(staged, ip)
-    }
-    dead.toLong
-  }
+  def vacuum(spark: SparkSession, tablePath: String): Long =
+    SidecarIndex.vacuum(spark, tablePath, IndexDirName,
+      tableFiles(spark, tablePath))
 
   /** The pruning decision for `lo ≤ colName ≤ hi`, or None when the index
     * cannot help (missing, or the column was never indexed).
@@ -152,12 +126,7 @@ object ZoneMapIndex {
         r.getDouble(2) >= qlo && r.getDouble(1) <= qhi
       norm(r.getString(0)) -> ok
     }.toMap
-    val passing = verdicts.collect { case (f, true) => f }.toSet
-    val live = tableFiles(spark, tablePath)
-    val (known, unindexed) = live.partition(f => verdicts.contains(norm(f)))
-    val candidates = known.filter(f => passing(norm(f))) ++ unindexed
-    Some(Pruning(candidates, pruned = (live.size - candidates.size).toLong,
-      unindexed = unindexed.size.toLong))
+    Some(SidecarIndex.decide(verdicts, tableFiles(spark, tablePath)))
   }
 
   /** Range scan through the index: exactly equivalent to
