@@ -86,32 +86,10 @@ object NgramIndex {
     GraftFunctions.registerAll(spark)
     val live: Seq[String] =
       if (partitions.isEmpty) LogSchema.readLogs(spark, tablePath).inputFiles.toSeq
-      else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        partitions.flatMap { dir =>
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(conf)
-          if (!fs.exists(p)) Nil
-          else fs.listStatus(p).toSeq.collect {
-            case f if f.isFile && !f.getPath.getName.startsWith(".") &&
-              !f.getPath.getName.startsWith("_") => f.getPath.toString
-          }
-        }
-      }
+      else SidecarIndex.listFiles(spark.sparkContext.hadoopConfiguration, partitions)
     val have: Set[String] =
       if (rebuild || !indexExists(spark, tablePath)) Set.empty
-      else {
-        // scoped probe: a parquet string predicate per named day keeps the
-        // collected path set proportional to the partitions being indexed
-        val idx = readIndex(spark, tablePath).select("file")
-        val scoped =
-          if (partitions.isEmpty) idx
-          else partitions
-            .map(d => "/" + new org.apache.hadoop.fs.Path(d).getName + "/")
-            .map(seg => idx.where(col("file").contains(seg)))
-            .reduce(_ unionAll _)
-        scoped.collect().map(r => norm(r.getString(0))).toSet
-      }
+      else SidecarIndex.indexedFiles(readIndex(spark, tablePath), partitions)
     val todo = live.filterNot(f => have(norm(f)))
     if (todo.isEmpty) return Seq.empty
     val rows = spark.read

@@ -37,6 +37,41 @@ private[model] object SidecarIndex {
   def read(spark: SparkSession, tablePath: String, dirName: String): DataFrame =
     spark.read.parquet(indexPath(tablePath, dirName).toString)
 
+  /** Data files directly under the given partition DIRS (full paths) —
+    * the scoped discovery both index builds use so a caller that knows
+    * what it just wrote (the streaming sink, per micro-batch) pays
+    * O(hot partitions), not O(table), per invocation.
+    */
+  def listFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      dirs: Seq[String]): Seq[String] =
+    dirs.flatMap { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.collect {
+        case f if f.isFile && !f.getPath.getName.startsWith(".") &&
+          !f.getPath.getName.startsWith("_") => f.getPath.toString
+      }
+    }
+
+  /** Already-indexed file paths, optionally scoped to partition dirs: a
+    * parquet string predicate per named dir keeps the collected path set
+    * proportional to the partitions being indexed.
+    */
+  def indexedFiles(
+      idx: DataFrame, partitions: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    val files = idx.select("file").distinct()
+    val scoped =
+      if (partitions.isEmpty) files
+      else partitions
+        .map(d => "/" + new org.apache.hadoop.fs.Path(d).getName + "/")
+        .map(seg => files.where(col("file").contains(seg)))
+        .reduce(_ unionAll _)
+    scoped.collect().map(r => norm(r.getString(0))).toSet
+  }
+
   /** Combine a per-file verdict map with the live file list into the
     * pruning decision — the staleness contract both indexes share: a live
     * file the index has never seen is always a candidate; an index row

@@ -60,18 +60,24 @@ object ZoneMapIndex {
   /** Index every live data file not yet indexed for `cols`; returns the
     * newly indexed files. `rebuild = true` starts from scratch (also the
     * way to change the column set; implicitly vacuums dead rows).
+    * `partitions` scopes both the discovery listing and the
+    * already-indexed probe to those partition DIRS (full paths), so a
+    * caller that knows what it just wrote — the streaming sink, per
+    * micro-batch — pays O(hot partitions), not O(table), per invocation.
     */
   def build(
       spark: SparkSession,
       tablePath: String,
       cols: Seq[String],
-      rebuild: Boolean = false): Seq[String] = {
+      rebuild: Boolean = false,
+      partitions: Seq[String] = Nil): Seq[String] = {
     require(cols.nonEmpty, "zone map needs at least one column")
-    val live = tableFiles(spark, tablePath)
+    val live: Seq[String] =
+      if (partitions.isEmpty) tableFiles(spark, tablePath)
+      else SidecarIndex.listFiles(spark.sparkContext.hadoopConfiguration, partitions)
     val have: Set[String] =
       if (rebuild || !indexExists(spark, tablePath)) Set.empty
-      else readIndex(spark, tablePath).select("file").distinct()
-        .collect().map(r => norm(r.getString(0))).toSet
+      else SidecarIndex.indexedFiles(readIndex(spark, tablePath), partitions)
     val todo = live.filterNot(f => have(norm(f)))
     if (todo.isEmpty) return Seq.empty
     val aggs = cols.flatMap(c => Seq(
@@ -140,15 +146,18 @@ object ZoneMapIndex {
       colName: String,
       lo: Double,
       hi: Double): DataFrame = {
-    val full = spark.read.parquet(tablePath)
-      .where(col(colName).between(lo, hi))
+    // the exact predicate evaluates in the same double space the index
+    // stores — explicit for types (timestamp) that won't implicitly
+    // coerce against a double literal, identical coercion for the rest
+    def exact(df: DataFrame) =
+      df.where(col(colName).cast("double").between(lo, hi))
+    val full = exact(spark.read.parquet(tablePath))
     prune(spark, tablePath, colName, lo, hi) match {
       case Some(p) if p.pruned > 0 =>
         if (p.candidates.isEmpty) full.limit(0)
-        else spark.read
+        else exact(spark.read
           .option("basePath", tablePath) // keep partition columns
-          .parquet(p.candidates: _*)
-          .where(col(colName).between(lo, hi))
+          .parquet(p.candidates: _*))
       case _ => full
     }
   }

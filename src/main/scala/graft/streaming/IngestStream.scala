@@ -133,7 +133,8 @@ object IngestStream {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
       queryName: Option[String] = None,
-      ngramIndex: Option[NgramIndex.Config] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+      ngramIndex: Option[NgramIndex.Config] = None,
+      zoneMapCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
     // resolved once per writer, on the driver (foreachBatch runs there):
     // the checkpoint metadata file exists before the first batch fires
     var generationId: String = null
@@ -152,7 +153,8 @@ object IngestStream {
         if (!fs.exists(marker)) {
           // cached only when indexing needs a second pass over the batch
           // (the distinct-day probe); otherwise the write is the sole pass
-          if (ngramIndex.isDefined) batch.persist()
+          val indexing = ngramIndex.isDefined || zoneMapCols.nonEmpty
+          if (indexing) batch.persist()
           try {
             LogSchema.writePartitioned(batch, outPath, mode = "append")
             fs.create(marker, true).close()
@@ -169,17 +171,25 @@ object IngestStream {
             // and a crash in between merely leaves files unindexed (they
             // are scanned, not lost — NgramIndex's staleness contract)
             // until the next batch's build converges them.
-            ngramIndex.foreach { cfg =>
+            if (indexing) {
               // same day derivation as writePartitioned: date=to_date(ts)
               val days = batch
                 .select(to_date(col("timestamp")).cast("string").as("d"))
                 .distinct().collect().map(_.getString(0))
               val dirs = days.map(d =>
                 new org.apache.hadoop.fs.Path(base, s"date=$d").toString).toSeq
-              NgramIndex.build(batch.sparkSession, outPath,
-                cfg.n, cfg.expectedNdv, cfg.fpp, partitions = dirs)
+              ngramIndex.foreach { cfg =>
+                NgramIndex.build(batch.sparkSession, outPath,
+                  cfg.n, cfg.expectedNdv, cfg.fpp, partitions = dirs)
+              }
+              // the minmax sidecar rides the same per-batch hook and the
+              // same staleness contract (ClickHouse builds minmax granules
+              // on every INSERT alongside ngrambf, schema.sql:15-19)
+              if (zoneMapCols.nonEmpty)
+                graft.model.ZoneMapIndex.build(batch.sparkSession, outPath,
+                  zoneMapCols, partitions = dirs)
             }
-          } finally if (ngramIndex.isDefined) { batch.unpersist(); () }
+          } finally if (indexing) { batch.unpersist(); () }
         }
         ()
       }

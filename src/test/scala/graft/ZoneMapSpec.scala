@@ -66,6 +66,38 @@ class ZoneMapSpec extends SparkTestBase {
     assert(got.length == 1, "the file whose min IS the query point must be read")
   }
 
+  test("index-at-ingest: the streaming sink maintains the zone map per micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.IngestStream
+    val in = tmp("graft-zm-sin"); val out = tmp("graft-zm-sout")
+    val ckpt = tmp("graft-zm-sckpt")
+    def lines(n: Int, day: Int): Seq[String] =
+      (0 until n).map { i =>
+        s"""{"ts":"2026-01-${f"$day%02d"}T08:00:${f"${i % 60}%02d"}Z","cluster":"c1","kubernetes":{"namespace_name":"ns${i % 2}","pod_name":"pod-$i","container_name":"main","host":"h1","labels":{"app":"a"}},"log":"zm line $i","content":{"level":"info"}}"""
+      }
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b1.json"),
+      lines(20, 10).mkString("\n").getBytes("UTF-8"))
+    val q = IngestStream.sinkPartitionedParquet(
+      IngestStream.ingested(IngestStream.readJsonLines(spark, in)),
+      out, ckpt, Trigger.ProcessingTime(0),
+      zoneMapCols = Seq("timestamp")).start()
+    q.processAllAvailable()
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "b2.json"),
+      lines(20, 11).mkString("\n").getBytes("UTF-8"))
+    q.processAllAvailable()
+    q.stop()
+
+    // no manual build: the sink indexed both batches' days itself
+    def epoch(s: String) = java.time.Instant.parse(s).getEpochSecond.toDouble
+    val dayB = ZoneMapIndex.prune(spark, out, "timestamp",
+      epoch("2026-01-11T00:00:00Z"), epoch("2026-01-11T23:59:59Z")).get
+    assert(dayB.unindexed == 0, "every streamed file must be indexed at ingest")
+    assert(dayB.pruned > 0, s"day-A files must prune for a day-B range: $dayB")
+    val got = ZoneMapIndex.rangeScan(spark, out, "timestamp",
+      epoch("2026-01-11T00:00:00Z"), epoch("2026-01-11T23:59:59Z")).count()
+    assert(got == 20L, "the indexed range scan must return exactly day B's rows")
+  }
+
   test("vacuum drops rows for deleted files; scans stay exact afterwards") {
     val out = tmp("graft-zonemap-vacuum")
     writeClustered(out)
