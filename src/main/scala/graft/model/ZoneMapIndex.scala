@@ -118,7 +118,21 @@ object ZoneMapIndex {
       tablePath: String,
       colName: String,
       lo: Double,
-      hi: Double): Option[Pruning] = {
+      hi: Double): Option[Pruning] =
+    pruneAgainst(spark, tablePath, colName, lo, hi,
+      tableFiles(spark, tablePath))
+
+  /** [[prune]] with the live file list supplied by a caller that already
+    * has it — [[rangeScan]] builds the full-table frame anyway, so the
+    * table is listed once per scan, not twice.
+    */
+  private def pruneAgainst(
+      spark: SparkSession,
+      tablePath: String,
+      colName: String,
+      lo: Double,
+      hi: Double,
+      live: Seq[String]): Option[Pruning] = {
     if (!indexExists(spark, tablePath)) return None
     val qlo = Math.nextDown(lo)
     val qhi = Math.nextUp(hi)
@@ -132,7 +146,7 @@ object ZoneMapIndex {
         r.getDouble(2) >= qlo && r.getDouble(1) <= qhi
       norm(r.getString(0)) -> ok
     }.toMap
-    Some(SidecarIndex.decide(verdicts, tableFiles(spark, tablePath)))
+    Some(SidecarIndex.decide(verdicts, live))
   }
 
   /** Range scan through the index: exactly equivalent to
@@ -151,8 +165,10 @@ object ZoneMapIndex {
     // coerce against a double literal, identical coercion for the rest
     def exact(df: DataFrame) =
       df.where(col(colName).cast("double").between(lo, hi))
-    val full = exact(spark.read.parquet(tablePath))
-    prune(spark, tablePath, colName, lo, hi) match {
+    val fullTable = spark.read.parquet(tablePath)
+    val full = exact(fullTable)
+    pruneAgainst(spark, tablePath, colName, lo, hi,
+      fullTable.inputFiles.toSeq) match {
       case Some(p) if p.pruned > 0 =>
         if (p.candidates.isEmpty) full.limit(0)
         else exact(spark.read
