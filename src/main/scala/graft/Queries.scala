@@ -796,13 +796,20 @@ object Queries {
       val t1 = java.time.Instant.parse("2024-01-25T00:00:00Z")
       val page1 = graft.query.LogQuery.logs(frame, q, t0, t1,
         limit = 50, tieBreak = Seq("id")).select("timestamp", "id").collect()
-      require(page1.length == 50,
-        s"page-2 fixture expects a full first page, got ${page1.length}")
-      val last = page1.last
-      graft.query.LogQuery.logsAfter(frame, q, t0, t1,
-          cursorTs = last.getTimestamp(0).toInstant, cursorId = last.getLong(1),
-          limit = 50)
-        .select(col("id"), unix_millis(col("timestamp")).as("ts_ms"))
+      // a SHORT first page means the result set ends there: page 2 via
+      // the cursor (rows strictly after the last delivered row) is empty,
+      // exactly like the oracle's OFFSET 50 — so tiny scale factors stay
+      // correct instead of tripping a full-page fixture requirement
+      if (page1.isEmpty)
+        frame.limit(0)
+          .select(col("id"), unix_millis(col("timestamp")).as("ts_ms"))
+      else {
+        val last = page1.last
+        graft.query.LogQuery.logsAfter(frame, q, t0, t1,
+            cursorTs = last.getTimestamp(0).toInstant,
+            cursorId = last.getLong(1), limit = 50)
+          .select(col("id"), unix_millis(col("timestamp")).as("ts_ms"))
+      }
     },
     Some(s"""SELECT event_id AS id, $msEv AS ts_ms FROM events
         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
