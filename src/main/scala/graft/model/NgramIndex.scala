@@ -84,6 +84,10 @@ object NgramIndex {
       rebuild: Boolean = false,
       partitions: Seq[String] = Nil): Seq[String] = {
     GraftFunctions.registerAll(spark)
+    require(!rebuild || partitions.isEmpty,
+      "rebuild with a partition scope would overwrite the whole sidecar " +
+        "with only the scoped rows, wiping index coverage everywhere else; " +
+        "rebuild the full table, or use vacuum + incremental build")
     val live: Seq[String] =
       if (partitions.isEmpty) LogSchema.readLogs(spark, tablePath).inputFiles.toSeq
       else SidecarIndex.listFiles(spark.sparkContext.hadoopConfiguration, partitions)

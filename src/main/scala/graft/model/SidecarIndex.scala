@@ -55,22 +55,24 @@ private[model] object SidecarIndex {
       }
     }
 
-  /** Already-indexed file paths, optionally scoped to partition dirs: a
-    * parquet string predicate per named dir keeps the collected path set
-    * proportional to the partitions being indexed.
+  /** Restrict an index frame (with a `file` column) to rows under the
+    * named partition dirs: a parquet string predicate per dir keeps the
+    * collected set proportional to the partitions being probed.
     */
-  def indexedFiles(
-      idx: DataFrame, partitions: Seq[String]): Set[String] = {
+  def scopeToPartitions(idx: DataFrame, partitions: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val files = idx.select("file").distinct()
-    val scoped =
-      if (partitions.isEmpty) files
-      else partitions
-        .map(d => "/" + new org.apache.hadoop.fs.Path(d).getName + "/")
-        .map(seg => files.where(col("file").contains(seg)))
-        .reduce(_ unionAll _)
-    scoped.collect().map(r => norm(r.getString(0))).toSet
+    if (partitions.isEmpty) idx
+    else partitions
+      .map(d => "/" + new org.apache.hadoop.fs.Path(d).getName + "/")
+      .map(seg => idx.where(col("file").contains(seg)))
+      .reduce(_ unionAll _)
   }
+
+  /** Already-indexed file paths, optionally scoped to partition dirs. */
+  def indexedFiles(
+      idx: DataFrame, partitions: Seq[String]): Set[String] =
+    scopeToPartitions(idx.select("file").distinct(), partitions)
+      .collect().map(r => norm(r.getString(0))).toSet
 
   /** Combine a per-file verdict map with the live file list into the
     * pruning decision — the staleness contract both indexes share: a live

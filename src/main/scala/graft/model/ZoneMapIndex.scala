@@ -35,7 +35,13 @@ import org.apache.spark.sql.functions._
   *   - bounds are stored as DOUBLE; a long that doesn't fit 2⁵³ can round
   *     by ≤ 0.5 ulp in either direction, so [[prune]] widens the QUERY
   *     bounds by one ulp before comparing — pruning stays conservative
-  *     for every numeric input type.
+  *     for every numeric input type. Note the domain limit this implies:
+  *     [[rangeScan]]'s EXACT re-filter also evaluates in double space
+  *     (its `lo`/`hi` API is double), so for integer keys at or beyond
+  *     2⁵³ — where distinct longs collapse to one double — boundary rows
+  *     can differ from an integer-space comparison. Keys of that
+  *     magnitude need the caller's own exact predicate over [[prune]]'s
+  *     candidate list.
   */
 object ZoneMapIndex {
   val IndexDirName = "_graft_zonemap_index"
@@ -72,29 +78,48 @@ object ZoneMapIndex {
       rebuild: Boolean = false,
       partitions: Seq[String] = Nil): Seq[String] = {
     require(cols.nonEmpty, "zone map needs at least one column")
+    require(!rebuild || partitions.isEmpty,
+      "rebuild with a partition scope would overwrite the whole sidecar " +
+        "with only the scoped rows, wiping index coverage everywhere else; " +
+        "rebuild the full table, or use vacuum + incremental build")
     val live: Seq[String] =
       if (partitions.isEmpty) tableFiles(spark, tablePath)
       else SidecarIndex.listFiles(spark.sparkContext.hadoopConfiguration, partitions)
-    val have: Set[String] =
-      if (rebuild || !indexExists(spark, tablePath)) Set.empty
-      else SidecarIndex.indexedFiles(readIndex(spark, tablePath), partitions)
-    val todo = live.filterNot(f => have(norm(f)))
-    if (todo.isEmpty) return Seq.empty
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"lo_$c"),
-      max(col(c)).cast("double").as(s"hi_$c")))
-    val perFile = spark.read.option("basePath", tablePath).parquet(todo: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-    // unpivot to the narrow (file, col, lo, hi) shape so one sidecar
-    // serves any column set and later builds can add columns per file
-    val rows = cols.map(c => perFile.select(
-        col("file"), lit(c).as("col"),
-        col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi")))
-      .reduce(_ unionAll _)
-    rows.write.mode(if (rebuild) "overwrite" else "append")
-      .parquet(SidecarIndex.indexPath(tablePath, IndexDirName).toString)
-    todo
+    // per-(file, column) coverage, not per-file: a later build with a
+    // widened column set must re-read files that miss the new columns
+    val have: Map[String, Set[String]] =
+      if (rebuild || !indexExists(spark, tablePath)) Map.empty
+      else SidecarIndex.scopeToPartitions(
+          readIndex(spark, tablePath).select("file", "col"), partitions)
+        .collect().groupBy(r => norm(r.getString(0)))
+        .map { case (f, rs) => f -> rs.map(_.getString(1)).toSet }
+    // group files by WHICH columns they miss, one aggregate pass per
+    // distinct missing set (normally one: all-new files missing all cols)
+    val missingByFile: Seq[(String, Set[String])] = live
+      .map(f => f -> (cols.toSet -- have.getOrElse(norm(f), Set.empty)))
+      .filter(_._2.nonEmpty)
+    if (missingByFile.isEmpty) return Seq.empty
+    val out = SidecarIndex.indexPath(tablePath, IndexDirName).toString
+    for ((missing, files) <- missingByFile.groupBy(_._2)
+        .view.mapValues(_.map(_._1)).toSeq) {
+      val missingCols = cols.filter(missing) // keep caller order
+      val aggs = missingCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c")))
+      val perFile = spark.read.option("basePath", tablePath).parquet(files: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      // unpivot to the narrow (file, col, lo, hi) shape: one sidecar
+      // serves any column set, and this loop adds columns per file
+      val rows = missingCols.map(c => perFile.select(
+          col("file"), lit(c).as("col"),
+          col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi")))
+        .reduce(_ unionAll _)
+      // under rebuild `have` is empty, so every file misses every column
+      // and this loop has exactly one group — overwrite runs at most once
+      rows.write.mode(if (rebuild) "overwrite" else "append").parquet(out)
+    }
+    missingByFile.map(_._1)
   }
 
   /** Drop index rows whose data file no longer exists (post-compaction /

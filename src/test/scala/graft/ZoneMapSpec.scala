@@ -57,6 +57,31 @@ class ZoneMapSpec extends SparkTestBase {
     assert(ZoneMapIndex.prune(spark, out, "x", 6000d, 6100d).get.unindexed == 0)
   }
 
+  test("widening the column set re-indexes existing files for the new columns only") {
+    val out = tmp("graft-zonemap-addcol")
+    writeClustered(out)
+    assert(ZoneMapIndex.build(spark, out, Seq("x")).size == 8)
+    // a per-file `have` set would return empty here and leave `id`
+    // unindexed forever; per-(file, column) coverage must re-read
+    assert(ZoneMapIndex.build(spark, out, Seq("x", "id")).size == 8)
+    assert(ZoneMapIndex.prune(spark, out, "id", 0d, 10d).isDefined,
+      "the added column must become pruneable")
+    assert(ZoneMapIndex.build(spark, out, Seq("x", "id")).isEmpty,
+      "converged: nothing left to index")
+    val got = ZoneMapIndex.rangeScan(spark, out, "id", 100d, 200d).count()
+    assert(got == 101L)
+  }
+
+  test("rebuild scoped to partitions is rejected (it would wipe the rest of the sidecar)") {
+    val out = tmp("graft-zonemap-rebuildscope")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    assertThrows[IllegalArgumentException] {
+      ZoneMapIndex.build(spark, out, Seq("x"), rebuild = true,
+        partitions = Seq(out))
+    }
+  }
+
   test("query bounds exactly on a file's min/max keep the file (ulp-widened compare)") {
     val out = tmp("graft-zonemap-boundary")
     writeClustered(out)
