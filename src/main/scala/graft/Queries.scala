@@ -1983,11 +1983,22 @@ object Queries {
     // ADC scan of the cached code table (the compressed corpus) plus the
     // exact re-rank refine pass — the codebook fit + encode is the
     // amortized build, like simSearchIvf
-    (s, dir) => annCertified(s, dir, minRecall = 0.6)(
-      Similarity.pqQueryRefined(Fixtures.pqIndex(s, dir),
-        t(s, dir, "embeddings"),
-        t(s, dir, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, shortlist = 50)),
+    (s, dir) => {
+      // plain PQ has NO cell pruning: the ADC scan ranks the whole
+      // corpus, so the shortlist feeding the exact re-rank must scale
+      // with the corpus to hold recall (a fixed 50 was 10% of the
+      // sf0.01 corpus but 2.5% at sf0.1, where the cert failed) —
+      // 10% of corpus, floored at 50. Corpus-proportional work is
+      // inherent to refined flat-PQ; cell-pruned shortlists are what
+      // sim_search_ivfpq exists for.
+      val n = t(s, dir, "embeddings").count()
+      annCertified(s, dir, minRecall = 0.6)(
+        Similarity.pqQueryRefined(Fixtures.pqIndex(s, dir),
+          t(s, dir, "embeddings"),
+          t(s, dir, "embeddings").where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5,
+          shortlist = math.max(50L, n / 10).toInt))
+    },
     Some(annOracleSql))
 
   /** The weak-label quality-filter loop, agg_approx_distinct-style oracle:
