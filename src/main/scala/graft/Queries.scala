@@ -2035,11 +2035,19 @@ object Queries {
     // the full composition: probed cells only (IVF pruning) scanned as
     // codes (PQ compression), then the exact refine pass — FAISS
     // IndexIVFPQ + RefineFlat; the amortized index comes from the fixture
-    (s, dir) => annCertified(s, dir, minRecall = 0.5)(
-      Similarity.ivfPqQueryRefined(Fixtures.ivfPqIndex(s, dir),
-        t(s, dir, "embeddings"),
-        t(s, dir, "embeddings").where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, shortlist = 50, nprobe = 4)),
+    (s, dir) => {
+      // like sim_search_pq: the shortlist feeding the exact refine must
+      // scale with what the probed cells contain (nprobe/numCells of the
+      // corpus) or ADC error swamps recall as the corpus grows — the sf1
+      // soak caught the fixed 50 failing at 10×
+      val n = t(s, dir, "embeddings").count()
+      annCertified(s, dir, minRecall = 0.5)(
+        Similarity.ivfPqQueryRefined(Fixtures.ivfPqIndex(s, dir),
+          t(s, dir, "embeddings"),
+          t(s, dir, "embeddings").where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5,
+          shortlist = math.max(50L, n / 20).toInt, nprobe = 4))
+    },
     Some(annOracleSql))
 
   /** Exact-mode k-NN join (nprobe = numCells): every embedding finds its 3
@@ -2074,7 +2082,8 @@ object Queries {
               (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
                sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
             4) AS cosine
-          FROM e q, e c WHERE c.vec_id <> q.vec_id)
+          FROM e q, e c
+          WHERE c.vec_id <> q.vec_id AND q.vec_id < 2000)
         SELECT qid, rank, nid, cosine FROM (
           SELECT qid, nid, cosine,
             ROW_NUMBER() OVER (PARTITION BY qid
@@ -2526,15 +2535,21 @@ object Queries {
         t(s, dir, "lineitem"), "l_partkey",
         t(s, dir, "part").where(col("p_size") <= 2), "p_partkey",
         "inner", expectedNdv = 1L << 16)
+      // revenue as EXACT integer cents (per-item half-away round, long
+      // sum): a double sum rounded at the end is addition-order-sensitive
+      // in its last ulp, and at sf1 magnitudes (~3e8) that flipped the
+      // 2-decimal rounding vs the oracle's sequential sum
       pruned.groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("cnt"),
-          r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          sum(r((col("l_extendedprice") * (lit(1) - col("l_discount"))) *
+              lit(100), 0).cast(LongType))
+            .as("revenue_cents"))
         .orderBy("p_brand")
     },
     Some("""SELECT p_brand, count(*) AS cnt,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        sum(round((l_extendedprice * (1 - l_discount)) * 100)::BIGINT)::BIGINT
+          AS revenue_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_size <= 2 GROUP BY 1 ORDER BY p_brand"""))
 
@@ -2695,17 +2710,26 @@ object Queries {
           concat_ws("", col("tokens")).as("rebuilt"),
           regexp_replace(lower(col("text")), "\\s+", "").as("norm"),
           col("n_tokens"))
+      // compression certs, scale-robust: tokenization can never EXPAND a
+      // doc (structural BPE guarantee — certified for every doc), while
+      // "the learned merges actually shrink it" is a corpus-statistics
+      // claim — outlier docs whose character mix the merge table never
+      // saw legitimately stay character-level as the corpus grows (the
+      // sf1 soak caught the every-doc form failing), so it is certified
+      // on ≥ 95% of docs
       joined.agg(
         count(lit(1)).as("n_docs"),
         (count(when(col("rebuilt") === col("norm"), 1)) === count(lit(1)))
           .as("all_reconstruct_ok"),
         (count(when(
           when(length(col("norm")) === 0, col("n_tokens") === 0)
-            .otherwise(col("n_tokens") < length(col("norm"))), 1)) ===
-          count(lit(1))).as("all_compress_ok"))
+            .otherwise(col("n_tokens") <= length(col("norm"))), 1)) ===
+          count(lit(1))).as("none_expand_ok"),
+        (count(when(col("n_tokens") < length(col("norm")), 1)) >=
+          count(lit(1)) * 0.95).as("compress_95_ok"))
     },
     Some("""SELECT count(*) AS n_docs, TRUE AS all_reconstruct_ok,
-        TRUE AS all_compress_ok FROM documents"""))
+        TRUE AS none_expand_ok, TRUE AS compress_95_ok FROM documents"""))
 
   /** Deflate bytes are engine-specific, but the quality SIGNAL is
     * certifiable (agg_approx_distinct pattern): the doc count and total
@@ -2991,12 +3015,20 @@ object Queries {
           graft.model.Rollup.podsOverlap(col("th1"), col("th2")).as("est_both"),
           graft.model.Rollup.podsChurned(col("th1"), col("th2")).as("est_gone"))
       val exact = Fixtures.podDayTruth(s, dir)
+      // tolerance scales with the OPERAND set (day-1's pod population =
+      // n_both + n_gone), not the result: a sketch intersection or
+      // difference carries the sketches' error, which is relative to the
+      // sets being combined — a small n_gone out of a large population
+      // legitimately has error proportional to the population (the sf1
+      // soak caught the result-relative bound failing exactly there)
       est.join(exact, "day1")
         .select(col("day1"), col("day2"), col("n_both"), col("n_gone"),
           (abs(col("est_both") - col("n_both")) <=
-            greatest(col("n_both") * 0.05, lit(2.0))).as("both_ok"),
+            greatest((col("n_both") + col("n_gone")) * 0.05, lit(2.0)))
+            .as("both_ok"),
           (abs(col("est_gone") - col("n_gone")) <=
-            greatest(col("n_gone") * 0.05, lit(2.0))).as("gone_ok"))
+            greatest((col("n_both") + col("n_gone")) * 0.05, lit(2.0)))
+            .as("gone_ok"))
         .orderBy("day1")
     },
     Some("""WITH dp AS (
