@@ -170,6 +170,14 @@ object Queries {
         deleteOnExit(out)
         val ev = t(s, dir, "events")
           .withColumn("ts_ms", unix_millis(col("ts")))
+          // a NaN-poisoned double alongside the clustered dims: every
+          // file inherits a few NaN rows (event_id mod 97 spreads across
+          // z-cells), so the zone-map oracle row exercises the NaN-bounds
+          // path end to end — an index that lets NaN poison a file's max
+          // would prune EVERY file here and drop the whole result
+          .withColumn("metric",
+            when(col("event_id") % 97 === 0, lit(Double.NaN))
+              .otherwise(col("user_id").cast(DoubleType)))
         val bounds = graft.operators.ZOrder.cluster(ev, "user_id", "ts_ms", out)
         (out, bounds)
       })
@@ -184,7 +192,8 @@ object Queries {
         s: SparkSession, dir: String): (String, (Long, Long, Long, Long)) =
       zorderTables.getOrElseUpdate(dir + "#zonemap", {
         val (out, bounds) = zorderedEventsDir(s, dir)
-        graft.model.ZoneMapIndex.build(s, out, Seq("user_id", "ts_ms"))
+        graft.model.ZoneMapIndex.build(s, out,
+          Seq("user_id", "ts_ms", "metric"))
         (out, bounds)
       })
 
@@ -2648,16 +2657,36 @@ object Queries {
       val (zdir, (umin, umax, _, _)) = Fixtures.zorderedIndexedEventsDir(s, dir)
       val ulo = umin + (umax - umin) * 3 / 10
       val uhi = umin + (umax - umin) * 4 / 10
-      graft.model.ZoneMapIndex.rangeScan(
+      val clean = graft.model.ZoneMapIndex.rangeScan(
           s, zdir, "user_id", ulo.toDouble, uhi.toDouble)
         .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("checksum"))
+      // same range over the NaN-poisoned `metric` (== user_id except the
+      // event_id % 97 rows, which are NaN — fixture scaladoc): the scan
+      // must keep every file's non-NaN in-range rows while both engines
+      // agree NaN itself never matches a range; a NaN-poisoned max that
+      // pruned whole files would zero these columns
+      val poisoned = graft.model.ZoneMapIndex.rangeScan(
+          s, zdir, "metric", ulo.toDouble, uhi.toDouble)
+        .agg(count(lit(1)).as("n_rows_nanpoisoned"),
+          sum(col("event_id")).as("checksum_nanpoisoned"))
+      clean.crossJoin(poisoned)
     },
     Some("""WITH m AS (SELECT min(user_id) AS umin, max(user_id) AS umax
-          FROM events)
-        SELECT count(*) AS n_rows, sum(event_id)::BIGINT AS checksum
-        FROM events, m
-        WHERE user_id >= umin + ((umax - umin) * 3) // 10
-          AND user_id <= umin + ((umax - umin) * 4) // 10"""))
+          FROM events),
+        b AS (SELECT umin + ((umax - umin) * 3) // 10 AS ulo,
+              umin + ((umax - umin) * 4) // 10 AS uhi FROM m),
+        ev AS (SELECT event_id, user_id,
+            CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE
+                 ELSE user_id::DOUBLE END AS metric FROM events)
+        SELECT
+          (SELECT count(*) FROM ev, b
+            WHERE user_id >= ulo AND user_id <= uhi) AS n_rows,
+          (SELECT sum(event_id)::BIGINT FROM ev, b
+            WHERE user_id >= ulo AND user_id <= uhi) AS checksum,
+          (SELECT count(*) FROM ev, b
+            WHERE metric >= ulo AND metric <= uhi) AS n_rows_nanpoisoned,
+          (SELECT sum(event_id)::BIGINT FROM ev, b
+            WHERE metric >= ulo AND metric <= uhi) AS checksum_nanpoisoned"""))
 
   private val maintenanceCompact = Q(
     // read side of the compacted fixture: per-day counts + a distinct

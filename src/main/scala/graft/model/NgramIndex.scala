@@ -91,10 +91,14 @@ object NgramIndex {
     val live: Seq[String] =
       if (partitions.isEmpty) LogSchema.readLogs(spark, tablePath).inputFiles.toSeq
       else SidecarIndex.listFiles(spark.sparkContext.hadoopConfiguration, partitions)
-    val have: Set[String] =
-      if (rebuild || !indexExists(spark, tablePath)) Set.empty
-      else SidecarIndex.indexedFiles(readIndex(spark, tablePath), partitions)
-    val todo = live.filterNot(f => have(norm(f)))
+    // distributed coverage probe ([[SidecarIndex.missingFiles]]): only
+    // the files that actually need indexing come back to the driver —
+    // the index's own rows (file paths at 10⁵–10⁶-file scale) never do
+    val todo: Seq[String] =
+      if (rebuild || !indexExists(spark, tablePath)) live
+      else SidecarIndex.missingFiles(spark,
+        SidecarIndex.scopeToPartitions(
+          readIndex(spark, tablePath).select("file"), partitions), live)
     if (todo.isEmpty) return Seq.empty
     val rows = spark.read
       .option("basePath", tablePath)

@@ -28,14 +28,47 @@ private[model] object SidecarIndex {
   def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
+  private def stagedPath(tablePath: String, dirName: String) =
+    new org.apache.hadoop.fs.Path(tablePath, "." + dirName + ".vacuum")
+
+  private def asidePath(tablePath: String, dirName: String) =
+    new org.apache.hadoop.fs.Path(tablePath, "." + dirName + ".old")
+
+  /** Crash recovery for [[vacuum]]'s rename-aside swap: the staged dir is
+    * complete before the first rename ever runs, so index-missing +
+    * staged-present can only mean the crash fell between vacuum's two
+    * renames — promote the staged dir and carry on. (Same protocol as
+    * [[DedupIndex]]'s table vacuum.) Every read path funnels through
+    * [[exists]]/[[read]], so recovery is automatic on the next probe.
+    */
+  private def recover(
+      spark: SparkSession, tablePath: String, dirName: String): Unit = {
+    val ip = indexPath(tablePath, dirName)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = stagedPath(tablePath, dirName)
+    if (!fs.exists(ip) && fs.exists(staged))
+      require(fs.rename(staged, ip),
+        s"sidecar vacuum recovery failed: $staged -> $ip")
+  }
+
   def exists(spark: SparkSession, tablePath: String, dirName: String): Boolean = {
+    recover(spark, tablePath, dirName)
     val p = indexPath(tablePath, dirName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
-  def read(spark: SparkSession, tablePath: String, dirName: String): DataFrame =
+  def read(spark: SparkSession, tablePath: String, dirName: String): DataFrame = {
+    recover(spark, tablePath, dirName)
     spark.read.parquet(indexPath(tablePath, dirName).toString)
+  }
+
+  /** [[norm]] as a plan-side expression (a pure lambda — no object
+    * capture), for joins that must key on file identity executor-side.
+    */
+  def normFile: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (p: String) => new org.apache.hadoop.fs.Path(p).toUri.getPath)
 
   /** Data files directly under the given partition DIRS (full paths) —
     * the scoped discovery both index builds use so a caller that knows
@@ -68,11 +101,47 @@ private[model] object SidecarIndex {
       .reduce(_ unionAll _)
   }
 
-  /** Already-indexed file paths, optionally scoped to partition dirs. */
-  def indexedFiles(
-      idx: DataFrame, partitions: Seq[String]): Set[String] =
-    scopeToPartitions(idx.select("file").distinct(), partitions)
-      .collect().map(r => norm(r.getString(0))).toSet
+  /** Live files with NO index coverage, via a distributed anti-join —
+    * unlike a collect-the-index-and-diff, the index's rows never visit
+    * the driver; only the MISSING files come back (bounded by the files
+    * that actually need work — normally the fresh ingest since the last
+    * build, while the live list itself is driver-side in the caller
+    * already, like Spark's own file listing). Returned paths are the
+    * caller's original (un-normalized) ones, ready for a parquet read.
+    */
+  def missingFiles(
+      spark: SparkSession, idxKeys: DataFrame, live: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    import sp.implicits._
+    val wanted = live.map(norm).toDF("file")
+    val idxN = idxKeys.select(normFile(col("file")).as("file")).distinct()
+    val missing = wanted.join(idxN, Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    live.filter(f => missing(norm(f)))
+  }
+
+  /** Per-(file, column) variant of [[missingFiles]] for indexes whose
+    * coverage is column-granular: returns, per original live path, the
+    * subset of `cols` the index does not cover for it (absent = fully
+    * covered). Same anti-join shape — index rows stay on executors.
+    */
+  def missingCoverage(
+      spark: SparkSession,
+      idxKeys: DataFrame,
+      live: Seq[String],
+      cols: Seq[String]): Seq[(String, Set[String])] = {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    import sp.implicits._
+    val byNorm = live.map(f => norm(f) -> f).toMap
+    val wanted = live.map(norm).toDF("file").crossJoin(cols.toDF("col"))
+    val idxN = idxKeys.select(normFile(col("file")).as("file"), col("col"))
+    wanted.join(idxN, Seq("file", "col"), "left_anti")
+      .collect()
+      .groupBy(_.getString(0)).toSeq
+      .map { case (f, rs) => byNorm(f) -> rs.map(_.getString(1)).toSet }
+  }
 
   /** Combine a per-file verdict map with the live file list into the
     * pruning decision — the staleness contract both indexes share: a live
@@ -89,31 +158,57 @@ private[model] object SidecarIndex {
   /** Drop index rows whose data file no longer exists (post-compaction /
     * post-TTL hygiene; correctness never needs it — dead rows are ignored
     * by the pruning decision — but they cost probe I/O forever). `file`
-    * must be the index schema's file-path column. Stage-then-swap so a
-    * crash mid-vacuum leaves a usable index; the swap steps are checked
-    * and throw rather than silently leaving a half state.
+    * must be the index schema's file-path column.
+    *
+    * Scale shape: the rewrite is a DISTRIBUTED anti/semi join of the
+    * index against the (broadcast) live-path list — index rows, which for
+    * the ngram index carry per-file bloom byte arrays, never visit the
+    * driver; only the live path strings do, and those are driver-side in
+    * the caller already (the same order of driver state as Spark's own
+    * file listing). Output is re-sized to `targetBytes` files, not
+    * `coalesce(1)`.
+    *
+    * Publish is a rename-ASIDE swap (dst → .old, staged → dst, drop
+    * .old), so a crash at any instant leaves a usable index: before the
+    * first rename dst is untouched; between the two renames the staged
+    * dir is already complete and [[recover]] promotes it on the next
+    * read; after the second only a stale .old lingers, cleared by the
+    * next vacuum. The swap steps are checked and throw rather than
+    * silently leaving a half state.
     */
   def vacuum(
       spark: SparkSession,
       tablePath: String,
       dirName: String,
-      liveFiles: => Seq[String]): Long = {
+      liveFiles: => Seq[String],
+      targetBytes: Long = 128L << 20): Long = {
     if (!exists(spark, tablePath, dirName)) return 0L
-    val liveSet = liveFiles.map(norm).toSet
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val ip = indexPath(tablePath, dirName)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = stagedPath(tablePath, dirName)
+    val old = asidePath(tablePath, dirName)
+    fs.delete(old, true) // stale aside from a prior vacuum's last instant
+    val sp = spark
+    import sp.implicits._
+    val live = broadcast(
+      liveFiles.map(norm).toDF("_live_file"))
     val idx = read(spark, tablePath, dirName)
-    val all = idx.collect()
-    val keep = all.filter(r => liveSet(norm(r.getString(r.fieldIndex("file")))))
-    val dead = all.length - keep.length
+    val keyed = idx.withColumn("_nf", normFile(col("file")))
+    val dead = keyed
+      .join(live, keyed("_nf") === live("_live_file"), "left_anti").count()
     if (dead > 0) {
-      val kept = spark.createDataFrame(
-        java.util.Arrays.asList(keep: _*), idx.schema)
-      val ip = indexPath(tablePath, dirName)
-      val staged = new org.apache.hadoop.fs.Path(tablePath, "." + dirName + ".vacuum")
-      kept.coalesce(1).write.mode("overwrite").parquet(staged.toString)
-      val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.delete(ip, true), s"vacuum could not delete $ip")
-      require(fs.rename(staged, ip), s"vacuum could not publish $staged -> $ip")
+      val bytes = fs.getContentSummary(ip).getLength
+      val parts = math.max(1L, bytes / targetBytes).toInt
+      keyed.join(live, keyed("_nf") === live("_live_file"), "left_semi")
+        .drop("_nf")
+        .coalesce(parts).write.mode("overwrite").parquet(staged.toString)
+      require(fs.rename(ip, old), s"vacuum swap (aside) failed: $ip -> $old")
+      require(fs.rename(staged, ip),
+        s"vacuum swap (promote) failed: $staged -> $ip")
+      fs.delete(old, true)
+      ()
     }
-    dead.toLong
+    dead
   }
 }

@@ -86,26 +86,37 @@ object ZoneMapIndex {
       if (partitions.isEmpty) tableFiles(spark, tablePath)
       else SidecarIndex.listFiles(spark.sparkContext.hadoopConfiguration, partitions)
     // per-(file, column) coverage, not per-file: a later build with a
-    // widened column set must re-read files that miss the new columns
-    val have: Map[String, Set[String]] =
-      if (rebuild || !indexExists(spark, tablePath)) Map.empty
-      else SidecarIndex.scopeToPartitions(
-          readIndex(spark, tablePath).select("file", "col"), partitions)
-        .collect().groupBy(r => norm(r.getString(0)))
-        .map { case (f, rs) => f -> rs.map(_.getString(1)).toSet }
-    // group files by WHICH columns they miss, one aggregate pass per
-    // distinct missing set (normally one: all-new files missing all cols)
-    val missingByFile: Seq[(String, Set[String])] = live
-      .map(f => f -> (cols.toSet -- have.getOrElse(norm(f), Set.empty)))
-      .filter(_._2.nonEmpty)
+    // widened column set must re-read files that miss the new columns.
+    // Computed as a distributed anti-join ([[SidecarIndex.missingCoverage]])
+    // so the index's own rows never land on the driver — only the files
+    // that actually need work come back
+    val missingByFile: Seq[(String, Set[String])] =
+      if (rebuild || !indexExists(spark, tablePath))
+        live.map(f => f -> cols.toSet)
+      else SidecarIndex.missingCoverage(spark,
+        SidecarIndex.scopeToPartitions(
+          readIndex(spark, tablePath).select("file", "col"), partitions),
+        live, cols)
     if (missingByFile.isEmpty) return Seq.empty
     val out = SidecarIndex.indexPath(tablePath, IndexDirName).toString
     for ((missing, files) <- missingByFile.groupBy(_._2)
         .view.mapValues(_.map(_._1)).toSeq) {
       val missingCols = cols.filter(missing) // keep caller order
-      val aggs = missingCols.flatMap(c => Seq(
-        min(col(c)).cast("double").as(s"lo_$c"),
-        max(col(c)).cast("double").as(s"hi_$c")))
+      // NaN is excluded from the stored bounds: Spark's min/max sort NaN
+      // greatest, so one NaN row would poison a file's `hi` to NaN and
+      // every range verdict would reject it — pruning a file whose OTHER
+      // rows are in range. Since NaN satisfies no between(lo, hi)
+      // predicate anyway (NaN compares greater than every finite value,
+      // in Spark and DuckDB alike), bounds over the non-NaN values are
+      // exact for range pruning. A file holding ONLY NaN/null values
+      // gets null bounds and is pruned — correctly, none of its rows can
+      // match any range. (Cast-then-min equals min-then-cast: the
+      // numeric→double casts are monotone.)
+      val aggs = missingCols.flatMap { c =>
+        val d = col(c).cast("double")
+        val finite = when(!isnan(d), d)
+        Seq(min(finite).as(s"lo_$c"), max(finite).as(s"hi_$c"))
+      }
       val perFile = spark.read.option("basePath", tablePath).parquet(files: _*)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
@@ -133,10 +144,11 @@ object ZoneMapIndex {
   /** The pruning decision for `lo ≤ colName ≤ hi`, or None when the index
     * cannot help (missing, or the column was never indexed).
     *
-    * A file whose indexed bounds are NULL holds no non-null values of the
-    * column — a range predicate cannot select any of its rows, so it is
-    * pruned. Query bounds are ulp-widened against the stored-double
-    * rounding (scaladoc above).
+    * A file whose indexed bounds are NULL holds no non-null, non-NaN
+    * values of the column — a range predicate cannot select any of its
+    * rows (NaN satisfies no between predicate), so it is pruned. Query
+    * bounds are ulp-widened against the stored-double rounding (scaladoc
+    * above).
     */
   def prune(
       spark: SparkSession,
@@ -158,6 +170,9 @@ object ZoneMapIndex {
       lo: Double,
       hi: Double,
       live: Seq[String]): Option[Pruning] = {
+    require(!lo.isNaN && !hi.isNaN,
+      "a NaN query bound matches nothing under range semantics (NaN " +
+        "satisfies no between predicate) — filter NaN explicitly instead")
     if (!indexExists(spark, tablePath)) return None
     val qlo = Math.nextDown(lo)
     val qhi = Math.nextUp(hi)
@@ -167,8 +182,14 @@ object ZoneMapIndex {
       .collect()
     if (rows.isEmpty) return None
     val verdicts = rows.map { r =>
-      val ok = !r.isNullAt(1) && !r.isNullAt(2) &&
-        r.getDouble(2) >= qlo && r.getDouble(1) <= qhi
+      // NaN bounds can only come from an index built before [[build]]
+      // stripped NaN — they carry no range information, so the file
+      // must be scanned, never pruned (belt-and-braces with the
+      // build-side exclusion; a rebuild restores tight bounds)
+      val ok = !r.isNullAt(1) && !r.isNullAt(2) && {
+        val flo = r.getDouble(1); val fhi = r.getDouble(2)
+        flo.isNaN || fhi.isNaN || (fhi >= qlo && flo <= qhi)
+      }
       norm(r.getString(0)) -> ok
     }.toMap
     Some(SidecarIndex.decide(verdicts, live))

@@ -253,4 +253,40 @@ class NgramIndexSpec extends SparkTestBase {
     assert(ids(NgramIndex.searchLogs(spark, table, "purchase")) == expected)
     assert(NgramIndex.prune(spark, table, "purchase").get.unindexed == 0)
   }
+
+  test("vacuum crash windows: between-renames state recovers on read; stale aside dir is cleaned") {
+    val table = freshTable("graft-ngidx-crash")
+    NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    def ids(df: DataFrame): Seq[Long] = df.select("id").as[Long].collect().sorted.toSeq
+    val expected = ids(fullScan(table, "purchase"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ip = new org.apache.hadoop.fs.Path(table, NgramIndex.IndexDirName)
+    val fs = ip.getFileSystem(conf)
+
+    // simulate a crash BETWEEN vacuum's two renames: index dir gone,
+    // complete staged dir present — exactly the state the old
+    // delete-then-rename protocol could strand forever
+    val staged = new org.apache.hadoop.fs.Path(table,
+      "." + NgramIndex.IndexDirName + ".vacuum")
+    require(fs.rename(ip, staged))
+    assert(!fs.exists(ip) && fs.exists(staged))
+    val p = NgramIndex.prune(spark, table, "purchase")
+    assert(p.isDefined && p.get.unindexed == 0,
+      "the next probe must PROMOTE the staged dir, not fall back to a full scan")
+    assert(fs.exists(ip) && !fs.exists(staged), "recovery renames staged -> index")
+    assert(ids(NgramIndex.searchLogs(spark, table, "purchase")) == expected)
+
+    // a stale .old aside (crash after promote, before the final delete)
+    // must never block or corrupt the next vacuum
+    val old = new org.apache.hadoop.fs.Path(table,
+      "." + NgramIndex.IndexDirName + ".old")
+    fs.mkdirs(old)
+    val victim = new org.apache.hadoop.fs.Path(
+      LogSchema.readLogs(spark, table).inputFiles.head)
+    fs.delete(victim, false)
+    assert(NgramIndex.vacuum(spark, table) >= 1L)
+    assert(!fs.exists(old), "vacuum clears the stale aside dir")
+    val expected2 = ids(fullScan(table, "purchase"))
+    assert(ids(NgramIndex.searchLogs(spark, table, "purchase")) == expected2)
+  }
 }

@@ -123,6 +123,48 @@ class ZoneMapSpec extends SparkTestBase {
     assert(got == 20L, "the indexed range scan must return exactly day B's rows")
   }
 
+  test("NaN values never hide in-range rows; NaN-only files still prune") {
+    val out = tmp("graft-zonemap-nan")
+    // 4 tight-span files over x ∈ [0, 4000), each POISONED with one NaN
+    // row: Spark's max() returns NaN for such a file, and NaN bounds
+    // fail every `hi >= qlo` verdict — before the build-side NaN strip,
+    // rangeScan silently dropped every one of these files' rows
+    (0 until 4000).map { i =>
+      val x = if (i % 1000 == 999) Double.NaN else i.toDouble
+      (i.toLong, x)
+    }.toDF("id", "x")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+
+    val got = ZoneMapIndex.rangeScan(spark, out, "x", 2500d, 3500d)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.read.parquet(out).where(col("x").between(2500d, 3500d))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty,
+      "a file of in-range rows plus one NaN must be scanned, not pruned")
+    // the strip must not DISABLE pruning: out-of-range files still skip
+    val p = ZoneMapIndex.prune(spark, out, "x", 2500d, 3500d).get
+    assert(p.pruned >= 2, s"out-of-range poisoned files must still prune: $p")
+
+    // a file holding ONLY NaN values matches no range — prunable, and
+    // both scan paths agree on excluding its rows
+    Seq((99001L, Double.NaN), (99002L, Double.NaN)).toDF("id", "x")
+      .coalesce(1).write.mode("append").parquet(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    val p2 = ZoneMapIndex.prune(spark, out, "x", 0d, 4000d).get
+    assert(p2.unindexed == 0 && p2.pruned >= 1,
+      s"the all-NaN file must be indexed (null bounds) and pruned: $p2")
+    val full = ZoneMapIndex.rangeScan(spark, out, "x", 0d, 4000d)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!full.contains(99001L) && !full.contains(99002L))
+
+    // NaN query bounds are a caller error, not a silent empty result
+    assertThrows[IllegalArgumentException] {
+      ZoneMapIndex.rangeScan(spark, out, "x", Double.NaN, 4000d).count()
+    }
+  }
+
   test("vacuum drops rows for deleted files; scans stay exact afterwards") {
     val out = tmp("graft-zonemap-vacuum")
     writeClustered(out)
@@ -135,5 +177,22 @@ class ZoneMapSpec extends SparkTestBase {
     val got = ZoneMapIndex.rangeScan(spark, out, "x", 0d, 8000d).count()
     val want = spark.read.parquet(out).count()
     assert(got == want, "post-vacuum scans must match the surviving table")
+  }
+
+  test("vacuum crash window: between-renames state recovers on the next probe") {
+    val out = tmp("graft-zonemap-crash")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ip = new org.apache.hadoop.fs.Path(out, ZoneMapIndex.IndexDirName)
+    val staged = new org.apache.hadoop.fs.Path(out,
+      "." + ZoneMapIndex.IndexDirName + ".vacuum")
+    require(fs.rename(ip, staged)) // crash fell between vacuum's renames
+    val p = ZoneMapIndex.prune(spark, out, "x", 2500d, 3500d)
+    assert(p.isDefined && p.get.pruned >= 5,
+      "the next probe must promote the staged dir and keep pruning")
+    assert(fs.exists(ip) && !fs.exists(staged))
+    assert(ZoneMapIndex.rangeScan(spark, out, "x", 2500d, 3500d).count() == 1001L)
   }
 }
