@@ -49,6 +49,23 @@ object Queries {
     private val nestedIngest =
       scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
+    /** Memoized fixture CONSTRUCTION must run at most once: TrieMap's
+      * `getOrElseUpdate` may evaluate a losing thunk concurrently, which
+      * is merely wasteful for fixtures built into fresh temp dirs but a
+      * real race for the ones that APPEND a sidecar index to a shared
+      * table dir (two concurrent ZoneMapIndex/NgramIndex builds appending
+      * the same sidecar parquet would double its rows). Double-checked on
+      * the cache's own monitor — reentrant, so fixtures may compose
+      * (zonemap → zorder, ngramidx → logTable) — and the fast path after
+      * construction stays a lock-free TrieMap read.
+      */
+    private def memo[V](
+        cache: scala.collection.concurrent.TrieMap[String, V],
+        key: String)(build: => V): V =
+      cache.get(key).getOrElse(cache.synchronized {
+        cache.getOrElseUpdate(key, build)
+      })
+
     /** Session-scoped cache entry: DataFrames/indexes are bound to their
       * session, so validate by OBJECT IDENTITY and rebuild on mismatch —
       * keying by identityHashCode alone could hand a later session (hash
@@ -92,7 +109,7 @@ object Queries {
       * exists in the scanned files.
       */
     def logTableDir(s: SparkSession, dir: String): String =
-      logTables.getOrElseUpdate(dir, {
+      memo(logTables, dir) {
         val out = java.nio.file.Files.createTempDirectory("graft-logtable").toString
         deleteOnExit(out)
         LogSchema.writePartitioned(
@@ -102,7 +119,7 @@ object Queries {
             numberKeys = Seq("event.value")),
           out)
         out
-      })
+      }
 
     /** A fragmented-then-compacted copy of the log table: the streaming
       * sink's one-file-per-flush layout merged by
@@ -111,7 +128,7 @@ object Queries {
       * merge-and-swap byte-for-byte at the aggregate level.
       */
     def compactedLogTableDir(s: SparkSession, dir: String): String =
-      logTables.getOrElseUpdate(dir + "#compacted", {
+      memo(logTables, dir + "#compacted") {
         val out = java.nio.file.Files.createTempDirectory("graft-compacted").toString
         deleteOnExit(out)
         LogSchema.logsFromEvents(t(s, dir, "events"))
@@ -122,7 +139,7 @@ object Queries {
           targetBytes = 1L << 40, minFiles = 2, jobParallelism = 8)
         require(stats.nonEmpty, "compaction fixture must see fragmented days")
         out
-      })
+      }
 
     /** A partitioned log table with retention already enforced: the TTL
       * drop (schema.sql:19) reckoned against the DATA's own "now" (its
@@ -130,7 +147,7 @@ object Queries {
       * keep the newest 7 days, drop the 23 older partition dirs.
       */
     def retainedLogTableDir(s: SparkSession, dir: String): String =
-      logTables.getOrElseUpdate(dir + "#retained", {
+      memo(logTables, dir + "#retained") {
         val out = java.nio.file.Files.createTempDirectory("graft-retained").toString
         deleteOnExit(out)
         val logs = LogSchema.logsFromEvents(t(s, dir, "events"))
@@ -140,7 +157,7 @@ object Queries {
         val dropped = LogSchema.dropPartitionsBefore(s, out, maxDay.minusDays(6))
         require(dropped.nonEmpty, "retention fixture must drop expired days")
         out
-      })
+      }
 
     /** The partitioned log table with its n-gram bloom skip index built
       * (sidecar only — the underscore dir is invisible to table reads, so
@@ -148,11 +165,11 @@ object Queries {
       * fixture files hold a few thousand distinct grams each.
       */
     def indexedLogTableDir(s: SparkSession, dir: String): String =
-      logTables.getOrElseUpdate(dir + "#ngramidx", {
+      memo(logTables, dir + "#ngramidx") {
         val base = logTableDir(s, dir)
         NgramIndex.build(s, base, n = 4, expectedNdv = 1L << 16, fpp = 0.02)
         base
-      })
+      }
 
     /** The events table rewritten Z-order-clustered on
       * (user_id, event-time millis) — [[graft.operators.ZOrder.cluster]]'s
@@ -165,7 +182,7 @@ object Queries {
 
     def zorderedEventsDir(
         s: SparkSession, dir: String): (String, (Long, Long, Long, Long)) =
-      zorderTables.getOrElseUpdate(dir, {
+      memo(zorderTables, dir) {
         val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
         deleteOnExit(out)
         val ev = t(s, dir, "events")
@@ -180,7 +197,7 @@ object Queries {
               .otherwise(col("user_id").cast(DoubleType)))
         val bounds = graft.operators.ZOrder.cluster(ev, "user_id", "ts_ms", out)
         (out, bounds)
-      })
+      }
 
     /** The z-ordered events table plus its min/max zone-map sidecar
       * ([[graft.model.ZoneMapIndex]]) over both clustered dimensions —
@@ -190,12 +207,12 @@ object Queries {
       */
     def zorderedIndexedEventsDir(
         s: SparkSession, dir: String): (String, (Long, Long, Long, Long)) =
-      zorderTables.getOrElseUpdate(dir + "#zonemap", {
+      memo(zorderTables, dir + "#zonemap") {
         val (out, bounds) = zorderedEventsDir(s, dir)
         graft.model.ZoneMapIndex.build(s, out,
           Seq("user_id", "ts_ms", "metric"))
         (out, bounds)
-      })
+      }
 
     /** A log table plus its incrementally-maintained rollup
       * ([[graft.model.Rollup]]): ingest lands in two batches — everything
@@ -206,7 +223,7 @@ object Queries {
       */
     def rollupDirs(s: SparkSession, dir: String): (String, String) = {
       val key = dir + "#rollup"
-      logTables.getOrElseUpdate(key, {
+      memo(logTables, key) {
         val src = java.nio.file.Files.createTempDirectory("graft-rollup-src").toString
         val out = java.nio.file.Files.createTempDirectory("graft-rollup").toString
         deleteOnExit(src); deleteOnExit(out)
@@ -223,7 +240,7 @@ object Queries {
             Seq((maxDay, "changed")),
           s"rollup fixture: expected exactly [$maxDay changed], got $second")
         src + "\t" + out
-      }).split('\t') match { case Array(a, b) => (a, b) }
+      }.split('\t') match { case Array(a, b) => (a, b) }
     }
 
     /** A log table written WITHOUT promoted columns, then backfilled by
@@ -232,7 +249,7 @@ object Queries {
       * where promotion happens at write time.
       */
     def materializedLogTableDir(s: SparkSession, dir: String): String =
-      logTables.getOrElseUpdate(dir + "#materialized", {
+      memo(logTables, dir + "#materialized") {
         val out = java.nio.file.Files.createTempDirectory("graft-materialized").toString
         deleteOnExit(out)
         LogSchema.logsFromEvents(t(s, dir, "events"))
@@ -245,7 +262,7 @@ object Queries {
         require(rewritten.nonEmpty,
           "materialize fixture must backfill at least one partition")
         out
-      })
+      }
 
     private val bpeMergeCache =
       scala.collection.concurrent.TrieMap.empty[String, Seq[graft.operators.Bpe.Merge]]
@@ -257,9 +274,10 @@ object Queries {
       * encode path.
       */
     def bpeMerges(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
-      bpeMergeCache.getOrElseUpdate(dir,
+      memo(bpeMergeCache, dir) {
         graft.operators.Bpe.train(t(s, dir, "documents"), "text",
-          numMerges = 32, maxVocab = 50000))
+          numMerges = 32, maxVocab = 50000)
+      }
 
     /** One shared ingest of the nested-JSON rendering of `events` — the
       * parse is the expensive step and both flatten_nested and
@@ -323,7 +341,7 @@ object Queries {
       * Built once and probed by every rebuild; paths are (corpus, full).
       */
     def dedupIndexDirs(s: SparkSession, dir: String): (String, String) =
-      logTables.getOrElseUpdate(dir + "#dedupidx", {
+      memo(logTables, dir + "#dedupidx") {
         val corpus = java.nio.file.Files.createTempDirectory("graft-dedupidx-c").toString
         val full = java.nio.file.Files.createTempDirectory("graft-dedupidx-f").toString
         deleteOnExit(corpus); deleteOnExit(full)
@@ -332,7 +350,7 @@ object Queries {
           docs.where(col("doc_id") < 400), "doc_id", "text", corpus)
         graft.model.DedupIndex.build(docs, "doc_id", "text", full)
         corpus + "\t" + full
-      }).split('\t') match { case Array(a, b) => (a, b) }
+      }.split('\t') match { case Array(a, b) => (a, b) }
 
     private val qualityModels =
       scala.collection.concurrent.TrieMap.empty[String, (SparkSession, org.apache.spark.ml.PipelineModel)]
@@ -466,7 +484,7 @@ object Queries {
       * expected output directly against `events`.
       */
     def fbChunkDir(s: SparkSession, dir: String): String =
-      fbChunkDirs.getOrElseUpdate(dir, {
+      memo(fbChunkDirs, dir) {
         import graft.expressions.MsgpackWire
         val out = java.nio.file.Files.createTempDirectory("graft-fbchunks").toString
         deleteOnExit(out)
@@ -491,7 +509,7 @@ object Queries {
             MsgpackWire.encodeChunk(events))
         }
         out
-      })
+      }
 
     /** pairs → min-label clusters over the bounded verification set. ONE
       * definition shared by `dedup_cluster` (times it live) and [[clusters]]
@@ -3082,24 +3100,36 @@ object Queries {
           col("event_type") === "click",
           col("event_type") === "purchase"))
       .orderBy("user"),
+    // Oracle restated (round 10) as an O(n log n) window-function replay:
+    // the original EXISTS self-joins (view×click, view×click×purchase per
+    // user) exhausted DuckDB's temp disk at sf1 (SCALING.md). Same
+    // semantics, derived: a level-3 chain exists through click t2 iff the
+    // LATEST view ≤ t2 and the EARLIEST purchase ≥ t2 are ≤ window apart
+    // (max view / min purchase are jointly optimal since both constraints
+    // are monotone in them); RANGE frames include same-ms peers, matching
+    // the joins' `>=` tie semantics. Verified row-identical to the
+    // self-join form at sf0.01 and sf0.1.
     Some("""WITH e AS (
           SELECT user_id u, epoch_ms(ts) AS ms, event_type t FROM events
           WHERE user_id IS NOT NULL
             AND event_type IN ('view', 'click', 'purchase')),
-        l2 AS (SELECT DISTINCT e1.u FROM e e1 JOIN e e2
-          ON e2.u = e1.u AND e1.t = 'view' AND e2.t = 'click'
-          AND e2.ms >= e1.ms AND e2.ms - e1.ms <= 21600000),
-        l3 AS (SELECT DISTINCT e1.u FROM e e1
-          JOIN e e2 ON e2.u = e1.u AND e1.t = 'view' AND e2.t = 'click'
-            AND e2.ms >= e1.ms AND e2.ms - e1.ms <= 21600000
-          JOIN e e3 ON e3.u = e1.u AND e3.t = 'purchase'
-            AND e3.ms >= e2.ms AND e3.ms - e1.ms <= 21600000)
+        w AS (SELECT u, ms, t,
+            max(CASE WHEN t = 'view' THEN ms END) OVER
+              (PARTITION BY u ORDER BY ms
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastview,
+            min(CASE WHEN t = 'purchase' THEN ms END) OVER
+              (PARTITION BY u ORDER BY ms
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nextpur
+          FROM e)
         SELECT u AS "user",
-          CASE WHEN u IN (SELECT u FROM l3) THEN 3
-               WHEN u IN (SELECT u FROM l2) THEN 2
-               WHEN u IN (SELECT DISTINCT u FROM e WHERE t = 'view') THEN 1
-               ELSE 0 END AS level
-        FROM (SELECT DISTINCT u FROM e) ORDER BY "user""""))
+          max(CASE
+            WHEN t = 'click' AND lastview IS NOT NULL AND nextpur IS NOT NULL
+              AND nextpur - lastview <= 21600000 THEN 3
+            WHEN t = 'click' AND lastview IS NOT NULL
+              AND ms - lastview <= 21600000 THEN 2
+            WHEN t = 'view' THEN 1
+            ELSE 0 END) AS level
+        FROM w GROUP BY u ORDER BY "user""""))
 
   private val fnRetention = Q(
     (s, dir) => graft.operators.Funnel.retention(

@@ -196,9 +196,26 @@ object IngestStream {
     queryName.fold(w)(w.queryName)
   }
 
-  /** Commit markers kept per checkpoint generation; streaming replay only
-    * revisits the last uncommitted batches, so a deep tail is never
-    * consulted again.
+  /** Commit markers kept per checkpoint generation — the EXACTLY-ONCE
+    * HORIZON of the marker pattern, stated precisely:
+    *
+    *   - a replayed batch id within the last [[MarkerRetention]] batches
+    *     finds its marker and is skipped — the normal restart path, since
+    *     Structured Streaming replays only batches missing from the
+    *     checkpoint's `commits` log and retains at most
+    *     `spark.sql.streaming.minBatchesToRetain` (default 100 < 128) of
+    *     offset log to replay from: Spark's own replay horizon is
+    *     STRICTLY INSIDE the marker horizon, so no reachable restart
+    *     re-appends data;
+    *   - a batch id older than the horizon (only reachable by restoring
+    *     an out-of-band checkpoint BACKUP more than [[MarkerRetention]]
+    *     batches stale, or hand-editing the offset log) has had its
+    *     marker pruned and falls back to the documented at-least-once
+    *     floor: that batch's rows append a second time. Operators doing
+    *     checkpoint restores older than the horizon must dedup
+    *     downstream or raise [[MarkerRetention]] to cover their backup
+    *     depth — a marker is one empty file, so the cost of a much
+    *     larger horizon is directory entries, not bytes.
     */
   val MarkerRetention = 128L
 

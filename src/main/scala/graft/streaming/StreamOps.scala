@@ -215,7 +215,11 @@ object StreamOps {
     * and before the marker re-appends that batch's survivors once on
     * replay — the marker pattern's documented floor. Markers older than
     * [[IngestStream.MarkerRetention]] batches are pruned as newer ones
-    * commit, so `_graft_batches` stays bounded on long-lived streams. Scale shape per batch: the batch is
+    * commit, so `_graft_batches` stays bounded on long-lived streams; the
+    * precise exactly-once horizon that pruning implies (Spark's own
+    * replay horizon sits strictly inside it; only an out-of-band
+    * checkpoint restore deeper than the horizon falls to at-least-once)
+    * is stated on [[IngestStream.MarkerRetention]]. Scale shape per batch: the batch is
     * broadcast into the index probe — the corpus tables never shuffle —
     * and the batch is persisted once for its three uses (probe, survivor
     * filter, append).
