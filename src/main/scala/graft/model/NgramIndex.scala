@@ -58,7 +58,7 @@ object NgramIndex {
     SidecarIndex.exists(spark, tablePath, IndexDirName)
 
   private def readIndex(spark: SparkSession, tablePath: String): DataFrame =
-    SidecarIndex.read(spark, tablePath, IndexDirName)
+    SidecarIndex.readCached(spark, tablePath, IndexDirName)
 
   /** Index every live data file not yet indexed; returns the newly indexed
     * files. `rebuild = true` starts from scratch (also the way to change
@@ -196,9 +196,20 @@ object NgramIndex {
       query: String,
       n: Int = 4): DataFrame = {
     import graft.query.LogQuery
-    val full = LogQuery.filter(LogSchema.readLogs(spark, tablePath), query)
+    val logs = LogSchema.readLogs(spark, tablePath)
+    val full = LogQuery.filter(logs, query)
+    // ONE combined probe across both sidecar indexes: every provable
+    // log needle consults the n-gram blooms, every provable numeric
+    // range on a direct column consults the zone map, and the file list
+    // read is the INTERSECTION of all candidate sets — a query like
+    // `log = 'x' _and_ num_event_value < 3` skips a file when EITHER
+    // index can rule it out. Each prune is individually sound, so the
+    // intersection is too.
     val prunings = LogQuery.requiredLogNeedles(query)
-      .flatMap(prune(spark, tablePath, _, n))
+        .flatMap(prune(spark, tablePath, _, n)) ++
+      LogQuery.requiredNumericRanges(query, LogQuery.directColumns(logs))
+        .flatMap { case (f, lo, hi) =>
+          ZoneMapIndex.prune(spark, tablePath, f, lo, hi) }
     if (prunings.isEmpty) return full
     val cand = prunings.map(_.candidates.toSet).reduce(_ intersect _)
     if (prunings.forall(_.pruned == 0) && cand.nonEmpty) full

@@ -63,6 +63,53 @@ private[model] object SidecarIndex {
     spark.read.parquet(indexPath(tablePath, dirName).toString)
   }
 
+  /** [[read]] with an executor-side cache keyed by the index dir's
+    * GENERATION — the (name, length, mtime) signature of its files, one
+    * cheap listing per probe (parquet writes always create fresh file
+    * names, so any build/vacuum changes the signature and the next probe
+    * transparently re-reads). The frame is `persist`ed MEMORY_AND_DISK:
+    * bloom byte arrays stay on executors, repeated probes of a hot table
+    * skip the parquet decode that dominated the indexed-probe constant.
+    * Stopped-session and stale-generation entries are unpersisted on the
+    * next access; the fast path is one lock-free map read + one listing.
+    */
+  def readCached(spark: SparkSession, tablePath: String, dirName: String): DataFrame = {
+    recover(spark, tablePath, dirName)
+    val ip = indexPath(tablePath, dirName)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig: Seq[(String, Long, Long)] = fs.listStatus(ip).toSeq
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
+    val key = ip.toString
+    readCache.get(key) match {
+      case Some((owner, s0, df))
+          if (owner eq spark) && !owner.sparkContext.isStopped && s0 == sig =>
+        df
+      case _ => readCache.synchronized {
+        // re-check under the lock; evict whatever lost the race or went stale
+        readCache.get(key) match {
+          case Some((owner, s0, df))
+              if (owner eq spark) && !owner.sparkContext.isStopped && s0 == sig =>
+            df
+          case prior =>
+            prior.foreach { case (owner, _, df) =>
+              if (!owner.sparkContext.isStopped) {
+                try df.unpersist(false)
+                catch { case scala.util.control.NonFatal(_) => }
+              }
+            }
+            val df = spark.read.parquet(ip.toString)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            readCache.put(key, (spark, sig, df))
+            df
+        }
+      }
+    }
+  }
+
+  private val readCache = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, Seq[(String, Long, Long)], DataFrame)]
+
   /** [[norm]] as a plan-side expression (a pure lambda — no object
     * capture), for joins that must key on file identity executor-side.
     */

@@ -58,7 +58,7 @@ object ZoneMapIndex {
     SidecarIndex.exists(spark, tablePath, IndexDirName)
 
   private def readIndex(spark: SparkSession, tablePath: String): DataFrame =
-    SidecarIndex.read(spark, tablePath, IndexDirName)
+    SidecarIndex.readCached(spark, tablePath, IndexDirName)
 
   private def tableFiles(spark: SparkSession, tablePath: String): Seq[String] =
     spark.read.parquet(tablePath).inputFiles.toSeq

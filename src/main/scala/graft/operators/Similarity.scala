@@ -408,6 +408,11 @@ object Similarity {
       .drop("_salt")
     val filtered =
       if (excludeSelf) scored.where(col("qid") =!= col("nid")) else scored
+    // the rank-filter below triggers Catalyst's InferWindowGroupLimit:
+    // a PARTIAL WindowGroupLimit cuts every salt lane's task output to
+    // ≤ k rows per qid BEFORE the qid exchange (plan-pinned in
+    // PlanAuditSpec), so the shuffle carries O(queries·k·lanes) rows —
+    // the per-lane partial top-k, without hand-rolling one
     val rw = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     filtered
       .select(col("qid"), col("nid"),

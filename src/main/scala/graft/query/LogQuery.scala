@@ -372,6 +372,51 @@ object LogQuery {
     parse(query).map(go).getOrElse(Nil).distinct
   }
 
+  /** Numeric ranges every matching row PROVABLY satisfies on a DIRECT
+    * (top-level) column of `directCols` — the predicates a min/max zone
+    * map ([[graft.model.ZoneMapIndex]]) may prune files with. As
+    * conservative as [[requiredLogNeedles]], since pruning on a wrong
+    * range silently loses rows:
+    *
+    *   - only AND paths contribute (`!=` and any OR/NOT branch require
+    *     nothing of a row); strict `<`/`>` widen to their inclusive
+    *     forms (sound: pruning keeps a superset);
+    *   - dynamic map fields are excluded — the zone map indexes physical
+    *     columns, and a map key shares its name with nothing;
+    *   - a column's constraints intersect; an UPPER-UNBOUNDED result
+    *     (`f > v` alone) is DROPPED rather than returned, because NaN
+    *     satisfies `f > v` under Spark's NaN-greatest comparison
+    *     semantics yet is invisible to min/max bounds — a file of NaNs
+    *     would be wrongly pruned. A finite upper bound excludes NaN from
+    *     the predicate itself (NaN ≤ hi is false), making the prune
+    *     sound again, so `f > v _and_ f < w` still prunes.
+    *
+    * An intersection that comes back EMPTY (lo > hi, unsatisfiable
+    * conjunction) is returned as-is — with an unsatisfiable predicate the
+    * exact filter returns nothing, so any pruning verdict is sound.
+    */
+  def requiredNumericRanges(
+      query: String, directCols: Set[String]): Seq[(String, Double, Double)] = {
+    def go(e: Expr): Seq[(String, Double, Double)] = e match {
+      case Cmp(f, "=", NLit(v)) => Seq((f, v, v))
+      case Cmp(f, ">=" | ">", NLit(v)) => Seq((f, v, Double.PositiveInfinity))
+      case Cmp(f, "<=" | "<", NLit(v)) => Seq((f, Double.NegativeInfinity, v))
+      case And(l, r) => go(l) ++ go(r)
+      case _ => Nil
+    }
+    parse(query).map(go).getOrElse(Nil)
+      .filter { case (f, _, _) => directCols(f) }
+      .groupBy(_._1).toSeq
+      .map { case (f, rs) => (f, rs.map(_._2).max, rs.map(_._3).min) }
+      .filter { case (_, _, hi) => hi < Double.PositiveInfinity }
+      .sortBy(_._1)
+  }
+
+  /** [[compile]]'s notion of a direct column, for callers that must agree
+    * with it on which fields are physical (the sidecar-index probes).
+    */
+  def directColumns(df: DataFrame): Set[String] = directSet(df)
+
   /** The full front-end request shape: query + time range + order + limit
     * (the reference front-end always brackets a query with a time selector
     * and renders newest-first pages).

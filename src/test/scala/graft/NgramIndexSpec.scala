@@ -130,6 +130,47 @@ class NgramIndexSpec extends SparkTestBase {
       graft.query.LogQuery.filter(LogSchema.readLogs(spark, table), "log~'[0-9]+'"))
   }
 
+  test("combined probe: one searchLogsQuery intersects ngram and zone-map candidates") {
+    import graft.model.ZoneMapIndex
+    val table = freshTable("graft-ngidx-combined")
+    // plant a row that is BOTH needle-unique and numerically outlying,
+    // in its own fresh file
+    val one = LogSchema.readLogs(spark, table).limit(1)
+      .withColumn("log", lit("qzxcombined needle row"))
+      .withColumn("id", lit(77000001L))
+      .drop("date").withColumn("date", lit(java.sql.Date.valueOf("2024-01-06")))
+    one.write.mode("append").partitionBy("date").parquet(table)
+    NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    ZoneMapIndex.build(spark, table, Seq("id"))
+    val total = LogSchema.readLogs(spark, table).inputFiles.length
+
+    // both predicates provable: parity with the plain filter, and the
+    // files actually read are the INTERSECTION of the two candidate sets
+    val q = "log~'qzxcombined' _and_ id>=77000000 _and_ id<=77000002"
+    val got = NgramIndex.searchLogsQuery(spark, table, q)
+    sameIds(got, graft.query.LogQuery.filter(LogSchema.readLogs(spark, table), q))
+    assert(got.count() == 1)
+    val ng = NgramIndex.prune(spark, table, "qzxcombined").get.candidates.toSet
+    val zm = ZoneMapIndex.prune(spark, table, "id", 77000000d, 77000002d)
+      .get.candidates.toSet
+    assert(got.inputFiles.toSet == (ng intersect zm),
+      "files read must be exactly the intersection of both indexes' candidates")
+
+    // zone-map-only query (no provable needle): still prunes
+    val zq = "id>=77000000 _and_ id<=77000002 _and_ namespace!='x'"
+    val zgot = NgramIndex.searchLogsQuery(spark, table, zq)
+    sameIds(zgot, graft.query.LogQuery.filter(LogSchema.readLogs(spark, table), zq))
+    assert(zgot.inputFiles.length < total, "the numeric range alone must prune")
+
+    // an upper-unbounded range must NOT prune (NaN-greatest semantics:
+    // `id > v` admits NaN, which min/max bounds cannot see) — parity only
+    val uq = "id>=77000000"
+    sameIds(NgramIndex.searchLogsQuery(spark, table, uq),
+      graft.query.LogQuery.filter(LogSchema.readLogs(spark, table), uq))
+    assert(graft.query.LogQuery.requiredNumericRanges(
+      uq, Set("id")).isEmpty, "upper-unbounded ranges are not prunable")
+  }
+
   test("maintain: one call converges the index after compaction; scoped build touches only the named day") {
     val table = tmp("graft-ngidx-maint")
     val logs = LogSchema.logsFromEvents(

@@ -84,6 +84,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"partial top-k must run before the exchange:\n$plan")
   }
 
+  test("knn_join: partial top-k runs per salt lane, before the qid exchange") {
+    // the salted cell join spreads one qid's candidates across salt
+    // lanes; Catalyst's InferWindowGroupLimit must then cut each lane's
+    // task output to ≤ k rows per qid BEFORE the qid exchange (Partial
+    // mode), so the shuffle carries O(queries·k·lanes) rows, not the
+    // full pairs-linear candidate stream — the "per-lane partial top-k"
+    // without hand-rolling one
+    val plan = executed(Queries.registry("knn_join").build(spark, sf("sf0.01")))
+    assert("WindowGroupLimit .*row_number\\(\\), \\d+, Partial".r
+        .findFirstIn(plan).isDefined,
+      s"map-side partial group limit must precede the rank exchange:\n$plan")
+    assert("WindowGroupLimit .*row_number\\(\\), \\d+, Final".r
+        .findFirstIn(plan).isDefined,
+      s"final group limit must guard the window:\n$plan")
+  }
+
   test("join_broadcast: dims arrive as broadcast, the fact side never shuffles before aggregation") {
     val plan = executed(Queries.registry("join_broadcast").build(spark, sf("sf0.01")))
     assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
