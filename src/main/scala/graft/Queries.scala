@@ -171,6 +171,19 @@ object Queries {
         base
       }
 
+    /** [[indexedLogTableDir]] plus a min/max zone map over `id` — the
+      * BOTH-INDEXES table the combined front-end probe
+      * ([[NgramIndex.searchLogsQuery]] intersecting ngram and zone-map
+      * candidate sets) is oracle-verified against. Sidecars share the
+      * physical table; underscore dirs stay invisible to table reads.
+      */
+    def rangeIndexedLogTableDir(s: SparkSession, dir: String): String =
+      memo(logTables, dir + "#bothidx") {
+        val base = indexedLogTableDir(s, dir)
+        graft.model.ZoneMapIndex.build(s, base, Seq("id"))
+        base
+      }
+
     /** The events table rewritten Z-order-clustered on
       * (user_id, event-time millis) — [[graft.operators.ZOrder.cluster]]'s
       * 8×8 Morton grid, one `zbucket=` directory per cell. Cached with the
@@ -708,6 +721,33 @@ object Queries {
     Some("""SELECT event_id AS id FROM events
         WHERE concat_ws(' ', event_type, props) LIKE '%purchase%'
           AND ('c' || CAST(user_id % 2 AS VARCHAR)) = 'c1'
+          AND event_type != 'signup'
+        ORDER BY id"""))
+
+  /** The COMBINED sidecar probe under the oracle gate: one front-end
+    * query whose needle consults the n-gram blooms AND whose numeric
+    * range on a direct column consults the zone map — the file list read
+    * is the intersection of both candidate sets
+    * ([[graft.model.NgramIndex.searchLogsQuery]]), and the result must
+    * still hash-match the plain SQL restatement. Range bounds derive
+    * from max(event_id) by integer arithmetic exact on both engines, so
+    * the row is scale-portable like filter_range_zonemap's.
+    */
+  private val queryLanguageIndexedRange = Q(
+    (s, dir) => {
+      val tbl = Fixtures.rangeIndexedLogTableDir(s, dir)
+      val mx = t(s, dir, "events").agg(max(col("event_id"))).head.getLong(0)
+      val lo = mx * 3 / 10
+      val hi = mx * 6 / 10
+      NgramIndex.searchLogsQuery(s, tbl,
+          s"log~'purchase' _and_ id>=$lo _and_ id<=$hi _and_ namespace!='signup'")
+        .select("id").orderBy("id")
+    },
+    Some("""WITH m AS (SELECT max(event_id) AS mx FROM events)
+        SELECT event_id AS id FROM events, m
+        WHERE concat_ws(' ', event_type, props) LIKE '%purchase%'
+          AND event_id >= (mx * 3) // 10
+          AND event_id <= (mx * 6) // 10
           AND event_type != 'signup'
         ORDER BY id"""))
 
@@ -3799,6 +3839,7 @@ object Queries {
     "fn_retention" -> fnRetention,
     "filter_log_contains_indexed" -> filterLogContainsIndexed,
     "query_language_indexed" -> queryLanguageIndexed,
+    "query_language_indexed_range" -> queryLanguageIndexedRange,
     "join_bloom_pruned" -> joinBloomPruned,
     "maintenance_zorder" -> maintenanceZorder,
     "maintenance_zorder_prune" -> maintenanceZorderPrune,
