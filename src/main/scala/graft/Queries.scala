@@ -55,16 +55,24 @@ object Queries {
       * real race for the ones that APPEND a sidecar index to a shared
       * table dir (two concurrent ZoneMapIndex/NgramIndex builds appending
       * the same sidecar parquet would double its rows). Double-checked on
-      * the cache's own monitor — reentrant, so fixtures may compose
-      * (zonemap → zorder, ngramidx → logTable) — and the fast path after
+      * a PER-KEY cell (one shared monitor would serialize unrelated
+      * multi-minute fixture builds behind each other in parallel test
+      * runs) — reentrant per cell, so fixtures may compose (zonemap →
+      * zorder, ngramidx → logTable) — and the fast path after
       * construction stays a lock-free TrieMap read.
       */
+    private val memoCells =
+      scala.collection.concurrent.TrieMap.empty[(AnyRef, String), AnyRef]
+
     private def memo[V](
         cache: scala.collection.concurrent.TrieMap[String, V],
         key: String)(build: => V): V =
-      cache.get(key).getOrElse(cache.synchronized {
-        cache.getOrElseUpdate(key, build)
-      })
+      cache.get(key).getOrElse {
+        val cell = memoCells.getOrElseUpdate((cache, key), new Object)
+        cell.synchronized {
+          cache.get(key).getOrElse { val v = build; cache.put(key, v); v }
+        }
+      }
 
     /** Session-scoped cache entry: DataFrames/indexes are bound to their
       * session, so validate by OBJECT IDENTITY and rebuild on mismatch —

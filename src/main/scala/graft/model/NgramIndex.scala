@@ -143,19 +143,51 @@ object NgramIndex {
       spark: SparkSession,
       tablePath: String,
       needle: String,
-      n: Int = 4): Option[Pruning] = {
+      n: Int = 4): Option[Pruning] =
+    pruneAll(spark, tablePath, Seq(needle),
+      LogSchema.readLogs(spark, tablePath).inputFiles.toSeq, n).headOption
+
+  /** [[prune]] for SEVERAL needles in ONE index pass against a live file
+    * list the caller already holds. Every needle's gram hashes become one
+    * bloom-verdict column of a single index scan, so a k-needle query pays
+    * one Spark job and one cached-index decode instead of k — the probe
+    * constant that made the indexed front-end slower than the raw scan at
+    * small SF. Needles too short to produce a gram are skipped (the
+    * returned Seq covers only probe-able needles — each entry is an
+    * independently sound prune, so callers intersect whatever comes back).
+    * Blooms still never leave the executors; only (path, verdict×k) rows
+    * reach the driver.
+    */
+  def pruneAll(
+      spark: SparkSession,
+      tablePath: String,
+      needles: Seq[String],
+      live: Seq[String],
+      n: Int = 4): Seq[Pruning] = {
     GraftFunctions.registerAll(spark)
-    if (!indexExists(spark, tablePath)) return None
-    val hashes = NgramHash.needleHashes(needle, n)
-    if (hashes.isEmpty) return None
-    // distributed probe: blooms never leave the executors — one scan of
-    // the index brings back (path, verdict) pairs only
-    val verdicts = readIndex(spark, tablePath).where(col("n") === lit(n))
-      .select(col("file"),
-        NgramBloomExprs.bloomContainsAll(col("bloom"), hashes).as("ok"))
-      .collect().map(r => norm(r.getString(0)) -> r.getBoolean(1)).toMap
-    Some(SidecarIndex.decide(verdicts,
-      LogSchema.readLogs(spark, tablePath).inputFiles.toSeq))
+    if (needles.isEmpty || !indexExists(spark, tablePath)) return Nil
+    val keyed: Seq[(String, Array[Long])] = needles
+      .map(nd => (nd, NgramHash.needleHashes(nd, n)))
+      .filter(_._2.nonEmpty)
+    if (keyed.isEmpty) return Nil
+    // probe identity = gram width + the needle's gram hashes (what the
+    // scan actually evaluates), so equal-hash probes share a cache row
+    val byKey: Map[String, Array[Long]] =
+      keyed.map { case (_, hs) => s"n$n:${hs.mkString(",")}" -> hs }.toMap
+    val probeKeys = keyed.map { case (_, hs) => s"n$n:${hs.mkString(",")}" }
+    val verdicts = SidecarIndex.probeCached(
+        spark, tablePath, IndexDirName, probeKeys) { missing =>
+      val cols = missing.zipWithIndex.map { case (k, i) =>
+        NgramBloomExprs.bloomContainsAll(col("bloom"), byKey(k)).as(s"ok$i")
+      }
+      val rows = readIndex(spark, tablePath).where(col("n") === lit(n))
+        .select(col("file") +: cols: _*)
+        .collect()
+      missing.zipWithIndex.map { case (k, i) =>
+        k -> rows.map(r => norm(r.getString(0)) -> r.getBoolean(i + 1)).toMap
+      }.toMap
+    }
+    probeKeys.map(k => SidecarIndex.decide(verdicts(k), live))
   }
 
   /** Substring search over the table's `log` column, skip-reading via the
@@ -204,12 +236,17 @@ object NgramIndex {
     // read is the INTERSECTION of all candidate sets — a query like
     // `log = 'x' _and_ num_event_value < 3` skips a file when EITHER
     // index can rule it out. Each prune is individually sound, so the
-    // intersection is too.
-    val prunings = LogQuery.requiredLogNeedles(query)
-        .flatMap(prune(spark, tablePath, _, n)) ++
+    // intersection is too. The probes are FUSED: the table is listed
+    // once, all needles ride one ngram-index scan ([[pruneAll]]), all
+    // ranges one zone-map scan — two Spark jobs total, regardless of
+    // predicate count.
+    val needles = LogQuery.requiredLogNeedles(query)
+    val ranges =
       LogQuery.requiredNumericRanges(query, LogQuery.directColumns(logs))
-        .flatMap { case (f, lo, hi) =>
-          ZoneMapIndex.prune(spark, tablePath, f, lo, hi) }
+    if (needles.isEmpty && ranges.isEmpty) return full
+    val live = logs.inputFiles.toSeq
+    val prunings = pruneAll(spark, tablePath, needles, live, n) ++
+      ZoneMapIndex.pruneAll(spark, tablePath, ranges, live)
     if (prunings.isEmpty) return full
     val cand = prunings.map(_.candidates.toSet).reduce(_ intersect _)
     if (prunings.forall(_.pruned == 0) && cand.nonEmpty) full

@@ -47,7 +47,10 @@ private[model] object SidecarIndex {
     val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = stagedPath(tablePath, dirName)
     if (!fs.exists(ip) && fs.exists(staged))
-      require(fs.rename(staged, ip),
+      // concurrent readers (or vacuum's own promote) race to the same
+      // rename; exactly one wins and the state is healthy either way —
+      // only fail when the destination still doesn't exist afterwards
+      require(fs.rename(staged, ip) || fs.exists(ip),
         s"sidecar vacuum recovery failed: $staged -> $ip")
   }
 
@@ -72,15 +75,36 @@ private[model] object SidecarIndex {
     * skip the parquet decode that dominated the indexed-probe constant.
     * Stopped-session and stale-generation entries are unpersisted on the
     * next access; the fast path is one lock-free map read + one listing.
+    *
+    * The cache is keyed by (session, path) — two sessions probing the same
+    * table each keep their own persisted copy rather than evicting each
+    * other on every access. Within one session, a generation change
+    * unpersists the prior entry non-blocking; a probe still EXECUTING
+    * against that entry at that instant recomputes from the file list its
+    * plan captured at creation, so it either completes on the old files or
+    * fails loudly if maintenance removed them — it never silently mixes
+    * generations (index builds/vacuums are maintenance operations; run
+    * one writer per table at a time).
     */
+  /** The index dir's generation signature — the (name, length, mtime) of
+    * its files, one cheap listing. Parquet writes always create fresh
+    * file names, so any build/vacuum changes the signature; both the
+    * frame cache and the verdict cache validate against it.
+    */
+  def signature(
+      spark: SparkSession, tablePath: String, dirName: String): Seq[(String, Long, Long)] = {
+    val ip = indexPath(tablePath, dirName)
+    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(ip).toSeq
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
+  }
+
   def readCached(spark: SparkSession, tablePath: String, dirName: String): DataFrame = {
     recover(spark, tablePath, dirName)
     val ip = indexPath(tablePath, dirName)
-    val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sig: Seq[(String, Long, Long)] = fs.listStatus(ip).toSeq
-      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
-      .sortBy(_._1)
-    val key = ip.toString
+    val sig = signature(spark, tablePath, dirName)
+    val key = (System.identityHashCode(spark).toLong, ip.toString)
     readCache.get(key) match {
       case Some((owner, s0, df))
           if (owner eq spark) && !owner.sparkContext.isStopped && s0 == sig =>
@@ -98,6 +122,12 @@ private[model] object SidecarIndex {
                 catch { case scala.util.control.NonFatal(_) => }
               }
             }
+            // drop entries whose session has stopped (their blocks are
+            // gone with the context; the map rows would otherwise pin
+            // dead sessions forever)
+            readCache.filterInPlace { case (_, (owner, _, _)) =>
+              !owner.sparkContext.isStopped
+            }
             val df = spark.read.parquet(ip.toString)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             readCache.put(key, (spark, sig, df))
@@ -108,7 +138,70 @@ private[model] object SidecarIndex {
   }
 
   private val readCache = scala.collection.concurrent.TrieMap
-    .empty[String, (SparkSession, Seq[(String, Long, Long)], DataFrame)]
+    .empty[(Long, String), (SparkSession, Seq[(String, Long, Long)], DataFrame)]
+
+  /** Per-probe VERDICT maps memoized against the index generation: a
+    * repeated probe (dashboards re-issuing the same needles / ranges —
+    * the reference UI's refresh loop is exactly this) pays the
+    * distributed index scan once per index GENERATION, not once per
+    * query. Sound because a verdict map is a pure function of the index
+    * contents — the live file list, which DOES drift with ingest, stays
+    * outside the cache and is re-combined by [[decide]] on every probe.
+    * Entries validate against the same file signature as [[readCached]]
+    * (any build/vacuum invalidates on the next probe); dead-session and
+    * over-cap entries are dropped on miss, so a long-lived session
+    * issuing unbounded distinct probes cannot hoard O(files) maps.
+    *
+    * `probeKeys` identify the probes (duplicates collapse); `computeMissing`
+    * receives only the keys absent from cache and returns their maps in
+    * ONE fused index scan — a key it omits (e.g. an unindexed column) is
+    * cached as a negative so the scan is not repeated for it.
+    */
+  def probeCached(
+      spark: SparkSession,
+      tablePath: String,
+      dirName: String,
+      probeKeys: Seq[String])(
+      computeMissing: Seq[String] => Map[String, Map[String, Boolean]])
+    : Map[String, Map[String, Boolean]] = {
+    val ip = indexPath(tablePath, dirName).toString
+    val sid = System.identityHashCode(spark).toLong
+    val sig = signature(spark, tablePath, dirName)
+    val distinct = probeKeys.distinct
+    val hit = distinct.flatMap { k =>
+      verdictCache.get((sid, ip, k)) match {
+        case Some((owner, s0, v)) if (owner eq spark) && s0 == sig =>
+          Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    val missing = distinct.filterNot(hit.contains)
+    if (missing.isEmpty) return hit
+    val computed = computeMissing(missing)
+    val negatives = missing.filterNot(computed.contains)
+      .map(_ -> Map.empty[String, Boolean])
+    (computed ++ negatives).foreach { case (k, v) =>
+      verdictCache.put((sid, ip, k), (spark, sig, v))
+    }
+    verdictCache.filterInPlace { case ((s, p, k), (owner, s0, _)) =>
+      !owner.sparkContext.isStopped &&
+        // stale generations of this index die now; other indexes keep theirs
+        (s != sid || p != ip || s0 == sig)
+    }
+    if (verdictCache.count { case ((s, p, _), _) => s == sid && p == ip }
+        > VerdictCacheCap) {
+      val keep = distinct.toSet
+      verdictCache.filterInPlace { case ((s, p, k), _) =>
+        s != sid || p != ip || keep(k)
+      }
+    }
+    hit ++ computed
+  }
+
+  private val VerdictCacheCap = 64
+  private val verdictCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, String, String),
+      (SparkSession, Seq[(String, Long, Long)], Map[String, Boolean])]
 
   /** [[norm]] as a plan-side expression (a pure lambda — no object
     * capture), for joins that must key on file identity executor-side.

@@ -169,30 +169,68 @@ object ZoneMapIndex {
       colName: String,
       lo: Double,
       hi: Double,
-      live: Seq[String]): Option[Pruning] = {
-    require(!lo.isNaN && !hi.isNaN,
-      "a NaN query bound matches nothing under range semantics (NaN " +
-        "satisfies no between predicate) — filter NaN explicitly instead")
-    if (!indexExists(spark, tablePath)) return None
-    val qlo = Math.nextDown(lo)
-    val qhi = Math.nextUp(hi)
-    val rows = readIndex(spark, tablePath)
-      .where(col("col") === colName)
-      .select("file", "lo", "hi")
-      .collect()
-    if (rows.isEmpty) return None
-    val verdicts = rows.map { r =>
-      // NaN bounds can only come from an index built before [[build]]
-      // stripped NaN — they carry no range information, so the file
-      // must be scanned, never pruned (belt-and-braces with the
-      // build-side exclusion; a rebuild restores tight bounds)
-      val ok = !r.isNullAt(1) && !r.isNullAt(2) && {
-        val flo = r.getDouble(1); val fhi = r.getDouble(2)
-        flo.isNaN || fhi.isNaN || (fhi >= qlo && flo <= qhi)
-      }
-      norm(r.getString(0)) -> ok
-    }.toMap
-    Some(SidecarIndex.decide(verdicts, live))
+      live: Seq[String]): Option[Pruning] =
+    pruneAll(spark, tablePath, Seq((colName, lo, hi)), live).headOption
+
+  /** [[prune]] for SEVERAL `(column, lo, hi)` ranges in ONE index pass
+    * against a live file list the caller already holds: the sidecar is
+    * scanned once for the union of named columns and every range's
+    * verdict is decided from that single collect — k range predicates
+    * cost one Spark job, not k (the fused-probe contract shared with
+    * [[NgramIndex.pruneAll]]). Ranges over unindexed columns are skipped
+    * (each returned entry is an independently sound prune; callers
+    * intersect whatever comes back).
+    */
+  def pruneAll(
+      spark: SparkSession,
+      tablePath: String,
+      ranges: Seq[(String, Double, Double)],
+      live: Seq[String]): Seq[Pruning] = {
+    ranges.foreach { case (_, lo, hi) =>
+      require(!lo.isNaN && !hi.isNaN,
+        "a NaN query bound matches nothing under range semantics (NaN " +
+          "satisfies no between predicate) — filter NaN explicitly instead")
+    }
+    if (ranges.isEmpty || !indexExists(spark, tablePath)) return Nil
+    // probe identity = column + the exact ulp-widened bounds the verdicts
+    // are computed against (raw bits, so -0.0/0.0 and every double are
+    // distinct); an unindexed column caches an EMPTY map — a negative,
+    // kept out of the result below, matching [[prune]]'s None
+    def key(colName: String, lo: Double, hi: Double) =
+      s"$colName:${java.lang.Double.doubleToRawLongBits(lo)}:" +
+        s"${java.lang.Double.doubleToRawLongBits(hi)}"
+    val byKey = ranges.map { case (c, lo, hi) => key(c, lo, hi) -> ((c, lo, hi)) }.toMap
+    val probeKeys = ranges.map { case (c, lo, hi) => key(c, lo, hi) }
+    val verdicts = SidecarIndex.probeCached(
+        spark, tablePath, IndexDirName, probeKeys) { missing =>
+      val wanted = missing.map(k => byKey(k)._1).distinct
+      val rows = readIndex(spark, tablePath)
+        .where(col("col").isin(wanted: _*))
+        .select("file", "col", "lo", "hi")
+        .collect()
+      val byCol = rows.groupBy(_.getString(1))
+      missing.flatMap { k =>
+        val (colName, lo, hi) = byKey(k)
+        byCol.get(colName).map { rs =>
+          val qlo = Math.nextDown(lo)
+          val qhi = Math.nextUp(hi)
+          k -> rs.map { r =>
+            // NaN bounds can only come from an index built before [[build]]
+            // stripped NaN — they carry no range information, so the file
+            // must be scanned, never pruned (belt-and-braces with the
+            // build-side exclusion; a rebuild restores tight bounds)
+            val ok = !r.isNullAt(2) && !r.isNullAt(3) && {
+              val flo = r.getDouble(2); val fhi = r.getDouble(3)
+              flo.isNaN || fhi.isNaN || (fhi >= qlo && flo <= qhi)
+            }
+            norm(r.getString(0)) -> ok
+          }.toMap
+        }
+      }.toMap
+    }
+    probeKeys.flatMap { k =>
+      verdicts.get(k).filter(_.nonEmpty).map(SidecarIndex.decide(_, live))
+    }
   }
 
   /** Range scan through the index: exactly equivalent to

@@ -171,6 +171,22 @@ class NgramIndexSpec extends SparkTestBase {
       uq, Set("id")).isEmpty, "upper-unbounded ranges are not prunable")
   }
 
+  test("pruneAll: the fused multi-needle probe equals per-needle prunes; the cached re-probe is identical") {
+    val table = freshTable("graft-ngidx-fused")
+    NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    val live = LogSchema.readLogs(spark, table).inputFiles.toSeq
+    val needles = Seq("purchase", "view", "no-such-needle-xyzzy", "pur")
+    val fused = NgramIndex.pruneAll(spark, table, needles, live)
+    // "pur" is shorter than the gram width — skipped, not guessed
+    assert(fused.size == 3)
+    val solo = needles.flatMap(NgramIndex.prune(spark, table, _))
+    assert(fused.map(_.candidates.toSet) == solo.map(_.candidates.toSet))
+    assert(fused.map(_.pruned) == solo.map(_.pruned))
+    // generation unchanged: the cached re-probe decides identically
+    val again = NgramIndex.pruneAll(spark, table, needles, live)
+    assert(again.map(_.candidates.toSet) == fused.map(_.candidates.toSet))
+  }
+
   test("maintain: one call converges the index after compaction; scoped build touches only the named day") {
     val table = tmp("graft-ngidx-maint")
     val logs = LogSchema.logsFromEvents(

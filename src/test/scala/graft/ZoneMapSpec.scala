@@ -37,6 +37,26 @@ class ZoneMapSpec extends SparkTestBase {
     assert(p.candidates.size <= 3)
   }
 
+  test("pruneAll: one pass decides several ranges; unindexed columns are skipped, also on the cached re-probe") {
+    val out = tmp("graft-zonemap-fused")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    val live = spark.read.parquet(out).inputFiles.toSeq
+    val ranges = Seq(("x", 2500d, 3500d), ("x", 0d, 999d), ("id", 10d, 20d))
+    val fused = ZoneMapIndex.pruneAll(spark, out, ranges, live)
+    // `id` is not indexed — no entry, matching prune's None
+    assert(fused.size == 2)
+    val solo = ranges.flatMap { case (c, lo, hi) =>
+      ZoneMapIndex.prune(spark, out, c, lo, hi)
+    }
+    assert(fused.map(_.candidates.toSet) == solo.map(_.candidates.toSet))
+    assert(fused.map(_.pruned) == solo.map(_.pruned))
+    // generation unchanged: the cached re-probe (including the negative
+    // for the unindexed column) decides identically
+    val again = ZoneMapIndex.pruneAll(spark, out, ranges, live)
+    assert(again.map(_.candidates.toSet) == fused.map(_.candidates.toSet))
+  }
+
   test("unindexed (freshly appended) files are always scanned; build indexes only them") {
     val out = tmp("graft-zonemap-stale")
     writeClustered(out)
