@@ -548,6 +548,22 @@ object Queries {
         docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
         pairs, "id_a", "id_b", requireConvergence = true)
     }
+
+    /** [[clusterPipeline]] routed through the ALTERNATING large-star /
+      * small-star formulation (SoCC'14) — the documented adversarial-chain
+      * path whose rounds scale O(log n), not component diameter. Same
+      * pairs, same universe, same (node, cluster) contract; held to the
+      * same exact recursive-closure oracle, so a divergence between the
+      * two formulations fails the gate instead of hiding in ScalaTest.
+      */
+    def clusterPipelineAlternating(s: SparkSession, dir: String): DataFrame = {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.8, maxId = 60)
+      graft.operators.TrainPipeline.connectedComponentsAlternating(
+        docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b", requireConvergence = true)
+    }
   }
 
   private val msEv = "epoch_ms(ts)" // DuckDB: events.ts truncated ns→µs→ms
@@ -2382,9 +2398,13 @@ object Queries {
           FROM pack p JOIN seq s ON s.grp = p.grp AND s.rn = p.rn + 1)
         SELECT grp, id, w, bin FROM pack ORDER BY id"""))
 
-  private val dedupCluster = Q(
-    (s, dir) => Fixtures.clusterPipeline(s, dir).orderBy("node"),
-    Some("""WITH RECURSIVE d AS (
+  /** The exact recursive closure both connected-components formulations
+    * are held to: one SQL, two Spark paths ([[Fixtures.clusterPipeline]]
+    * and the alternating variant) — the formulations can't silently
+    * diverge from each other or from the truth.
+    */
+  private val clusterClosureSql =
+    """WITH RECURSIVE d AS (
           SELECT doc_id, list_distinct(list_filter(
             string_split_regex(lower(text), '\s+'), x -> x <> '')) AS sh
           FROM documents WHERE doc_id < 60),
@@ -2400,7 +2420,15 @@ object Queries {
           UNION
           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
         SELECT node, min(label) AS cluster FROM reach GROUP BY node
-        ORDER BY node"""))
+        ORDER BY node"""
+
+  private val dedupCluster = Q(
+    (s, dir) => Fixtures.clusterPipeline(s, dir).orderBy("node"),
+    Some(clusterClosureSql))
+
+  private val dedupClusterAlt = Q(
+    (s, dir) => Fixtures.clusterPipelineAlternating(s, dir).orderBy("node"),
+    Some(clusterClosureSql))
 
   private val textChunkTokens = Q(
     (s, dir) => graft.operators.TrainPipeline.chunkTokens(
@@ -3817,6 +3845,7 @@ object Queries {
     "pii_redact" -> piiRedact,
     "pack_sequences" -> packSequences,
     "dedup_cluster" -> dedupCluster,
+    "dedup_cluster_altcc" -> dedupClusterAlt,
     "interleave_mix" -> interleaveMix,
     "dedup_survivors" -> dedupSurvivors,
     "dedup_survivors_quality" -> dedupSurvivorsQuality,
