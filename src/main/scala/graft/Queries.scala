@@ -2270,6 +2270,43 @@ object Queries {
     Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_len,
         md5(text) AS blob_md5 FROM documents ORDER BY doc_id"""))
 
+  /** Live image metadata extraction, held to a byte-layout oracle: each
+    * doc plants a spec-assembled 24-bit BMP (dims derived from doc_id,
+    * bytes built straight from the format spec — no codec involved), the
+    * JDK `javax.imageio` header probe recovers width/height/format
+    * WITHOUT decoding rasters, and DuckDB restates dims and total byte
+    * length arithmetically from the same spec (54 + h·⌈3w/4⌉·4). A probe
+    * that misparsed headers — or byte assembly that drifted from the
+    * spec — hash-mismatches. Narrow partition-local stage; the only
+    * shuffle is the deterministic output ordering.
+    */
+  private val multimodalImageDims = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 16 + (id % 13).toInt
+          val h = 8 + (id % 7).toInt
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.BmpBytes.encode24(w, h,
+              (x, y) => (x * 7 + y * 13 + id.toInt) & 0xFF), 0, 0, 0)
+        }
+      Multimodal.transform(media, new Multimodal.ImageDimensionProbe())
+        .map(r => (r.id,
+          Multimodal.ImageIoDecoder.formatName(r.media).getOrElse(""),
+          r.width, r.height, r.media.length.toLong))
+        .toDF("doc_id", "fmt", "width", "height", "blob_len")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'bmp' AS fmt,
+          (16 + doc_id % 13)::INT AS width,
+          (8 + doc_id % 7)::INT AS height,
+          (54 + (8 + doc_id % 7) *
+            (((16 + doc_id % 13) * 3 + 3) // 4) * 4)::BIGINT AS blob_len
+        FROM documents WHERE doc_id < 48 ORDER BY doc_id"""))
+
   private val multimodalFrameSample = Q(
     (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
@@ -3839,6 +3876,7 @@ object Queries {
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "multimodal_columns" -> multimodalColumns,
+    "multimodal_image_dims" -> multimodalImageDims,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "text_chunk" -> textChunk,
     "sample_stratified" -> sampleStratified,

@@ -153,6 +153,27 @@ object Multimodal {
       finally if (stream != null) stream.close()
     }
 
+    /** Header-only format sniff: the recognizing reader's canonical format
+      * name (e.g. "png", "bmp"), lowercased; None when no installed reader
+      * claims the bytes. Same constant-cost contract as [[dimensions]].
+      */
+    def formatName(bytes: Array[Byte]): Option[String] = {
+      if (bytes == null || bytes.length == 0) return None
+      var stream: javax.imageio.stream.ImageInputStream = null
+      try {
+        stream = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try Some(reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+          finally reader.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally if (stream != null) stream.close()
+    }
+
     /** `dim`-bin normalized luminance histogram of the decoded raster —
       * a real (if simple) visual feature with the same fixed-width shape
       * the stub emits.
@@ -176,6 +197,49 @@ object Multimodal {
       val n = (w.toLong * h).toFloat
       if (n > 0) { var i = 0; while (i < dim) { acc(i) /= n; i += 1 } }
       acc
+    }
+  }
+
+  /** Deterministic 24-bit BMP assembly straight from the format spec
+    * (14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up rows
+    * padded to 4 bytes, BI_RGB) — a synthetic image payload whose byte
+    * layout is INDEPENDENT of any codec library, so a header probe over
+    * it checks the JDK reader against the spec, not against the JDK
+    * writer. Total size is closed-form (54 + h·⌈3w/4⌉·4 bytes), which is
+    * what lets a SQL oracle restate the layout arithmetically.
+    */
+  object BmpBytes {
+    def rowSize(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+    def encodedLength(w: Int, h: Int): Int = 54 + rowSize(w) * h
+
+    /** `pixel(x, y)` returns packed 0xRRGGBB; origin top-left (rows are
+      * written bottom-up per the spec).
+      */
+    def encode24(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"BMP dims must be positive, got ${w}x$h")
+      val rs = rowSize(w)
+      val out = java.nio.ByteBuffer.allocate(encodedLength(w, h))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte)
+        .putInt(encodedLength(w, h)).putShort(0).putShort(0).putInt(54)
+      out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(rs * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val p = pixel(x, y)
+          out.put((p & 0xFF).toByte)
+            .put(((p >> 8) & 0xFF).toByte)
+            .put(((p >> 16) & 0xFF).toByte)
+          x += 1
+        }
+        var pad = rs - w * 3
+        while (pad > 0) { out.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      out.array()
     }
   }
 

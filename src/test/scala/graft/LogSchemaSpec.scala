@@ -295,6 +295,21 @@ class LogSchemaSpec extends SparkTestBase {
     assert(feats(2L).features.toSeq == stub.features.toSeq)
   }
 
+  test("multimodal: spec-assembled BMP bytes round-trip through the JDK reader — dims, format, and every pixel") {
+    val (w, h) = (21, 9) // odd width: exercises row padding
+    def px(x: Int, y: Int): Int = ((x * 31 + y * 7) & 0xFF) * 0x010101
+    val bytes = Multimodal.BmpBytes.encode24(w, h, px)
+    assert(bytes.length == Multimodal.BmpBytes.encodedLength(w, h))
+    assert(Multimodal.ImageIoDecoder.dimensions(bytes) === Some((w, h)))
+    assert(Multimodal.ImageIoDecoder.formatName(bytes) === Some("bmp"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == px(x, y),
+        s"pixel ($x,$y): got ${img.getRGB(x, y) & 0xFFFFFF}, want ${px(x, y)}")
+    assert(Multimodal.ImageIoDecoder.formatName("not an image".getBytes) === None)
+  }
+
   test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
     // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
     // square wave, so the amplitude histogram must mass in the top bin
