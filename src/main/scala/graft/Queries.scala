@@ -543,8 +543,11 @@ object Queries {
         n = 1, threshold = 0.8, maxId = 60)
       // requireConvergence: the DuckDB oracle computes the EXACT recursive
       // closure, so a maxIter exit (silently split clusters) must fail
-      // this query loudly rather than surface as a mystery hash mismatch
-      graft.operators.TrainPipeline.connectedComponents(
+      // this query loudly rather than surface as a mystery hash mismatch.
+      // Auto = the production diameter guard: label propagation while the
+      // graph is shallow (it is, here), alternating-star restart if a
+      // deeper-than-budget chain ever appears in the fixture data.
+      graft.operators.TrainPipeline.connectedComponentsAuto(
         docs.where(col("doc_id") < 60).select(col("doc_id")), "doc_id",
         pairs, "id_a", "id_b", requireConvergence = true)
     }

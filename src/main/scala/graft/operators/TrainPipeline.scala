@@ -20,9 +20,19 @@ import org.apache.spark.sql.types._
   *    one shuffle join per round, rounds bounded by cluster diameter —
   *    near-dup clusters are shallow (a dup of a dup of X is near X), so
   *    convergence is a handful of rounds in practice, with `maxIter` as
-  *    the hard stop.
+  *    the hard stop. connectedComponentsAuto guards the diameter
+  *    assumption: past a round budget it restarts on the alternating
+  *    large-star/small-star formulation (O(log n) rounds, SoCC'14).
   */
 object TrainPipeline {
+
+  /** Thrown by the connected-components variants on a `requireConvergence`
+    * maxIter exit. A dedicated subtype (still an IllegalStateException for
+    * existing callers) so [[connectedComponentsAuto]] can catch exactly
+    * the non-convergence signal and not an unrelated failure from the
+    * round's Spark jobs.
+    */
+  final class ConvergenceException(msg: String) extends IllegalStateException(msg)
 
   /** Explode each document into fixed-size character windows starting every
     * `stride` characters (the training context-window shape; `size` >
@@ -403,7 +413,7 @@ object TrainPipeline {
         "fixpoint: labels are partially propagated and components with " +
         s"diameter > $maxIter are split into multiple clusters (for dedup: " +
         "duplicates survive). Raise maxIter or shrink component diameter."
-      if (requireConvergence) throw new IllegalStateException(msg)
+      if (requireConvergence) throw new ConvergenceException(msg)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("node"), col("label").as("cluster"))
@@ -597,11 +607,44 @@ object TrainPipeline {
     if (!converged) {
       val msg = s"connectedComponentsAlternating exited at maxIter=$maxIter " +
         "before the edge-set fixpoint; components may be split."
-      if (requireConvergence) throw new IllegalStateException(msg)
+      if (requireConvergence) throw new ConvergenceException(msg)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     val centers = e.groupBy("u").agg(min("v").as("cluster"))
     nodeSet.join(centers, col("node") === col("u"), "left")
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
+
+  /** Connected components with an automatic diameter guard: run min-label
+    * propagation for up to `diameterBudget` rounds — near-dup graphs are
+    * shallow in practice and the simple round is the cheaper plan (one
+    * join + one map-side-combined min vs the star rounds' multiple
+    * shuffles) — and if the fixpoint has not arrived by then, RESTART on
+    * the alternating large-star/small-star formulation, whose round count
+    * scales O(log n) with component SIZE rather than diameter (Kiveris et
+    * al., SoCC'14). The guard trades at most `diameterBudget` wasted
+    * rounds on adversarial chains for the cheaper plan on the common
+    * case, and never correctness: the alternating pass starts from the
+    * original edges, and both paths share the (node, cluster = min
+    * reachable id) contract, so the result is identical whichever path
+    * converges. This is the production entry point for dedup clustering;
+    * the two underlying variants stay public for callers that want to pin
+    * a formulation (both are oracle-checked via dedup_cluster /
+    * dedup_cluster_altcc).
+    */
+  def connectedComponentsAuto(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      diameterBudget: Int = 8, maxIter: Int = 30,
+      requireConvergence: Boolean = false): DataFrame =
+    try connectedComponents(nodes, nodeCol, edges, srcCol, dstCol,
+      maxIter = diameterBudget, requireConvergence = true)
+    catch {
+      case e: ConvergenceException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"diameter guard tripped after $diameterBudget label-propagation " +
+            s"rounds; switching to the alternating O(log n) formulation: " +
+            e.getMessage)
+        connectedComponentsAlternating(nodes, nodeCol, edges, srcCol, dstCol,
+          maxIter, requireConvergence)
+    }
 }

@@ -305,6 +305,39 @@ class TrainPipelineSpec extends SparkTestBase {
     assert(ex.getMessage.contains("maxIter=1"))
   }
 
+  test("connectedComponentsAuto: shallow graph stays on label propagation; deep chain trips the guard and still converges") {
+    import spark.implicits._
+    // shallow: diameter 3, budget 8 — the simple path converges in-budget
+    val nodesS = (1L to 8L).toDF("n")
+    val edgesS = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("s", "d")
+    val shallow = TrainPipeline.connectedComponentsAuto(nodesS, "n",
+        edgesS, "s", "d", requireConvergence = true)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(shallow == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+
+    // deep: permuted diameter-100 chain with budget 4 — label propagation
+    // CANNOT finish in 4 rounds, so the guard must restart on the
+    // alternating formulation and converge there (maxIter 15 suffices only
+    // for the O(log n) path)
+    def p(i: Long): Long = (i * 37L) % 101L
+    val nodesD = ((0L to 100L).map(p) ++ Seq(300L)).toDF("n")
+    val edgesD = (0L until 100L).map(i => (p(i), p(i + 1))).toDF("s", "d")
+    val deep = TrainPipeline.connectedComponentsAuto(nodesD, "n", edgesD, "s", "d",
+        diameterBudget = 4, maxIter = 15, requireConvergence = true)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(deep.filter(_._1 <= 100L).forall(_._2 == 0L), "chain labels its min (0)")
+    assert(deep.toMap.apply(300L) == 300L)
+
+    // strict mode still surfaces a genuine non-convergence: budget 1 AND
+    // alternating maxIter 1 on the deep chain leaves no converging path
+    val ex = intercept[IllegalStateException] {
+      TrainPipeline.connectedComponentsAuto(nodesD, "n", edgesD, "s", "d",
+        diameterBudget = 1, maxIter = 1, requireConvergence = true)
+    }
+    assert(ex.getMessage.contains("maxIter=1"))
+  }
+
   test("sampleUniformN: exact size, partitioning-invariant, TakeOrdered plan (no sort shuffle)") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "text")
