@@ -46,6 +46,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    sql_cache = {}
     # a query that FAILED in Verify has no dump directory — enumerate the
     # oracle keys (and Verify's _failed.json) too, so a failing query turns
     # red here instead of silently vanishing from the report
@@ -74,7 +75,12 @@ def main():
             results[name] = f"rows_only({len(spark_df)})" + ("" if len(spark_df) else " EMPTY!")
             continue
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            # identical oracle SQL shared by two rows (e.g. the cluster
+            # closure checked against both CC formulations) runs ONCE —
+            # at sf1 the recursive CTE is ~20 min per execution
+            if oracle[name] not in sql_cache:
+                sql_cache[oracle[name]] = con.execute(oracle[name]).fetchdf()
+            duck_df = sql_cache[oracle[name]]
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
