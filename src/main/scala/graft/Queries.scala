@@ -2310,6 +2310,59 @@ object Queries {
             (((16 + doc_id % 13) * 3 + 3) // 4) * 4)::BIGINT AS blob_len
         FROM documents WHERE doc_id < 48 ORDER BY doc_id"""))
 
+  /** Live audio metadata extraction, the sibling of
+    * [[multimodalImageDims]]: each doc plants a spec-assembled 16-bit PCM
+    * WAV (rate/channels/frames derived from doc_id, bytes built straight
+    * from the RIFF spec — no codec involved), the JDK
+    * `javax.sound.sampled` header probe recovers container/rate/channels/
+    * frame-count WITHOUT decoding samples, and DuckDB restates every
+    * column arithmetically from the same spec (44 + frames·ch·2 bytes;
+    * duration = ⌊frames·1000/rate⌋). A reader misparse or assembly drift
+    * hash-mismatches. Narrow partition-local stage; the only shuffle is
+    * the output ordering.
+    */
+  private val multimodalAudioMeta = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val rate = 8000 + (id % 5).toInt * 1000
+          val ch = 1 + (id % 2).toInt
+          val frames = 400 + (id % 11).toInt * 40
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.WavBytes.encodePcm16(rate, ch, frames,
+              (f, c) => ((f * 31 + c * 7 + id) % 8191 - 4095).toShort),
+            0, 0, 0)
+        }
+      Multimodal.transform(media, new Multimodal.AudioMetadataProbe())
+        .map { r =>
+          val (rate, ch, frames) =
+            Multimodal.AudioSystemDecoder.metadata(r.media)
+              .getOrElse((0f, 0, 0L))
+          (r.id,
+            Multimodal.AudioSystemDecoder.fileType(r.media).getOrElse(""),
+            ch, r.sampleRateHz,
+            // the probe stamped sampleRateHz; the direct metadata call
+            // must agree with it or the row is poisoned to -1
+            if (r.sampleRateHz == rate.toInt) frames else -1L,
+            if (r.sampleRateHz > 0) frames * 1000L / r.sampleRateHz else -1L,
+            r.media.length.toLong)
+        }
+        .toDF("doc_id", "fmt", "channels", "sample_rate", "frames",
+          "duration_ms", "blob_len")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'wave' AS fmt,
+          (1 + doc_id % 2)::INT AS channels,
+          (8000 + (doc_id % 5) * 1000)::INT AS sample_rate,
+          (400 + (doc_id % 11) * 40)::BIGINT AS frames,
+          ((400 + (doc_id % 11) * 40) * 1000
+            // (8000 + (doc_id % 5) * 1000))::BIGINT AS duration_ms,
+          (44 + (400 + (doc_id % 11) * 40) * (1 + doc_id % 2) * 2)::BIGINT AS blob_len
+        FROM documents WHERE doc_id < 48 ORDER BY doc_id"""))
+
   private val multimodalFrameSample = Q(
     (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
@@ -3880,6 +3933,7 @@ object Queries {
     "doc_fingerprint" -> docFingerprint,
     "multimodal_columns" -> multimodalColumns,
     "multimodal_image_dims" -> multimodalImageDims,
+    "multimodal_audio_meta" -> multimodalAudioMeta,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "text_chunk" -> textChunk,
     "sample_stratified" -> sampleStratified,

@@ -243,6 +243,48 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 16-bit PCM WAV assembly straight from the RIFF spec
+    * (12-byte RIFF/WAVE header + 24-byte `fmt ` chunk + `data` chunk,
+    * little-endian) — the audio sibling of [[BmpBytes]]: a payload whose
+    * byte layout is INDEPENDENT of any codec library, so probing it with
+    * the JDK `javax.sound.sampled` reader checks the READER against the
+    * spec, not against the JDK writer. Total size is closed-form
+    * (44 + frames·channels·2 bytes), so a SQL oracle can restate the
+    * layout arithmetically.
+    */
+  object WavBytes {
+    def encodedLength(frames: Int, channels: Int): Int = 44 + frames * channels * 2
+
+    /** `sample(frame, channel)` returns the signed 16-bit amplitude. */
+    def encodePcm16(
+        sampleRateHz: Int, channels: Int, frames: Int,
+        sample: (Int, Int) => Short): Array[Byte] = {
+      require(sampleRateHz > 0 && channels > 0 && frames > 0,
+        s"WAV params must be positive, got rate=$sampleRateHz ch=$channels frames=$frames")
+      val blockAlign = channels * 2
+      val dataLen = frames * blockAlign
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                      // PCM, no compression
+        .putShort(channels.toShort)
+        .putInt(sampleRateHz)
+        .putInt(sampleRateHz * blockAlign) // byte rate
+        .putShort(blockAlign.toShort)
+        .putShort(16)                     // bits per sample
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < channels) { out.putShort(sample(f, c)); c += 1 }
+        f += 1
+      }
+      out.array()
+    }
+  }
+
   /** A LIVE audio codec over the JDK's built-in `javax.sound.sampled`
     * providers (WAV/AIFF/AU ship with every JRE — no added dependency):
     * payloads that parse as audio get REAL features — a normalized
@@ -283,6 +325,19 @@ object Multimodal {
         Some((f.getFormat.getSampleRate, f.getFormat.getChannels,
           f.getFrameLength.toLong))
       } catch { case _: Exception => None }
+    }
+
+    /** Header-only container sniff: the recognizing provider's file-type
+      * name (e.g. "wave", "aiff"), lowercased; None when no provider
+      * claims the bytes — the audio analogue of
+      * [[ImageIoDecoder.formatName]].
+      */
+    def fileType(bytes: Array[Byte]): Option[String] = {
+      if (bytes == null || bytes.length == 0) return None
+      try Some(javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        .getType.toString.toLowerCase(java.util.Locale.ROOT))
+      catch { case _: Exception => None }
     }
 
     /** `dim`-bin normalized |amplitude| histogram over the PCM frames.

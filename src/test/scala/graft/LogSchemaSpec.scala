@@ -310,6 +310,29 @@ class LogSchemaSpec extends SparkTestBase {
     assert(Multimodal.ImageIoDecoder.formatName("not an image".getBytes) === None)
   }
 
+  test("multimodal: spec-assembled WAV bytes round-trip through the JDK reader — container, rate, channels, frames, every sample") {
+    val (rate, ch, frames) = (11000, 2, 523) // odd frame count, stereo
+    def sample(f: Int, c: Int): Short = ((f * 31 + c * 7) % 8191 - 4095).toShort
+    val bytes = Multimodal.WavBytes.encodePcm16(rate, ch, frames, sample)
+    assert(bytes.length == Multimodal.WavBytes.encodedLength(frames, ch))
+    assert(Multimodal.AudioSystemDecoder.metadata(bytes) ===
+      Some((rate.toFloat, ch, frames.toLong)))
+    assert(Multimodal.AudioSystemDecoder.fileType(bytes) === Some("wave"))
+    // full stream decode through the JDK reader: every sample must come
+    // back bit-exact (checks assembly against the reader end-to-end)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(in.getFormat.getSampleSizeInBits == 16 && !in.getFormat.isBigEndian)
+    val pcm = in.readAllBytes()
+    assert(pcm.length == frames * ch * 2)
+    for (f <- 0 until frames; c <- 0 until ch) {
+      val i = (f * ch + c) * 2
+      val got = (((pcm(i + 1) << 8) | (pcm(i) & 0xFF))).toShort
+      assert(got == sample(f, c), s"sample ($f,$c): got $got, want ${sample(f, c)}")
+    }
+    assert(Multimodal.AudioSystemDecoder.fileType("not audio".getBytes) === None)
+  }
+
   test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
     // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
     // square wave, so the amplitude histogram must mass in the top bin
