@@ -2363,6 +2363,112 @@ object Queries {
           (44 + (400 + (doc_id % 11) * 40) * (1 + doc_id % 2) * 2)::BIGINT AS blob_len
         FROM documents WHERE doc_id < 48 ORDER BY doc_id"""))
 
+  /** REAL raster resize, end-to-end live: spec-assembled gray BMPs decode
+    * through the JDK reader, resample nearest-neighbor (source pixel for
+    * output (x,y) is (x·srcW÷7, y·srcH÷5), integer division), re-encode
+    * as 24-bit BMP via the spec assembler, then the RESIZED payload is
+    * re-decoded by the JDK reader and its red channel summed — so the
+    * oracle's arithmetic restatement of that sum checks decoder,
+    * resampler and re-encoder against the format spec in one row. Narrow
+    * partition-local stage; the only shuffle is the output ordering.
+    */
+  private val multimodalImageResize = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val (tw, th) = (7, 5)
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 16 + (id % 13).toInt
+          val h = 8 + (id % 7).toInt
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.BmpBytes.encode24(w, h, (x, y) => {
+              val g = (x * 7 + y * 13 + id.toInt * 3) % 256
+              g * 0x010101 // gray — any one channel restates it
+            }), 0, 0, 0)
+        }
+      Multimodal.transform(media, new Multimodal.ImageResizer(tw, th))
+        .map { r =>
+          // re-decode the RESIZED payload with the live reader: a drift in
+          // reader, resampler or re-encoder poisons the sum to -1/mismatch
+          val redSum = Multimodal.ImageIoDecoder.readImage(r.media) match {
+            case Some(img) if img.getWidth == tw && img.getHeight == th =>
+              var sum = 0L
+              for (y <- 0 until th; x <- 0 until tw)
+                sum += (img.getRGB(x, y) >> 16) & 0xFF
+              sum
+            case _ => -1L
+          }
+          (r.id,
+            Multimodal.ImageIoDecoder.formatName(r.media).getOrElse(""),
+            r.width, r.height, r.media.length.toLong, redSum)
+        }
+        .toDF("doc_id", "fmt", "width", "height", "blob_len", "red_sum")
+        .orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+          SELECT d.doc_id,
+            (((x.i * (16 + d.doc_id % 13)) // 7) * 7
+             + ((y.i * (8 + d.doc_id % 7)) // 5) * 13
+             + d.doc_id * 3) % 256 AS g
+          FROM documents d, range(0, 7) x(i), range(0, 5) y(i)
+          WHERE d.doc_id < 48)
+        SELECT doc_id, 'bmp' AS fmt, 7::INT AS width, 5::INT AS height,
+          174::BIGINT AS blob_len, sum(g)::BIGINT AS red_sum
+        FROM px GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Container-aware audio segmentation, the audio frame-sampling done
+    * with a real codec: spec-assembled PCM WAVs are decoded, sliced on
+    * frame boundaries into 160-frame chunks, each re-emitted as a VALID
+    * standalone WAV; the query re-parses every emitted segment with the
+    * JDK reader (rate/channels must survive, frame count comes FROM the
+    * reader) and the oracle restates segment count, per-segment frames
+    * and byte length arithmetically from the RIFF spec. Narrow
+    * partition-local flatMap; the only shuffle is the output ordering.
+    */
+  private val multimodalAudioSegment = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val rate = 8000 + (id % 5).toInt * 1000
+          val ch = 1 + (id % 2).toInt
+          val frames = 350 + (id % 9).toInt * 25
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.WavBytes.encodePcm16(rate, ch, frames,
+              (f, c) => ((f * 17 + c * 5 + id) % 4096 - 2048).toShort),
+            0, 0, 0)
+        }
+      Multimodal.segmentAudio(media, segmentFrames = 160)
+        .map { fr =>
+          val id = fr.mediaId
+          val rate = 8000 + (id % 5).toInt * 1000
+          val ch = 1 + (id % 2).toInt
+          // every emitted segment must re-parse as a WAV carrying the
+          // source's rate/channels — a header drift poisons the row
+          val segFrames =
+            Multimodal.AudioSystemDecoder.metadata(fr.payload) match {
+              case Some((r2, c2, f2)) if r2.toInt == rate && c2 == ch => f2
+              case _ => -1L
+            }
+          (id, fr.frameIdx, segFrames, fr.payload.length.toLong)
+        }
+        .toDF("doc_id", "seg_idx", "seg_frames", "blob_len")
+        .orderBy("doc_id", "seg_idx")
+    },
+    Some("""WITH base AS (
+          SELECT doc_id, (1 + doc_id % 2) AS ch,
+            (350 + (doc_id % 9) * 25) AS frames
+          FROM documents WHERE doc_id < 48)
+        SELECT doc_id, s.i::INT AS seg_idx,
+          least(160, frames - s.i * 160)::BIGINT AS seg_frames,
+          (44 + least(160, frames - s.i * 160) * ch * 2)::BIGINT AS blob_len
+        FROM base, range(0, 8) s(i) WHERE s.i * 160 < frames
+        ORDER BY doc_id, seg_idx"""))
+
   private val multimodalFrameSample = Q(
     (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
@@ -3934,6 +4040,8 @@ object Queries {
     "multimodal_columns" -> multimodalColumns,
     "multimodal_image_dims" -> multimodalImageDims,
     "multimodal_audio_meta" -> multimodalAudioMeta,
+    "multimodal_image_resize" -> multimodalImageResize,
+    "multimodal_audio_segment" -> multimodalAudioSegment,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "text_chunk" -> textChunk,
     "sample_stratified" -> sampleStratified,

@@ -122,7 +122,7 @@ object Multimodal {
 
   object ImageIoDecoder {
     /** Full decode; None when no installed reader recognizes the bytes. */
-    private[operators] def readImage(
+    def readImage(
         bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes.length == 0) None
       else
@@ -255,17 +255,19 @@ object Multimodal {
   object WavBytes {
     def encodedLength(frames: Int, channels: Int): Int = 44 + frames * channels * 2
 
-    /** `sample(frame, channel)` returns the signed 16-bit amplitude. */
-    def encodePcm16(
-        sampleRateHz: Int, channels: Int, frames: Int,
-        sample: (Int, Int) => Short): Array[Byte] = {
-      require(sampleRateHz > 0 && channels > 0 && frames > 0,
-        s"WAV params must be positive, got rate=$sampleRateHz ch=$channels frames=$frames")
+    /** Prepend the 44-byte RIFF/WAVE + `fmt ` + `data` header to raw
+      * 16-bit little-endian PCM — the assembly step [[encodePcm16]] and
+      * [[segmentAudio]] share, so a segment's container is byte-for-byte
+      * the same layout as a from-scratch encode of the same frames.
+      */
+    def wrapPcm16(
+        sampleRateHz: Int, channels: Int, pcm: Array[Byte]): Array[Byte] = {
+      require(sampleRateHz > 0 && channels > 0,
+        s"WAV params must be positive, got rate=$sampleRateHz ch=$channels")
       val blockAlign = channels * 2
-      val dataLen = frames * blockAlign
-      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      val out = java.nio.ByteBuffer.allocate(44 + pcm.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
         .put("WAVE".getBytes("US-ASCII"))
       out.put("fmt ".getBytes("US-ASCII")).putInt(16)
         .putShort(1)                      // PCM, no compression
@@ -274,14 +276,25 @@ object Multimodal {
         .putInt(sampleRateHz * blockAlign) // byte rate
         .putShort(blockAlign.toShort)
         .putShort(16)                     // bits per sample
-      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      out.put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      out.put(pcm)
+      out.array()
+    }
+
+    /** `sample(frame, channel)` returns the signed 16-bit amplitude. */
+    def encodePcm16(
+        sampleRateHz: Int, channels: Int, frames: Int,
+        sample: (Int, Int) => Short): Array[Byte] = {
+      require(frames > 0, s"WAV frame count must be positive, got $frames")
+      val pcm = java.nio.ByteBuffer.allocate(frames * channels * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var f = 0
       while (f < frames) {
         var c = 0
-        while (c < channels) { out.putShort(sample(f, c)); c += 1 }
+        while (c < channels) { pcm.putShort(sample(f, c)); c += 1 }
         f += 1
       }
-      out.array()
+      wrapPcm16(sampleRateHz, channels, pcm.array())
     }
   }
 
@@ -338,6 +351,39 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         .getType.toString.toLowerCase(java.util.Locale.ROOT))
       catch { case _: Exception => None }
+    }
+
+    /** Decode a recognized payload to 16-bit SIGNED little-endian PCM:
+      * (sampleRate, channels, pcmBytes). Streams already in that encoding
+      * are read straight through; anything else a provider recognizes
+      * (8/24-bit, big-endian AIFF, u-law/a-law AU) is TRANSCODED via
+      * `AudioSystem.getAudioInputStream(target, in)` — same recognition
+      * contract as [[metadata]]. Unlike [[amplitudeHistogram]] this
+      * MATERIALIZES the PCM (the caller re-wraps slices of it); the
+      * buffer is bounded by the payload it came from, so per-task memory
+      * stays the input-split class.
+      */
+    private[operators] def pcm16(
+        bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (bytes == null || bytes.length == 0) return None
+      var in: javax.sound.sampled.AudioInputStream = null
+      try {
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val pcmEnc = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        in =
+          if (raw.getFormat.getEncoding == pcmEnc &&
+              raw.getFormat.getSampleSizeInBits == 16 &&
+              !raw.getFormat.isBigEndian) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(pcmEnc,
+              raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+              raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate,
+              false), raw)
+        val fmt = in.getFormat
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, in.readAllBytes()))
+      } catch { case _: Exception => None }
+      finally if (in != null) in.close()
     }
 
     /** `dim`-bin normalized |amplitude| histogram over the PCM frames.
@@ -469,11 +515,38 @@ object Multimodal {
     def transformBatch(batch: Seq[MediaRecord]): Seq[MediaRecord]
   }
 
-  /** Deterministic resize stand-in: keeps every `stride`-th payload byte
-    * (output size tracks the area ratio the way a real resampler's would)
-    * and stamps the target dimensions. Swap for a codec-backed
-    * [[MediaTransform]] to go live — the plumbing and metadata contract
-    * stay identical.
+  /** A REAL raster resize: payloads the JDK readers decode are resampled
+    * nearest-neighbor and RE-ENCODED as 24-bit BMP via [[BmpBytes]] — the
+    * spec assembler, not a codec writer — so the output bytes are a pure
+    * closed-form function of the source raster: source pixel for output
+    * (x, y) is (x·srcW ÷ dstW, y·srcH ÷ dstH), integer division, which is
+    * why a SQL oracle can restate the resized raster arithmetically when
+    * the source was spec-assembled. Non-image payloads pass through
+    * untouched (the [[ImageDimensionProbe]] contract — a mixed corpus
+    * keeps its non-image rows). Narrow partition-local batch, no shuffle;
+    * decode cost is per-payload CPU where the bytes sit.
+    */
+  class ImageResizer(targetW: Int, targetH: Int) extends MediaTransform {
+    require(targetW >= 1 && targetH >= 1,
+      s"resize target must be positive, got ${targetW}x$targetH")
+    override def transformBatch(batch: Seq[MediaRecord]): Seq[MediaRecord] =
+      batch.map { r =>
+        ImageIoDecoder.readImage(r.media) match {
+          case Some(img) =>
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            val out = BmpBytes.encode24(targetW, targetH,
+              (x, y) => img.getRGB(x * sw / targetW, y * sh / targetH) & 0xFFFFFF)
+            r.copy(media = out, width = targetW, height = targetH)
+          case None => r
+        }
+      }
+  }
+
+  /** Deterministic resize stand-in for payloads with no decodable raster
+    * (the mixed-corpus text/video rows): keeps every `stride`-th payload
+    * byte (output size tracks the area ratio the way a real resampler's
+    * would) and stamps the target dimensions. [[ImageResizer]] is the
+    * live path for decodable images.
     */
   class StubResizer(targetW: Int, targetH: Int, stride: Int) extends MediaTransform {
     require(stride >= 1, s"stride must be >= 1, got $stride")
@@ -515,6 +588,44 @@ object Multimodal {
     * / stride, independent of row boundaries — at 100 TB the stage
     * parallelism is the input split count and nothing shuffles.
     */
+  /** Container-aware audio segmentation — [[frameSample]] done RIGHT for
+    * audio: each recognized payload is decoded to PCM (live JDK providers,
+    * transcoding non-PCM16 encodings), sliced on FRAME boundaries into
+    * `segmentFrames`-frame chunks, and each chunk re-emitted as a VALID
+    * standalone 16-bit PCM WAV ([[WavBytes.wrapPcm16]]) that any reader —
+    * including our own [[AudioSystemDecoder.metadata]] — re-parses. Byte
+    * slicing would split samples mid-word and emit headerless fragments;
+    * this is the shape a speech pipeline actually feeds its models.
+    * Payloads no provider recognizes produce NO segments (a codec can't
+    * segment what it can't parse) — route mixed corpora by `kind` first.
+    * Narrow partition-local flatMap, no shuffle; output volume ≈ input
+    * PCM bytes + 44 per segment, parallelism = input split count.
+    */
+  def segmentAudio(
+      media: Dataset[MediaRecord],
+      segmentFrames: Int): Dataset[MediaFrame] = {
+    require(segmentFrames >= 1, s"segmentFrames must be >= 1, got $segmentFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioSystemDecoder.pcm16(r.media) match {
+          case None => Iterator.empty
+          case Some((rate, ch, pcm)) =>
+            val segBytes = segmentFrames * ch * 2
+            // Long ceil-division, same overflow reasoning as frameSample
+            val n = ((pcm.length.toLong + segBytes - 1) / segBytes).toInt
+            Iterator.range(0, n).map { i =>
+              val start = i.toLong * segBytes
+              val end = math.min(pcm.length.toLong, start + segBytes).toInt
+              MediaFrame(r.id, i, WavBytes.wrapPcm16(rate, ch,
+                java.util.Arrays.copyOfRange(pcm, start.toInt, end)))
+            }
+        }
+      }
+    }
+  }
+
   def frameSample(
       media: Dataset[MediaRecord],
       frameBytes: Int,

@@ -333,6 +333,61 @@ class LogSchemaSpec extends SparkTestBase {
     assert(Multimodal.AudioSystemDecoder.fileType("not audio".getBytes) === None)
   }
 
+  test("multimodal: ImageResizer resamples a real raster nearest-neighbor and re-encodes a decodable BMP; non-images pass through") {
+    val (sw, sh, tw, th) = (10, 6, 4, 3)
+    def px(x: Int, y: Int): Int = ((x * 11 + y * 29) % 256) * 0x010101
+    val src = Multimodal.BmpBytes.encode24(sw, sh, px)
+    val out = new Multimodal.ImageResizer(tw, th).transformBatch(Seq(
+      Multimodal.MediaRecord(1L, "image", src, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "text", "not an image".getBytes, 0, 0, 0)))
+    assert(out(0).width == tw && out(0).height == th)
+    assert(out(0).media.length == Multimodal.BmpBytes.encodedLength(tw, th))
+    // the resized payload must re-decode, and every output pixel must be
+    // the nearest-neighbor source pixel under the integer mapping
+    val img = Multimodal.ImageIoDecoder.readImage(out(0).media).get
+    assert(img.getWidth == tw && img.getHeight == th)
+    for (y <- 0 until th; x <- 0 until tw) {
+      val want = px(x * sw / tw, y * sh / th)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == want,
+        s"pixel ($x,$y): got ${img.getRGB(x, y) & 0xFFFFFF}, want $want")
+    }
+    // non-image rows pass through untouched (mixed-corpus contract)
+    assert(out(1).media sameElements "not an image".getBytes)
+    assert(out(1).width == 0 && out(1).height == 0)
+  }
+
+  test("multimodal: segmentAudio slices on frame boundaries into valid standalone WAVs, samples bit-exact; non-audio yields no segments") {
+    import spark.implicits._
+    val (rate, ch, frames, seg) = (16000, 2, 10, 4)
+    def sample(f: Int, c: Int): Short = (f * 100 + c).toShort
+    val wav = Multimodal.WavBytes.encodePcm16(rate, ch, frames, sample)
+    val media = Seq(
+      Multimodal.MediaRecord(7L, "audio", wav, 0, 0, 0),
+      Multimodal.MediaRecord(8L, "text", "not audio".getBytes, 0, 0, 0)).toDS()
+    val frames10 = Multimodal.segmentAudio(media, seg).collect()
+      .sortBy(f => (f.mediaId, f.frameIdx))
+    assert(frames10.forall(_.mediaId == 7L), "non-audio must yield no segments")
+    assert(frames10.map(_.frameIdx).toSeq == Seq(0, 1, 2)) // 4+4+2 frames
+    frames10.foreach { fr =>
+      val segFrames = if (fr.frameIdx < 2) 4 else 2
+      assert(fr.payload.length ==
+        Multimodal.WavBytes.encodedLength(segFrames, ch))
+      // each segment is a VALID WAV the JDK reader re-parses with the
+      // source's format, and its samples are the source's, bit-exact
+      assert(Multimodal.AudioSystemDecoder.metadata(fr.payload) ===
+        Some((rate.toFloat, ch, segFrames.toLong)))
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(fr.payload))
+      val pcm = in.readAllBytes()
+      for (f <- 0 until segFrames; c <- 0 until ch) {
+        val i = (f * ch + c) * 2
+        val got = (((pcm(i + 1) << 8) | (pcm(i) & 0xFF))).toShort
+        assert(got == sample(fr.frameIdx * seg + f, c),
+          s"seg ${fr.frameIdx} sample ($f,$c): got $got")
+      }
+    }
+  }
+
   test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
     // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
     // square wave, so the amplitude histogram must mass in the top bin
