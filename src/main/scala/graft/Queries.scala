@@ -2469,6 +2469,69 @@ object Queries {
         FROM base, range(0, 8) s(i) WHERE s.i * 160 < frames
         ORDER BY doc_id, seg_idx"""))
 
+  /** REAL multi-frame (video-shaped) frame extraction: each doc plants an
+    * animated GIF (JDK writer over an explicit 256-gray palette, so the
+    * stored pixel indices EQUAL the closed-form gray values), the live
+    * multi-image reader decodes all frames, every 2nd frame is kept and
+    * re-encoded as a standalone spec-assembled BMP, and the query
+    * re-decodes each emitted frame summing its red channel — which the
+    * oracle restates arithmetically from the per-frame pixel formula. A
+    * drift anywhere in GIF read, frame selection, BMP re-encode or
+    * re-read poisons the sum. Narrow partition-local stage; the only
+    * shuffle is the output ordering.
+    */
+  private val multimodalVideoFrames = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 6 + (id % 5).toInt
+          val h = 4 + (id % 3).toInt
+          val nf = 5 + (id % 6).toInt
+          Multimodal.MediaRecord(id, "video",
+            Multimodal.GifBytes.encodeGray(w, h, nf,
+              (f, x, y) => (f * 31 + x * 7 + y * 13 + id.toInt) % 256),
+            0, 0, 0)
+        }
+      Multimodal.extractFrames(media, stride = 2)
+        .map { fr =>
+          val redSum = Multimodal.ImageIoDecoder.readImage(fr.payload) match {
+            case Some(img) =>
+              var sum = 0L
+              for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+                sum += (img.getRGB(x, y) >> 16) & 0xFF
+              sum
+            case None => -1L
+          }
+          val (w, h) = Multimodal.ImageIoDecoder.dimensions(fr.payload)
+            .getOrElse((-1, -1))
+          (fr.mediaId, fr.frameIdx, w, h, fr.payload.length.toLong, redSum)
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "blob_len", "red_sum")
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH base AS (
+          SELECT doc_id, (6 + doc_id % 5) AS w, (4 + doc_id % 3) AS h,
+            (5 + doc_id % 6) AS nf
+          FROM documents WHERE doc_id < 48),
+        sel AS (
+          SELECT doc_id, w, h, f.i AS frame_idx
+          FROM base, range(0, 11) f(i)
+          WHERE f.i < nf AND f.i % 2 = 0),
+        px AS (
+          SELECT doc_id, frame_idx, w, h,
+            (frame_idx * 31 + x.i * 7 + y.i * 13 + doc_id) % 256 AS g
+          FROM sel, range(0, 10) x(i), range(0, 6) y(i)
+          WHERE x.i < w AND y.i < h)
+        SELECT doc_id, frame_idx::INT AS frame_idx, w::INT AS width,
+          h::INT AS height,
+          (54 + h * (((w * 3 + 3) // 4) * 4))::BIGINT AS blob_len,
+          sum(g)::BIGINT AS red_sum
+        FROM px GROUP BY doc_id, frame_idx, w, h
+        ORDER BY doc_id, frame_idx"""))
+
   private val multimodalFrameSample = Q(
     (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
@@ -4042,6 +4105,7 @@ object Queries {
     "multimodal_audio_meta" -> multimodalAudioMeta,
     "multimodal_image_resize" -> multimodalImageResize,
     "multimodal_audio_segment" -> multimodalAudioSegment,
+    "multimodal_video_frames" -> multimodalVideoFrames,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "text_chunk" -> textChunk,
     "sample_stratified" -> sampleStratified,

@@ -388,6 +388,30 @@ class LogSchemaSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal: extractFrames decodes an animated GIF frame-by-frame, keeps every stride-th, re-encodes pixel-exact BMPs; non-media yields none") {
+    import spark.implicits._
+    val (w, h, nf) = (5, 4, 7)
+    def gray(f: Int, x: Int, y: Int): Int = (f * 40 + x * 3 + y * 11) % 256
+    val gif = Multimodal.GifBytes.encodeGray(w, h, nf, gray)
+    // the gray-palette GIF round-trip must be bit-exact frame-by-frame
+    val all = Multimodal.ImageIoDecoder.readFrames(gif)
+    assert(all.size == nf)
+    val media = Seq(
+      Multimodal.MediaRecord(3L, "video", gif, 0, 0, 0),
+      Multimodal.MediaRecord(4L, "text", "not media".getBytes, 0, 0, 0)).toDS()
+    val frames = Multimodal.extractFrames(media, stride = 3).collect()
+      .sortBy(_.frameIdx)
+    assert(frames.forall(_.mediaId == 3L), "non-media must yield no frames")
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 3, 6))
+    frames.foreach { fr =>
+      val img = Multimodal.ImageIoDecoder.readImage(fr.payload).get
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xFF) == gray(fr.frameIdx, x, y),
+          s"frame ${fr.frameIdx} pixel ($x,$y)")
+    }
+  }
+
   test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
     // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
     // square wave, so the amplitude histogram must mass in the top bin
