@@ -2532,6 +2532,59 @@ object Queries {
         FROM px GROUP BY doc_id, frame_idx, w, h
         ORDER BY doc_id, frame_idx"""))
 
+  /** Perceptual image dedup over live decodes: 48 docs plant 7 distinct
+    * BMP patterns, each replicated at 3 brightness grades — the classic
+    * photometric near-duplicate. The dHash gradient bits cancel the
+    * brightness term exactly, so all grades of a pattern land in one
+    * bucket and the cluster label is the pattern's smallest doc_id; the
+    * oracle recomputes every grid sample, comparison bit and bucket min
+    * arithmetically (hash halves as 32-bit sums, no BIGINT sign games).
+    * One hash-partition exchange + the output ordering.
+    */
+  private val dedupImagePhash = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 7).toInt
+          val (w, h) = (10 + p, 8 + p % 3)
+          val b = ((id / 7) % 3).toInt * 10 // photometric grade: hash-invariant
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.BmpBytes.encode24(w, h, (x, y) => {
+              val g = ((x * 7 + y * 13 + p * 29) % 200) + b
+              g * 0x010101
+            }), 0, 0, 0)
+        }
+      Multimodal.imagePHashClusters(media)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+          SELECT d.doc_id, x.i AS gx, y.i AS gy,
+            (((x.i * (10 + d.doc_id % 7)) // 9) * 7
+             + ((y.i * (8 + (d.doc_id % 7) % 3)) // 8) * 13
+             + (d.doc_id % 7) * 29) % 200
+            + ((d.doc_id // 7) % 3) * 10 AS lum
+          FROM documents d, range(0, 9) x(i), range(0, 8) y(i)
+          WHERE d.doc_id < 48),
+        bits AS (
+          SELECT a.doc_id, (a.gy * 8 + a.gx) AS i
+          FROM g a JOIN g b
+            ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 8 AND b.lum > a.lum),
+        ph AS (
+          SELECT d.doc_id,
+            coalesce(sum(CASE WHEN i >= 32 THEN (1::BIGINT << (i - 32)) END), 0)::BIGINT AS ph_hi,
+            coalesce(sum(CASE WHEN i < 32 THEN (1::BIGINT << i) END), 0)::BIGINT AS ph_lo
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 48) d
+          LEFT JOIN bits ON bits.doc_id = d.doc_id
+          GROUP BY d.doc_id)
+        SELECT doc_id, ph_hi, ph_lo,
+          min(doc_id) OVER (PARTITION BY ph_hi, ph_lo) AS cluster
+        FROM ph ORDER BY doc_id"""))
+
   private val multimodalFrameSample = Q(
     (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
@@ -4106,6 +4159,7 @@ object Queries {
     "multimodal_image_resize" -> multimodalImageResize,
     "multimodal_audio_segment" -> multimodalAudioSegment,
     "multimodal_video_frames" -> multimodalVideoFrames,
+    "dedup_image_phash" -> dedupImagePhash,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "text_chunk" -> textChunk,
     "sample_stratified" -> sampleStratified,

@@ -679,6 +679,66 @@ object Multimodal {
     * / stride, independent of row boundaries — at 100 TB the stage
     * parallelism is the input split count and nothing shuffles.
     */
+  /** Difference-hash (dHash) of a decodable image: luminance sampled on a
+    * 9×8 grid with the SAME integer nearest-neighbor mapping as
+    * [[ImageResizer]] (sx = x·w÷9, sy = y·h÷8), one bit per horizontally
+    * adjacent pair (right brighter than left), 64 bits returned as two
+    * 32-bit halves so SQL oracles never fight BIGINT sign overflow. The
+    * gradient encoding is what makes it PERCEPTUAL: global brightness /
+    * contrast shifts leave every comparison — and so the hash — unchanged,
+    * while structurally different images diverge. None when no reader
+    * recognizes the bytes.
+    */
+  def imageDHash(bytes: Array[Byte]): Option[(Long, Long)] =
+    ImageIoDecoder.readImage(bytes).map { img =>
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val grid = Array.tabulate(9, 8) { (x, y) =>
+        val rgb = img.getRGB(x * sw / 9, y * sh / 8)
+        (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+      }
+      var hi = 0L
+      var lo = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (grid(x + 1)(y) > grid(x)(y)) {
+            val i = y * 8 + x
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (hi, lo)
+    }
+
+  /** Perceptual image dedup — the image-side analogue of the text MinHash
+    * family: hash every decodable payload ([[imageDHash]], narrow
+    * partition-local decode where the bytes sit), bucket by the 64-bit
+    * hash, label each bucket with its minimum id. Near-duplicates that
+    * differ only photometrically (brightness/contrast grades, the classic
+    * web-scrape duplicate) land in one bucket; the whole reduction is ONE
+    * hash-partition exchange carrying (id, 16 bytes) rows — at 100 TB the
+    * decode cost stays on the scan and nothing wide ever ships pixels.
+    * Undecodable payloads yield no row (a hash over bytes that don't
+    * parse as an image would be exact dedup, which [[Dedup.exact]]
+    * already covers).
+    */
+  def imagePHashClusters(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.mapPartitions { it =>
+      it.flatMap { r =>
+        imageDHash(r.media).map { case (hi, lo) => (r.id, hi, lo) }
+      }
+    }.toDF("id", "ph_hi", "ph_lo")
+    hashed.withColumn("cluster",
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("ph_hi", "ph_lo")))
+  }
+
   /** REAL frame extraction for multi-frame containers — [[frameSample]]
     * gone live for the video-shaped modality: each recognized payload is
     * decoded frame-by-frame (the JDK's multi-image readers; animated GIF

@@ -412,6 +412,31 @@ class LogSchemaSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal: imageDHash is brightness-invariant and structure-sensitive; phash clustering buckets photometric near-dups") {
+    import spark.implicits._
+    def bmp(w: Int, h: Int, b: Int, seed: Int): Array[Byte] =
+      Multimodal.BmpBytes.encode24(w, h, (x, y) => {
+        val g = ((x * 7 + y * 13 + seed * 29) % 200) + b
+        g * 0x010101
+      })
+    val base = Multimodal.imageDHash(bmp(12, 9, 0, 1)).get
+    // +40 on every pixel: every gradient comparison — and the hash — holds
+    assert(Multimodal.imageDHash(bmp(12, 9, 40, 1)).get === base)
+    // a different pattern diverges
+    assert(Multimodal.imageDHash(bmp(12, 9, 0, 2)).get !== base)
+    assert(Multimodal.imageDHash("not an image".getBytes) === None)
+
+    val media = Seq(
+      Multimodal.MediaRecord(10L, "image", bmp(12, 9, 0, 1), 0, 0, 0),
+      Multimodal.MediaRecord(11L, "image", bmp(12, 9, 25, 1), 0, 0, 0),
+      Multimodal.MediaRecord(12L, "image", bmp(12, 9, 0, 2), 0, 0, 0),
+      Multimodal.MediaRecord(13L, "text", "not an image".getBytes, 0, 0, 0)).toDS()
+    val rows = Multimodal.imagePHashClusters(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows === Map(10L -> 10L, 11L -> 10L, 12L -> 12L),
+      "photometric grades bucket together; other patterns and non-images don't")
+  }
+
   test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
     // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
     // square wave, so the amplitude histogram must mass in the top bin
