@@ -2585,6 +2585,63 @@ object Queries {
           min(doc_id) OVER (PARTITION BY ph_hi, ph_lo) AS cluster
         FROM ph ORDER BY doc_id"""))
 
+  /** The decode→featurize→dedup pipeline end-to-end: live JDK decodes
+    * produce exact integer luminance-count features that feed the EXISTING
+    * embedding-cosine dedup operator unchanged — 8 BMP patterns × 3 slight
+    * brightness grades, where grades of one pattern stay near-parallel
+    * (cosine ≥ threshold) and different patterns mostly don't. The oracle
+    * recomputes every pixel's bin, every count and every 4-dp cosine
+    * arithmetically, so ANY drift in decoder, binning or the shared
+    * cosine contract hash-mismatches. Feature extraction is narrow; the
+    * pair scan is the operator's own bounded broadcast product.
+    */
+  private val dedupMediaEmbedding = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 8).toInt
+          val (w, h) = (12 + p, 9 + p % 4)
+          val b = ((id / 8) % 3).toInt * 8 // slight photometric grade
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.BmpBytes.encode24(w, h, (x, y) => {
+              val g = ((x * 7 + y * 13 + p * 23) % 240) + b
+              g * 0x010101
+            }), 0, 0, 0)
+        }
+      Dedup.embeddingCosinePairsExact(
+          Multimodal.imageHistogramFeatures(media, bins = 8),
+          "id", "features", threshold = 0.97, maxId = 48)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH px AS (
+          SELECT d.doc_id,
+            (((x.i * 7 + y.i * 13 + (d.doc_id % 8) * 23) % 240)
+             + ((d.doc_id // 8) % 3) * 8) // 32 AS bin
+          FROM documents d, range(0, 19) x(i), range(0, 12) y(i)
+          WHERE d.doc_id < 48
+            AND x.i < 12 + d.doc_id % 8 AND y.i < 9 + (d.doc_id % 8) % 4),
+        bins AS (
+          SELECT doc_id, b.i AS bin
+          FROM (SELECT DISTINCT doc_id FROM px), range(0, 8) b(i)),
+        cnt AS (
+          SELECT bins.doc_id, bins.bin, count(px.bin)::DOUBLE AS c
+          FROM bins LEFT JOIN px
+            ON px.doc_id = bins.doc_id AND px.bin = bins.bin
+          GROUP BY bins.doc_id, bins.bin),
+        feats AS (
+          SELECT doc_id, list(c ORDER BY bin) AS v FROM cnt GROUP BY doc_id)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(
+              list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cosine
+          FROM feats a, feats b WHERE a.doc_id < b.doc_id)
+        WHERE cosine >= 0.97 ORDER BY id_a, id_b"""))
+
   private val multimodalFrameSample = Q(
     (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
@@ -4160,6 +4217,7 @@ object Queries {
     "multimodal_audio_segment" -> multimodalAudioSegment,
     "multimodal_video_frames" -> multimodalVideoFrames,
     "dedup_image_phash" -> dedupImagePhash,
+    "dedup_media_embedding" -> dedupMediaEmbedding,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "text_chunk" -> textChunk,
     "sample_stratified" -> sampleStratified,

@@ -202,13 +202,14 @@ object Multimodal {
       finally if (stream != null) stream.close()
     }
 
-    /** `dim`-bin normalized luminance histogram of the decoded raster —
-      * a real (if simple) visual feature with the same fixed-width shape
-      * the stub emits.
+    /** `dim`-bin luminance COUNT histogram of the decoded raster — exact
+      * integers, so a SQL oracle can restate it with no float-division
+      * ulps in the feature itself (downstream cosine then runs
+      * double-vs-double on both sides, the proven 4-dp contract).
       */
-    private[operators] def luminanceHistogram(
-        img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
-      val acc = new Array[Float](dim)
+    def luminanceCounts(
+        img: java.awt.image.BufferedImage, dim: Int): Array[Long] = {
+      val acc = new Array[Long](dim)
       val (w, h) = (img.getWidth, img.getHeight)
       var y = 0
       while (y < h) {
@@ -217,13 +218,24 @@ object Multimodal {
           val rgb = img.getRGB(x, y)
           val lum = (((rgb >> 16) & 0xFF) * 299 +
             ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
-          acc(math.min(lum * dim / 256, dim - 1)) += 1f
+          acc(math.min(lum * dim / 256, dim - 1)) += 1L
           x += 1
         }
         y += 1
       }
-      val n = (w.toLong * h).toFloat
-      if (n > 0) { var i = 0; while (i < dim) { acc(i) /= n; i += 1 } }
+      acc
+    }
+
+    /** `dim`-bin normalized luminance histogram of the decoded raster —
+      * a real (if simple) visual feature with the same fixed-width shape
+      * the stub emits.
+      */
+    private[operators] def luminanceHistogram(
+        img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val counts = luminanceCounts(img, dim)
+      val n = (img.getWidth.toLong * img.getHeight).toFloat
+      val acc = new Array[Float](dim)
+      if (n > 0) { var i = 0; while (i < dim) { acc(i) = counts(i) / n; i += 1 } }
       acc
     }
   }
@@ -679,6 +691,30 @@ object Multimodal {
     * / stride, independent of row boundaries — at 100 TB the stage
     * parallelism is the input split count and nothing shuffles.
     */
+  /** Live image featurization for the embedding stack: each decodable
+    * payload becomes an exact integer luminance-count vector
+    * ([[ImageIoDecoder.luminanceCounts]]) ready for
+    * `Dedup.embeddingCosinePairs*` / the ANN operators (they cast to
+    * double themselves) — the decode→featurize→dedup pipeline a
+    * multimodal training corpus runs, with the model-embedding step
+    * standing in as a histogram until a codec/model-backed
+    * [[MediaDecoder]] slots in. Undecodable payloads yield no row. Narrow
+    * partition-local stage: features (a few longs) are the ONLY thing
+    * that leaves the scan — pixels never ship.
+    */
+  def imageHistogramFeatures(
+      media: Dataset[MediaRecord], bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        ImageIoDecoder.readImage(r.media)
+          .map(img => (r.id, ImageIoDecoder.luminanceCounts(img, bins)))
+      }
+    }.toDF("id", "features")
+  }
+
   /** Difference-hash (dHash) of a decodable image: luminance sampled on a
     * 9×8 grid with the SAME integer nearest-neighbor mapping as
     * [[ImageResizer]] (sx = x·w÷9, sy = y·h÷8), one bit per horizontally

@@ -437,6 +437,19 @@ class LogSchemaSpec extends SparkTestBase {
       "photometric grades bucket together; other patterns and non-images don't")
   }
 
+  test("multimodal: imageHistogramFeatures emits exact integer luminance counts; undecodable payloads yield no row") {
+    import spark.implicits._
+    val (w, h) = (8, 4)
+    // gray ramp x*32: bins 0..7 each get exactly one column = h pixels
+    val bmp = Multimodal.BmpBytes.encode24(w, h, (x, _) => (x * 32) * 0x010101)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", bmp, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "text", "nope".getBytes, 0, 0, 0)).toDS()
+    val rows = Multimodal.imageHistogramFeatures(media, bins = 8).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L)
+    assert(rows(0).getSeq[Long](1) == Seq.fill(8)(h.toLong))
+  }
+
   test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
     // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
     // square wave, so the amplitude histogram must mass in the top bin
