@@ -2642,6 +2642,56 @@ object Queries {
           FROM feats a, feats b WHERE a.doc_id < b.doc_id)
         WHERE cosine >= 0.97 ORDER BY id_a, id_b"""))
 
+  /** Perceptual audio dedup over live decodes: 48 docs plant 6 distinct
+    * PCM waveforms, each at 3 volume grades (×1/×2/×4 — the classic
+    * re-encode duplicate). Uniform gain scales every window energy
+    * equally, so the gradient fingerprint is identical across grades and
+    * the cluster label is the waveform's smallest doc_id; the oracle
+    * recomputes every |sample|, window energy, comparison bit and bucket
+    * min arithmetically from the same closed forms. Frame count is a
+    * multiple of 16, so the windowing drops nothing. One hash-partition
+    * exchange + the output ordering.
+    */
+  private val dedupAudioFp = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 6).toInt
+          val v = 1 << ((id / 6) % 3).toInt // volume grade: fp-invariant
+          val frames = 480 + p * 32
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.WavBytes.encodePcm16(8000, 1, frames,
+              // slope varies PER PATTERN (different sawtooth period =>
+              // different window-energy shape); phase alone would leave
+              // near-identical energies and collide every fingerprint
+              (f, _) => (((f * (11 + p * 6)) % 4096 - 2048) * v).toShort),
+            0, 0, 0)
+        }
+      Multimodal.audioFPClusters(media, windows = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH e AS (
+          SELECT d.doc_id, f.i // ((480 + (d.doc_id % 6) * 32) // 16) AS w,
+            sum(abs(((f.i * (11 + (d.doc_id % 6) * 6)) % 4096 - 2048)
+                    * (1 << ((d.doc_id // 6) % 3)))) AS energy
+          FROM documents d, range(0, 640) f(i)
+          WHERE d.doc_id < 48 AND f.i < 480 + (d.doc_id % 6) * 32
+          GROUP BY 1, 2),
+        fp AS (
+          SELECT a.doc_id,
+            coalesce(sum(CASE WHEN b.energy > a.energy
+              THEN (1::BIGINT << a.w) END), 0)::BIGINT AS fp
+          FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+          WHERE a.w < 15
+          GROUP BY a.doc_id)
+        SELECT doc_id, fp,
+          min(doc_id) OVER (PARTITION BY fp) AS cluster
+        FROM fp ORDER BY doc_id"""))
+
   private val multimodalFrameSample = Q(
     (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
@@ -4218,6 +4268,7 @@ object Queries {
     "multimodal_video_frames" -> multimodalVideoFrames,
     "dedup_image_phash" -> dedupImagePhash,
     "dedup_media_embedding" -> dedupMediaEmbedding,
+    "dedup_audio_fp" -> dedupAudioFp,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "text_chunk" -> textChunk,
     "sample_stratified" -> sampleStratified,

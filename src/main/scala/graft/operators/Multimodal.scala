@@ -775,6 +775,76 @@ object Multimodal {
         .over(org.apache.spark.sql.expressions.Window.partitionBy("ph_hi", "ph_lo")))
   }
 
+  /** Energy fingerprint of a decodable audio payload — the audio sibling
+    * of [[imageDHash]]: the PCM stream (live JDK decode, any recognized
+    * encoding) is split into `windows` equal frame windows (trailing
+    * remainder frames dropped — closed-form windowing a SQL oracle can
+    * restate), each window's energy is the exact integer sum of |sample|
+    * over all channels, and one bit per adjacent window pair (next louder
+    * than current) forms a `windows-1`-bit fingerprint. The gradient
+    * encoding makes it PERCEPTUAL in the same sense as dHash: uniform
+    * gain (volume grades, the classic re-encode duplicate) scales every
+    * window energy equally and leaves all comparisons — and the
+    * fingerprint — unchanged, while different material diverges. None
+    * when no provider recognizes the bytes or the stream is shorter than
+    * `windows` frames.
+    */
+  def audioEnergyFingerprint(
+      bytes: Array[Byte], windows: Int = 16): Option[Long] = {
+    require(windows >= 2 && windows <= 64,
+      s"windows must be in [2, 64], got $windows")
+    AudioSystemDecoder.pcm16(bytes).flatMap { case (_, ch, pcm) =>
+      val frames = pcm.length / (ch * 2)
+      if (frames < windows) None
+      else {
+        val win = frames / windows
+        val energy = new Array[Long](windows)
+        var f = 0
+        while (f < win * windows) {
+          var c = 0
+          var e = 0L
+          while (c < ch) {
+            val i = (f * ch + c) * 2
+            val s = (((pcm(i + 1) << 8) | (pcm(i) & 0xFF))).toShort
+            e += math.abs(s.toInt)
+            c += 1
+          }
+          energy(f / win) += e
+          f += 1
+        }
+        var fp = 0L
+        var w = 0
+        while (w < windows - 1) {
+          if (energy(w + 1) > energy(w)) fp |= 1L << w
+          w += 1
+        }
+        Some(fp)
+      }
+    }
+  }
+
+  /** Perceptual audio dedup: fingerprint every decodable payload
+    * ([[audioEnergyFingerprint]], narrow partition-local decode), bucket
+    * by the fingerprint, label each bucket with its minimum id — the same
+    * ONE hash-partition exchange of (id, 8B) rows as
+    * [[imagePHashClusters]]; PCM never ships. Volume grades of one
+    * recording collapse into one bucket. Undecodable / too-short payloads
+    * yield no row.
+    */
+  def audioFPClusters(
+      media: Dataset[MediaRecord], windows: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.mapPartitions { it =>
+      it.flatMap { r =>
+        audioEnergyFingerprint(r.media, windows).map(fp => (r.id, fp))
+      }
+    }.toDF("id", "fp")
+    hashed.withColumn("cluster",
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+  }
+
   /** REAL frame extraction for multi-frame containers — [[frameSample]]
     * gone live for the video-shaped modality: each recognized payload is
     * decoded frame-by-frame (the JDK's multi-image readers; animated GIF

@@ -450,6 +450,31 @@ class LogSchemaSpec extends SparkTestBase {
     assert(rows(0).getSeq[Long](1) == Seq.fill(8)(h.toLong))
   }
 
+  test("multimodal: audioEnergyFingerprint is volume-invariant and material-sensitive; clustering buckets volume grades") {
+    import spark.implicits._
+    def wav(seed: Int, vol: Int): Array[Byte] =
+      Multimodal.WavBytes.encodePcm16(8000, 2, 320,
+        (f, c) => (((f * (13 + seed * 10) + c * 3) % 4096 - 2048) * vol).toShort)
+    val base = Multimodal.audioEnergyFingerprint(wav(1, 1)).get
+    assert(Multimodal.audioEnergyFingerprint(wav(1, 4)).get === base,
+      "uniform gain must not change the fingerprint")
+    assert(Multimodal.audioEnergyFingerprint(wav(2, 1)).get !== base,
+      "different material must diverge")
+    assert(Multimodal.audioEnergyFingerprint("not audio".getBytes) === None)
+    // shorter than the window count: no fingerprint
+    assert(Multimodal.audioEnergyFingerprint(
+      Multimodal.WavBytes.encodePcm16(8000, 1, 10, (f, _) => f.toShort)) === None)
+
+    val media = Seq(
+      Multimodal.MediaRecord(20L, "audio", wav(1, 1), 0, 0, 0),
+      Multimodal.MediaRecord(21L, "audio", wav(1, 2), 0, 0, 0),
+      Multimodal.MediaRecord(22L, "audio", wav(2, 1), 0, 0, 0),
+      Multimodal.MediaRecord(23L, "text", "not audio".getBytes, 0, 0, 0)).toDS()
+    val rows = Multimodal.audioFPClusters(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows === Map(20L -> 20L, 21L -> 20L, 22L -> 22L))
+  }
+
   test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
     // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
     // square wave, so the amplitude histogram must mass in the top bin
