@@ -161,7 +161,7 @@ object Queries {
         val logs = LogSchema.logsFromEvents(t(s, dir, "events"))
           .withColumn("date", to_date(col("timestamp")))
         logs.write.mode("overwrite").partitionBy("date").parquet(out)
-        val maxDay = logs.agg(max(col("date"))).head.getDate(0).toLocalDate
+        val maxDay = logs.agg(max(col("date"))).head().getDate(0).toLocalDate
         val dropped = LogSchema.dropPartitionsBefore(s, out, maxDay.minusDays(6))
         require(dropped.nonEmpty, "retention fixture must drop expired days")
         out
@@ -249,7 +249,7 @@ object Queries {
         val out = java.nio.file.Files.createTempDirectory("graft-rollup").toString
         deleteOnExit(src); deleteOnExit(out)
         val logs = LogSchema.logsFromEvents(t(s, dir, "events"))
-        val maxDay = logs.agg(max(to_date(col("timestamp")))).head
+        val maxDay = logs.agg(max(to_date(col("timestamp")))).head()
           .getDate(0).toString
         val late = to_date(col("timestamp")) === lit(maxDay) &&
           col("id") % 3 === 0
@@ -763,7 +763,7 @@ object Queries {
   private val queryLanguageIndexedRange = Q(
     (s, dir) => {
       val tbl = Fixtures.rangeIndexedLogTableDir(s, dir)
-      val mx = t(s, dir, "events").agg(max(col("event_id"))).head.getLong(0)
+      val mx = t(s, dir, "events").agg(max(col("event_id"))).head().getLong(0)
       val lo = mx * 3 / 10
       val hi = mx * 6 / 10
       NgramIndex.searchLogsQuery(s, tbl,
@@ -3510,7 +3510,7 @@ object Queries {
       val ev = t(s, dir, "events")
       val cutoff = ev
         .agg(expr("date_trunc('DAY', max(ts)) - INTERVAL 1 DAY"))
-        .head.getTimestamp(0)
+        .head().getTimestamp(0)
       val lg = logs(s, dir).withColumn("log",
         concat(col("log"),
           when(col("timestamp") >= lit(cutoff) &&
@@ -3888,7 +3888,7 @@ object Queries {
       val ev = t(s, dir, "events")
       val pivot = ev
         .agg(expr("date_trunc('DAY', max(ts)) - INTERVAL 1 DAY"))
-        .head.getTimestamp(0)
+        .head().getTimestamp(0)
       graft.operators.Anomaly.contributors(ev, col("ts"),
           dims = Seq("event_type"),
           spikeFrom = lit(pivot), spikeTo = lit("9999-01-01").cast("timestamp"),

@@ -110,7 +110,7 @@ object DedupIndex {
   }
 
   def readParams(spark: SparkSession, dir: String): Params = {
-    val r = spark.read.parquet(s"$dir/params").head
+    val r = spark.read.parquet(s"$dir/params").head()
     Params(r.getAs[Int]("shingle_n"), r.getAs[Int]("bands"),
       r.getAs[Int]("rows_per_band"))
   }

@@ -449,10 +449,11 @@ object Similarity {
     }
     val keep = withQv.columns.map(col)
     withQv
-      .select(keep :+
+      .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(keep :+
         explode(slice(array_sort(array(candStructs.toSeq: _*)), 1, probeN))
-          .as("p"): _*)
-      .select(keep :+ col("p.cell").as("cell"): _*)
+          .as("p")): _*)
+      .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        keep :+ col("p.cell").as("cell")): _*)
   }
 
   /** A product-quantization index (FAISS `IndexPQ` shape): per-subspace

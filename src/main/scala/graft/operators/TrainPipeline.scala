@@ -524,7 +524,7 @@ object TrainPipeline {
     // bits, an underestimate would inflate the real fpp.
     val expected = math.max(64L,
       if (expectedShingles > 0) expectedShingles
-      else (benchSh.agg(approx_count_distinct(col("sh"))).head.getLong(0) * 11L) / 10L)
+      else (benchSh.agg(approx_count_distinct(col("sh"))).head().getLong(0) * 11L) / 10L)
     val bloom = benchSh.select(xxhash64(col("sh")).as("h"))
       .stat.bloomFilter("h", expected, fpp)
     val bloomBytes = SketchExprs.serialize(bloom)
