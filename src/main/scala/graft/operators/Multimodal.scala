@@ -715,7 +715,9 @@ object Multimodal {
     }.toDF("id", "features")
   }
 
-  /** Difference-hash (dHash) of a decodable image: luminance sampled on a
+  /** Difference-hash (dHash) of a decodable image — the classic gradient
+    * perceptual hash (Krawetz's public dHash formulation, as used by
+    * image-dedup pipelines over web-scale scrapes): luminance sampled on a
     * 9×8 grid with the SAME integer nearest-neighbor mapping as
     * [[ImageResizer]] (sx = x·w÷9, sy = y·h÷8), one bit per horizontally
     * adjacent pair (right brighter than left), 64 bits returned as two
