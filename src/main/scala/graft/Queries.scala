@@ -2692,6 +2692,49 @@ object Queries {
           min(doc_id) OVER (PARTITION BY fp) AS cluster
         FROM fp ORDER BY doc_id"""))
 
+  /** Shot-boundary detection end-to-end: each doc plants a two-shot
+    * animated GIF — the raster SLOPE changes at the cut frame (different
+    * material) while frames within a shot drift only in brightness
+    * (which the per-frame dHash cancels) — and the operator must recover
+    * exactly the planted segmentation: two rows per doc, [0, cut) and
+    * [cut, nf). The oracle states the segmentation closed-form, so a
+    * hash collision across the cut, spurious sensitivity to the in-shot
+    * drift, or any frame-order drift in the GIF path hash-mismatches.
+    * Fully narrow (decode + hash + group are partition-local); the only
+    * shuffle is the output ordering.
+    */
+  private val multimodalShotDetect = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").where(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 5).toInt
+          val cut = 2 + (id % 4).toInt
+          val nf = 6 + (id % 5).toInt
+          Multimodal.MediaRecord(id, "video",
+            Multimodal.GifBytes.encodeGray(12, 9, nf, (f, x, y) => {
+              // the material change flips the luminance-gradient DIRECTION
+              // (two same-sign slopes can share every dHash bit; a flip
+              // cannot), in-shot frames drift only in brightness
+              val xx = if (f < cut) x else 11 - x
+              ((xx * 9 + y * 7) % 180) + p * 8 + f * 3
+            }), 0, 0, 0)
+        }
+      Multimodal.detectShots(media)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "shot_idx")
+    },
+    Some("""WITH base AS (
+          SELECT doc_id, (2 + doc_id % 4) AS cut, (6 + doc_id % 5) AS nf
+          FROM documents WHERE doc_id < 48)
+        SELECT doc_id, 0::INT AS shot_idx, 0::INT AS start_frame,
+          cut::INT AS n_frames FROM base
+        UNION ALL
+        SELECT doc_id, 1::INT, cut::INT, (nf - cut)::INT FROM base
+        ORDER BY doc_id, shot_idx"""))
+
   private val multimodalFrameSample = Q(
     (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(
@@ -4266,6 +4309,7 @@ object Queries {
     "multimodal_image_resize" -> multimodalImageResize,
     "multimodal_audio_segment" -> multimodalAudioSegment,
     "multimodal_video_frames" -> multimodalVideoFrames,
+    "multimodal_shot_detect" -> multimodalShotDetect,
     "dedup_image_phash" -> dedupImagePhash,
     "dedup_media_embedding" -> dedupMediaEmbedding,
     "dedup_audio_fp" -> dedupAudioFp,

@@ -728,29 +728,66 @@ object Multimodal {
     * recognizes the bytes.
     */
   def imageDHash(bytes: Array[Byte]): Option[(Long, Long)] =
-    ImageIoDecoder.readImage(bytes).map { img =>
-      val (sw, sh) = (img.getWidth, img.getHeight)
-      val grid = Array.tabulate(9, 8) { (x, y) =>
-        val rgb = img.getRGB(x * sw / 9, y * sh / 8)
-        (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-          (rgb & 0xFF) * 114) / 1000
-      }
-      var hi = 0L
-      var lo = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (grid(x + 1)(y) > grid(x)(y)) {
-            val i = y * 8 + x
-            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-          }
-          x += 1
-        }
-        y += 1
-      }
-      (hi, lo)
+    ImageIoDecoder.readImage(bytes).map(dHashRaster)
+
+  /** [[imageDHash]]'s raster-level core, shared with [[detectShots]]
+    * (which hashes frames it already decoded).
+    */
+  def dHashRaster(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val grid = Array.tabulate(9, 8) { (x, y) =>
+      val rgb = img.getRGB(x * sw / 9, y * sh / 8)
+      (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+        (rgb & 0xFF) * 114) / 1000
     }
+    var hi = 0L
+    var lo = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(x + 1)(y) > grid(x)(y)) {
+          val i = y * 8 + x
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  /** Shot-boundary detection — intra-payload segmentation of the
+    * video-shaped modality: decode a multi-frame payload, dHash every
+    * frame ([[dHashRaster]] — photometric drift within a shot cancels,
+    * material changes don't), and cut wherever the perceptual hash
+    * changes between consecutive frames; emit one row per shot with its
+    * start frame and length. The whole operator is PARTITION-LOCAL: one
+    * payload's frames decode in sequence on the executor that holds the
+    * bytes, so shot grouping needs NO shuffle at all — at 100 TB this is
+    * a pure narrow stage whose parallelism is the input split count.
+    * Unrecognized payloads produce no rows.
+    */
+  def detectShots(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val frames = ImageIoDecoder.readFrames(r.media)
+        if (frames.isEmpty) Iterator.empty
+        else {
+          val hashes = frames.map(dHashRaster)
+          val bounds = 0 +:
+            (1 until hashes.size).filter(i => hashes(i) != hashes(i - 1))
+          bounds.zipWithIndex.iterator.map { case (start, si) =>
+            val end =
+              if (si + 1 < bounds.size) bounds(si + 1) else hashes.size
+            (r.id, si, start, end - start)
+          }
+        }
+      }
+    }.toDF("id", "shot_idx", "start_frame", "n_frames")
+  }
 
   /** Perceptual image dedup — the image-side analogue of the text MinHash
     * family: hash every decodable payload ([[imageDHash]], narrow

@@ -475,6 +475,30 @@ class LogSchemaSpec extends SparkTestBase {
     assert(rows === Map(20L -> 20L, 21L -> 20L, 22L -> 22L))
   }
 
+  test("multimodal: detectShots cuts where the perceptual hash changes, ignores in-shot brightness drift") {
+    import spark.implicits._
+    // three shots (gradient direction flips at each cut: →, ←, →), cuts
+    // at 3 and 7, brightness drifts within every shot — dHash must hold
+    // within and break across
+    def shot(f: Int): Int = if (f < 3) 0 else if (f < 7) 1 else 2
+    val gif = Multimodal.GifBytes.encodeGray(12, 9, 10,
+      (f, x, y) => {
+        val xx = if (shot(f) % 2 == 0) x else 11 - x
+        ((xx * 9 + y * 7) % 180) + f * 3
+      })
+    val oneShot = Multimodal.GifBytes.encodeGray(12, 9, 4,
+      (f, x, y) => ((x * 9 + y * 7) % 180) + f * 2)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", gif, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "video", oneShot, 0, 0, 0),
+      Multimodal.MediaRecord(3L, "text", "not media".getBytes, 0, 0, 0)).toDS()
+    val rows = Multimodal.detectShots(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(rows === Set(
+      (1L, 0, 0, 3), (1L, 1, 3, 4), (1L, 2, 7, 3),
+      (2L, 0, 0, 4)))
+  }
+
   test("multimodal: a real planted WAV decodes live — metadata probe and amplitude features, stub fallback for the rest") {
     // encode a REAL 16-bit mono WAV with the JDK encoder: a full-scale
     // square wave, so the amplitude histogram must mass in the top bin
