@@ -417,4 +417,36 @@ class StreamingSpec extends SparkTestBase {
     val sessions = spark.sql("SELECT cnt FROM session_out ORDER BY cnt").collect()
     assert(sessions.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
+
+  test("multimodal ops compose with Structured Streaming: per-batch shot detection over a media file stream") {
+    // the multimodal layer is stateless narrow transforms over
+    // Dataset[MediaRecord], so the SAME operator code must run under
+    // readStream unchanged — per micro-batch, no state, no shuffle
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val in = tmp("graft-media-in")
+    def gif(id: Long, cut: Int, nf: Int): Multimodal.MediaRecord =
+      Multimodal.MediaRecord(id, "video",
+        Multimodal.GifBytes.encodeGray(12, 9, nf, (f, x, y) => {
+          val xx = if (f < cut) x else 11 - x
+          ((xx * 9 + y * 7) % 180) + f * 3
+        }), 0, 0, 0)
+    // two files → two micro-batches (maxFilesPerTrigger = 1)
+    Seq(gif(1L, 2, 5)).toDS().write.parquet(s"$in/b1")
+    Seq(gif(2L, 3, 8)).toDS().write.parquet(s"$in/b2")
+    val stream = spark.readStream.schema(Multimodal.mediaSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(in)
+      .as[Multimodal.MediaRecord]
+    val q = Multimodal.detectShots(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("shots_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT * FROM shots_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set(
+      (1L, 0, 0, 2), (1L, 1, 2, 3),
+      (2L, 0, 0, 3), (2L, 1, 3, 5)))
+  }
 }
