@@ -61,14 +61,29 @@ object Queries {
       * zorder, ngramidx → logTable) — and the fast path after
       * construction stays a lock-free TrieMap read.
       */
+    /** Cell-map key comparing the cache by REFERENCE: Scala maps equal/hash
+      * structurally, so keying on the TrieMap itself would re-hash on every
+      * insertion (orphaning cells mid-build — two threads could then lock
+      * different monitors for the same logical key) and would alias two
+      * empty caches onto one cell.
+      */
+    private final class CellKey(val cache: AnyRef, val key: String) {
+      override def hashCode: Int =
+        System.identityHashCode(cache) * 31 + key.hashCode
+      override def equals(o: Any): Boolean = o match {
+        case c: CellKey => (c.cache eq cache) && c.key == key
+        case _ => false
+      }
+    }
+
     private val memoCells =
-      scala.collection.concurrent.TrieMap.empty[(AnyRef, String), AnyRef]
+      scala.collection.concurrent.TrieMap.empty[CellKey, AnyRef]
 
     private def memo[V](
         cache: scala.collection.concurrent.TrieMap[String, V],
         key: String)(build: => V): V =
       cache.get(key).getOrElse {
-        val cell = memoCells.getOrElseUpdate((cache, key), new Object)
+        val cell = memoCells.getOrElseUpdate(new CellKey(cache, key), new Object)
         cell.synchronized {
           cache.get(key).getOrElse { val v = build; cache.put(key, v); v }
         }

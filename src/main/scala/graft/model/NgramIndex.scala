@@ -144,6 +144,8 @@ object NgramIndex {
       tablePath: String,
       needle: String,
       n: Int = 4): Option[Pruning] =
+    // the live listing is BY-NAME into pruneAll: when the index is missing
+    // or the needle too short, no table file listing is ever paid
     pruneAll(spark, tablePath, Seq(needle),
       LogSchema.readLogs(spark, tablePath).inputFiles.toSeq, n).headOption
 
@@ -155,14 +157,20 @@ object NgramIndex {
     * small SF. Needles too short to produce a gram are skipped (the
     * returned Seq covers only probe-able needles — each entry is an
     * independently sound prune, so callers intersect whatever comes back).
-    * Blooms still never leave the executors; only (path, verdict×k) rows
-    * reach the driver.
+    * Blooms still never leave the executors, and the verdicts are
+    * evaluated DISTRIBUTED: the fused scan filters to rows some needle
+    * could not rule out, so the collect is bounded by the CANDIDATE
+    * count, not the file count (the coverage manifest — (width, file)
+    * string pairs, one collect per index generation — reconciles
+    * unindexed files; see [[SidecarIndex.coverage]]). `live` is by-name:
+    * no table listing is paid when the index is missing or no needle is
+    * probe-able.
     */
   def pruneAll(
       spark: SparkSession,
       tablePath: String,
       needles: Seq[String],
-      live: Seq[String],
+      live: => Seq[String],
       n: Int = 4): Seq[Pruning] = {
     GraftFunctions.registerAll(spark)
     if (needles.isEmpty || !indexExists(spark, tablePath)) return Nil
@@ -175,19 +183,30 @@ object NgramIndex {
     val byKey: Map[String, Array[Long]] =
       keyed.map { case (_, hs) => s"n$n:${hs.mkString(",")}" -> hs }.toMap
     val probeKeys = keyed.map { case (_, hs) => s"n$n:${hs.mkString(",")}" }
-    val verdicts = SidecarIndex.probeCached(
+    val matches = SidecarIndex.probeCached(
         spark, tablePath, IndexDirName, probeKeys) { missing =>
       val cols = missing.zipWithIndex.map { case (k, i) =>
         NgramBloomExprs.bloomContainsAll(col("bloom"), byKey(k)).as(s"ok$i")
       }
+      val anyOk = missing.indices.map(i => col(s"ok$i")).reduce(_ or _)
       val rows = readIndex(spark, tablePath).where(col("n") === lit(n))
         .select(col("file") +: cols: _*)
+        .where(anyOk) // all-needles-reject rows never reach the driver
         .collect()
+      SidecarIndex.lastProbeCollected.set(rows.length.toLong)
       missing.zipWithIndex.map { case (k, i) =>
-        k -> rows.map(r => norm(r.getString(0)) -> r.getBoolean(i + 1)).toMap
+        k -> rows.collect {
+          case r if r.getBoolean(i + 1) => norm(r.getString(0))
+        }.toSet
       }.toMap
     }
-    probeKeys.map(k => SidecarIndex.decide(verdicts(k), live))
+    val covered = SidecarIndex
+      .coverage(spark, tablePath, IndexDirName, "n")
+      .getOrElse(n.toString, Set.empty)
+    val liveList = live
+    // the computeMissing above answers every key, so .get never misses
+    probeKeys.map(k =>
+      SidecarIndex.decide(matches(k).getOrElse(Set.empty), covered, liveList))
   }
 
   /** Substring search over the table's `log` column, skip-reading via the

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * instances; a fix to the swap or normalization logic lands in both by
   * construction.
   */
-private[model] object SidecarIndex {
+private[graft] object SidecarIndex {
 
   /** Which live data files a probe must read, and why: `candidates` =
     * verdict-passing indexed files + unindexed files; `pruned` = live
@@ -140,36 +140,46 @@ private[model] object SidecarIndex {
   private val readCache = scala.collection.concurrent.TrieMap
     .empty[(Long, String), (SparkSession, Seq[(String, Long, Long)], DataFrame)]
 
-  /** Per-probe VERDICT maps memoized against the index generation: a
+  /** Per-probe MATCH SETS memoized against the index generation: a
     * repeated probe (dashboards re-issuing the same needles / ranges —
     * the reference UI's refresh loop is exactly this) pays the
     * distributed index scan once per index GENERATION, not once per
-    * query. Sound because a verdict map is a pure function of the index
+    * query. Sound because a match set is a pure function of the index
     * contents — the live file list, which DOES drift with ingest, stays
     * outside the cache and is re-combined by [[decide]] on every probe.
     * Entries validate against the same file signature as [[readCached]]
     * (any build/vacuum invalidates on the next probe); dead-session and
     * over-cap entries are dropped on miss, so a long-lived session
-    * issuing unbounded distinct probes cannot hoard O(files) maps.
+    * issuing unbounded distinct probes cannot hoard driver state.
+    *
+    * A key's value is the set of NORMALIZED index-covered file paths the
+    * probe could NOT rule out — the only rows the cold scan collects, so
+    * per-probe driver transfer is bounded by the CANDIDATE count, not the
+    * file count (the selective case is exactly the one that matters at
+    * 10⁵–10⁶ files; an unselective probe degrades to the file count,
+    * which is what it would have to read anyway). Files the index does
+    * not cover are reconciled by [[decide]] against [[coverage]]'s
+    * per-generation manifest.
     *
     * `probeKeys` identify the probes (duplicates collapse); `computeMissing`
-    * receives only the keys absent from cache and returns their maps in
-    * ONE fused index scan — a key it omits (e.g. an unindexed column) is
-    * cached as a negative so the scan is not repeated for it.
+    * receives only the keys absent from cache and returns their match sets
+    * in ONE fused index scan — a key it omits (e.g. an unindexed column)
+    * is cached and RETURNED as `None`, so the scan is not repeated for it
+    * and callers see the same shape on cold and cached probes.
     */
   def probeCached(
       spark: SparkSession,
       tablePath: String,
       dirName: String,
       probeKeys: Seq[String])(
-      computeMissing: Seq[String] => Map[String, Map[String, Boolean]])
-    : Map[String, Map[String, Boolean]] = {
+      computeMissing: Seq[String] => Map[String, Set[String]])
+    : Map[String, Option[Set[String]]] = {
     val ip = indexPath(tablePath, dirName).toString
     val sid = System.identityHashCode(spark).toLong
     val sig = signature(spark, tablePath, dirName)
     val distinct = probeKeys.distinct
     val hit = distinct.flatMap { k =>
-      verdictCache.get((sid, ip, k)) match {
+      matchCache.get((sid, ip, k)) match {
         case Some((owner, s0, v)) if (owner eq spark) && s0 == sig =>
           Some(k -> v)
         case _ => None
@@ -178,30 +188,80 @@ private[model] object SidecarIndex {
     val missing = distinct.filterNot(hit.contains)
     if (missing.isEmpty) return hit
     val computed = computeMissing(missing)
-    val negatives = missing.filterNot(computed.contains)
-      .map(_ -> Map.empty[String, Boolean])
-    (computed ++ negatives).foreach { case (k, v) =>
-      verdictCache.put((sid, ip, k), (spark, sig, v))
+    val all: Map[String, Option[Set[String]]] =
+      missing.map(k => k -> computed.get(k)).toMap
+    all.foreach { case (k, v) =>
+      matchCache.put((sid, ip, k), (spark, sig, v))
     }
-    verdictCache.filterInPlace { case ((s, p, k), (owner, s0, _)) =>
+    matchCache.filterInPlace { case ((s, p, _), (owner, s0, _)) =>
       !owner.sparkContext.isStopped &&
         // stale generations of this index die now; other indexes keep theirs
         (s != sid || p != ip || s0 == sig)
     }
-    if (verdictCache.count { case ((s, p, _), _) => s == sid && p == ip }
-        > VerdictCacheCap) {
+    if (matchCache.count { case ((s, p, _), _) => s == sid && p == ip }
+        > MatchCacheCap) {
       val keep = distinct.toSet
-      verdictCache.filterInPlace { case ((s, p, k), _) =>
+      matchCache.filterInPlace { case ((s, p, k), _) =>
         s != sid || p != ip || keep(k)
       }
     }
-    hit ++ computed
+    hit ++ all
   }
 
-  private val VerdictCacheCap = 64
-  private val verdictCache = scala.collection.concurrent.TrieMap
+  private val MatchCacheCap = 64
+  private val matchCache = scala.collection.concurrent.TrieMap
     .empty[(Long, String, String),
-      (SparkSession, Seq[(String, Long, Long)], Map[String, Boolean])]
+      (SparkSession, Seq[(String, Long, Long)], Option[Set[String]])]
+
+  /** The index's COVERAGE MANIFEST, memoized against the generation: for
+    * each value of `dimCol` (the gram width for [[NgramIndex]], the column
+    * name for [[ZoneMapIndex]]), the set of normalized file paths the
+    * index covers. One collect of (dim, file) STRING pairs per generation
+    * — the blooms/bounds never ship — the same order of driver state as
+    * the live file listing every caller already holds (Spark's own
+    * listing), amortized across every probe of the generation. This is
+    * what lets a probe's own collect stay candidate-bounded: [[decide]]
+    * derives the unindexed set from the manifest instead of from per-file
+    * verdict rows.
+    */
+  def coverage(
+      spark: SparkSession,
+      tablePath: String,
+      dirName: String,
+      dimCol: String): Map[String, Set[String]] = {
+    val ip = indexPath(tablePath, dirName).toString
+    val sid = System.identityHashCode(spark).toLong
+    val sig = signature(spark, tablePath, dirName)
+    manifestCache.get((sid, ip, dimCol)) match {
+      case Some((owner, s0, m)) if (owner eq spark) && s0 == sig => m
+      case _ =>
+        import org.apache.spark.sql.functions.col
+        val rows = readCached(spark, tablePath, dirName)
+          .select(col(dimCol).cast("string"), col("file"))
+          .distinct()
+          .collect()
+        val m = rows.groupBy(_.getString(0)).map { case (dim, rs) =>
+          dim -> rs.map(r => norm(r.getString(1))).toSet
+        }
+        manifestCache.put((sid, ip, dimCol), (spark, sig, m))
+        manifestCache.filterInPlace { case ((s, p, _), (owner, s0, _)) =>
+          !owner.sparkContext.isStopped &&
+            (s != sid || p != ip || s0 == sig)
+        }
+        m
+    }
+  }
+
+  private val manifestCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, String, String),
+      (SparkSession, Seq[(String, Long, Long)], Map[String, Set[String]])]
+
+  /** Driver rows collected by the most recent COLD index probe in this
+    * process (test/bench telemetry only — racy across concurrent probes
+    * by design): lets specs assert the candidate-bounded contract without
+    * instrumenting Spark itself.
+    */
+  private[graft] val lastProbeCollected = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   /** [[norm]] as a plan-side expression (a pure lambda — no object
     * capture), for joins that must key on file identity executor-side.
@@ -283,14 +343,18 @@ private[model] object SidecarIndex {
       .map { case (f, rs) => byNorm(f) -> rs.map(_.getString(1)).toSet }
   }
 
-  /** Combine a per-file verdict map with the live file list into the
-    * pruning decision — the staleness contract both indexes share: a live
-    * file the index has never seen is always a candidate; an index row
-    * whose file is gone is simply ignored.
+  /** Combine a probe's match set and the index's coverage manifest with
+    * the live file list into the pruning decision — the staleness contract
+    * both indexes share: a live file the index has never seen (absent from
+    * `covered`) is always a candidate; an index row whose file is gone is
+    * simply ignored (`matches`/`covered` entries not in `live` don't
+    * surface). Both sets hold NORMALIZED paths ([[norm]]); `live` keeps
+    * the caller's original paths, ready for a parquet read.
     */
-  def decide(verdicts: Map[String, Boolean], live: Seq[String]): Pruning = {
-    val (known, unindexed) = live.partition(f => verdicts.contains(norm(f)))
-    val candidates = known.filter(f => verdicts(norm(f))) ++ unindexed
+  def decide(
+      matches: Set[String], covered: Set[String], live: Seq[String]): Pruning = {
+    val (known, unindexed) = live.partition(f => covered(norm(f)))
+    val candidates = known.filter(f => matches(norm(f))) ++ unindexed
     Pruning(candidates, pruned = (live.size - candidates.size).toLong,
       unindexed = unindexed.size.toLong)
   }

@@ -169,7 +169,7 @@ object ZoneMapIndex {
       colName: String,
       lo: Double,
       hi: Double,
-      live: Seq[String]): Option[Pruning] =
+      live: => Seq[String]): Option[Pruning] =
     pruneAll(spark, tablePath, Seq((colName, lo, hi)), live).headOption
 
   /** [[prune]] for SEVERAL `(column, lo, hi)` ranges in ONE index pass
@@ -179,57 +179,79 @@ object ZoneMapIndex {
     * cost one Spark job, not k (the fused-probe contract shared with
     * [[NgramIndex.pruneAll]]). Ranges over unindexed columns are skipped
     * (each returned entry is an independently sound prune; callers
-    * intersect whatever comes back).
+    * intersect whatever comes back — the coverage manifest answers
+    * "is this column indexed at all?" without any scan).
+    *
+    * The verdicts are evaluated DISTRIBUTED: the fused scan filters to
+    * rows some range could not rule out, so the collect is bounded by the
+    * CANDIDATE count, not the file count; unindexed files are reconciled
+    * from [[SidecarIndex.coverage]]'s per-generation manifest. `live` is
+    * by-name: no table listing is paid when the index is missing.
     */
   def pruneAll(
       spark: SparkSession,
       tablePath: String,
       ranges: Seq[(String, Double, Double)],
-      live: Seq[String]): Seq[Pruning] = {
+      live: => Seq[String]): Seq[Pruning] = {
     ranges.foreach { case (_, lo, hi) =>
       require(!lo.isNaN && !hi.isNaN,
         "a NaN query bound matches nothing under range semantics (NaN " +
           "satisfies no between predicate) — filter NaN explicitly instead")
     }
     if (ranges.isEmpty || !indexExists(spark, tablePath)) return Nil
+    val covered = SidecarIndex.coverage(spark, tablePath, IndexDirName, "col")
     // probe identity = column + the exact ulp-widened bounds the verdicts
     // are computed against (raw bits, so -0.0/0.0 and every double are
-    // distinct); an unindexed column caches an EMPTY map — a negative,
-    // kept out of the result below, matching [[prune]]'s None
+    // distinct); an unindexed column is cached as a NEGATIVE (None) —
+    // kept out of the result below, matching [[prune]]'s None — decided
+    // from the manifest alone, so it never costs an index scan
     def key(colName: String, lo: Double, hi: Double) =
       s"$colName:${java.lang.Double.doubleToRawLongBits(lo)}:" +
         s"${java.lang.Double.doubleToRawLongBits(hi)}"
     val byKey = ranges.map { case (c, lo, hi) => key(c, lo, hi) -> ((c, lo, hi)) }.toMap
     val probeKeys = ranges.map { case (c, lo, hi) => key(c, lo, hi) }
-    val verdicts = SidecarIndex.probeCached(
+    val matches = SidecarIndex.probeCached(
         spark, tablePath, IndexDirName, probeKeys) { missing =>
-      val wanted = missing.map(k => byKey(k)._1).distinct
-      val rows = readIndex(spark, tablePath)
-        .where(col("col").isin(wanted: _*))
-        .select("file", "col", "lo", "hi")
-        .collect()
-      val byCol = rows.groupBy(_.getString(1))
-      missing.flatMap { k =>
-        val (colName, lo, hi) = byKey(k)
-        byCol.get(colName).map { rs =>
+      val answerable = missing.filter(k =>
+        covered.getOrElse(byKey(k)._1, Set.empty).nonEmpty)
+      if (answerable.isEmpty) Map.empty
+      else {
+        val wanted = answerable.map(k => byKey(k)._1).distinct
+        // a row SURVIVES for a range when the index cannot rule its file
+        // out: null bounds = no non-null non-NaN values = prunable (drop);
+        // NaN bounds can only come from an index built before [[build]]
+        // stripped NaN — they carry no range information, so the file
+        // must be scanned, never pruned (belt-and-braces with the
+        // build-side exclusion; a rebuild restores tight bounds)
+        def okFor(colName: String, lo: Double, hi: Double) = {
           val qlo = Math.nextDown(lo)
           val qhi = Math.nextUp(hi)
-          k -> rs.map { r =>
-            // NaN bounds can only come from an index built before [[build]]
-            // stripped NaN — they carry no range information, so the file
-            // must be scanned, never pruned (belt-and-braces with the
-            // build-side exclusion; a rebuild restores tight bounds)
-            val ok = !r.isNullAt(2) && !r.isNullAt(3) && {
-              val flo = r.getDouble(2); val fhi = r.getDouble(3)
-              flo.isNaN || fhi.isNaN || (fhi >= qlo && flo <= qhi)
-            }
-            norm(r.getString(0)) -> ok
-          }.toMap
+          col("col") === lit(colName) &&
+            col("lo").isNotNull && col("hi").isNotNull &&
+            (isnan(col("lo")) || isnan(col("hi")) ||
+              (col("hi") >= lit(qlo) && col("lo") <= lit(qhi)))
         }
-      }.toMap
+        val conds = answerable.map { k =>
+          val (c, lo, hi) = byKey(k); k -> okFor(c, lo, hi)
+        }
+        val rows = readIndex(spark, tablePath)
+          .where(col("col").isin(wanted: _*))
+          .select(col("file") +: col("col") +:
+            conds.zipWithIndex.map { case ((_, c), i) => c.as(s"ok$i") }: _*)
+          .where(conds.indices.map(i => col(s"ok$i")).reduce(_ or _))
+          .collect()
+        SidecarIndex.lastProbeCollected.set(rows.length.toLong)
+        conds.zipWithIndex.map { case ((k, _), i) =>
+          k -> rows.collect {
+            case r if r.getBoolean(i + 2) => norm(r.getString(0))
+          }.toSet
+        }.toMap
+      }
     }
+    lazy val liveList = live
     probeKeys.flatMap { k =>
-      verdicts.get(k).filter(_.nonEmpty).map(SidecarIndex.decide(_, live))
+      matches(k).map(ms =>
+        SidecarIndex.decide(ms, covered(byKey(k)._1), liveList))
     }
   }
 

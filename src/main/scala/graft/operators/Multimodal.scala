@@ -283,6 +283,35 @@ object Multimodal {
     }
   }
 
+  /** PNG siblings of [[BmpBytes]], proving the image family on a
+    * COMPRESSED codec: the raster is drawn closed-form and encoded by the
+    * JDK's own PNG writer (deflate — hand-assembling PNG means
+    * implementing zlib). PNG is lossless RGB, so a readback through any
+    * correct reader reproduces `pixel(x, y)` bit-exactly and every
+    * raster-level oracle (resize sums, dHash bits, histogram features)
+    * holds unchanged; what is NOT closed-form is the CONTAINER byte
+    * length (encoder-dependent), so oracles over PNG payloads check
+    * decoded content, never container length.
+    */
+  object PngBytes {
+    /** `pixel(x, y)` returns packed 0xRRGGBB; origin top-left. */
+    def encode24(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"PNG dims must be positive, got ${w}x$h")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, pixel(x, y) & 0xFFFFFF); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos),
+        "JDK PNG writer unavailable")
+      bos.toByteArray
+    }
+  }
+
   /** Deterministic multi-frame GIF fixtures for the video-shaped path:
     * grayscale frames drawn into an EXPLICIT 256-entry gray palette
     * (`IndexColorModel`), so the JDK GIF writer stores pixel INDICES that

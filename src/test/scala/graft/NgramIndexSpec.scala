@@ -187,6 +187,38 @@ class NgramIndexSpec extends SparkTestBase {
     assert(again.map(_.candidates.toSet) == fused.map(_.candidates.toSet))
   }
 
+  test("cold probe driver transfer is candidate-bounded; a missing index never forces the live listing") {
+    import graft.model.SidecarIndex
+    val table = freshTable("graft-ngidx-bounded")
+    // missing index: pruneAll must return before the by-name live list is
+    // ever forced (the pre-index short-circuit paid a full listing once)
+    assert(NgramIndex.pruneAll(spark, table, Seq("purchase"),
+      sys.error("live listing must not be forced when the index is missing")
+        : Seq[String]) == Nil)
+    val one = LogSchema.readLogs(spark, table).limit(1)
+      .withColumn("log", lit("zqxbounded-marker row lives here"))
+      .drop("date").withColumn("date", lit(java.sql.Date.valueOf("2024-01-04")))
+    one.write.mode("append").partitionBy("date").parquet(table)
+    NgramIndex.build(spark, table, expectedNdv = 1L << 14)
+    val total = LogSchema.readLogs(spark, table).inputFiles.length
+    SidecarIndex.lastProbeCollected.set(-1L)
+    val p = NgramIndex.prune(spark, table, "zqxbounded-marker").get
+    val collected = SidecarIndex.lastProbeCollected.get
+    assert(collected >= 0L, "a fresh table's first probe must be cold")
+    assert(p.unindexed == 0)
+    // the scan ships only rows the needle could not rule out — exactly
+    // the candidates here (full coverage), far fewer than the file count
+    assert(collected == p.candidates.size.toLong,
+      s"collected $collected rows for ${p.candidates.size} candidates")
+    assert(collected < total.toLong, s"collected $collected of $total files")
+    // the warm re-probe is decided from cache: no new collect
+    SidecarIndex.lastProbeCollected.set(-1L)
+    val again = NgramIndex.prune(spark, table, "zqxbounded-marker").get
+    assert(again.candidates.toSet == p.candidates.toSet)
+    assert(SidecarIndex.lastProbeCollected.get == -1L,
+      "cached re-probe must not rescan the index")
+  }
+
   test("maintain: one call converges the index after compaction; scoped build touches only the named day") {
     val table = tmp("graft-ngidx-maint")
     val logs = LogSchema.logsFromEvents(

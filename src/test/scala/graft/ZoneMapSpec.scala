@@ -57,6 +57,34 @@ class ZoneMapSpec extends SparkTestBase {
     assert(again.map(_.candidates.toSet) == fused.map(_.candidates.toSet))
   }
 
+  test("cold probe collects only surviving rows; unindexed columns and missing indexes cost no scan/listing") {
+    import graft.model.SidecarIndex
+    val out = tmp("graft-zonemap-bounded")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    val live = spark.read.parquet(out).inputFiles.toSeq
+    SidecarIndex.lastProbeCollected.set(-1L)
+    val p = ZoneMapIndex.prune(spark, out, "x", 2500d, 3500d).get
+    val collected = SidecarIndex.lastProbeCollected.get
+    assert(collected >= 0L, "a fresh table's first probe must be cold")
+    // the scan ships only rows the range could not rule out — exactly the
+    // candidates here (full coverage), not one row per file
+    assert(collected == p.candidates.size.toLong && collected <= 3L,
+      s"collected $collected rows for ${p.candidates.size} candidates " +
+        s"over ${live.size} files")
+    // an unindexed column is a manifest decision: no index scan at all
+    SidecarIndex.lastProbeCollected.set(-1L)
+    assert(ZoneMapIndex.pruneAll(spark, out, Seq(("id", 0d, 10d)), live).isEmpty)
+    assert(SidecarIndex.lastProbeCollected.get == -1L,
+      "an unindexed column must not trigger an index scan")
+    // a missing index never forces the by-name live listing
+    val bare = tmp("graft-zonemap-noidx")
+    writeClustered(bare)
+    assert(ZoneMapIndex.pruneAll(spark, bare, Seq(("x", 0d, 1d)),
+      sys.error("live listing must not be forced when the index is missing")
+        : Seq[String]) == Nil)
+  }
+
   test("unindexed (freshly appended) files are always scanned; build indexes only them") {
     val out = tmp("graft-zonemap-stale")
     writeClustered(out)
