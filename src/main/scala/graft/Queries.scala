@@ -144,6 +144,29 @@ object Queries {
         out
       }
 
+    private val mediaTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+    /** The stored binary-media corpus ([[graft.sources.MediaTable]]):
+      * read the pre-generated `<sfDir>/media.parquet` when the testdata
+      * ships one (ScaleGen emits it), else write it ONCE per (process,
+      * sf dir) from the documents table. The nine multimodal/perceptual
+      * operators read their payload blobs back FROM this parquet table —
+      * the production shape (binary column scan, partition pruning on
+      * `kind`) — rather than planting fixtures inside each query.
+      */
+    def mediaTableDir(s: SparkSession, dir: String): String =
+      memo(mediaTables, dir) {
+        val pre = new java.io.File(dir, "media.parquet")
+        if (pre.isDirectory && Option(pre.list()).exists(_.nonEmpty))
+          pre.getAbsolutePath
+        else {
+          val out = java.nio.file.Files.createTempDirectory("graft-media").toString
+          deleteOnExit(out)
+          graft.sources.MediaTable.write(t(s, dir, "documents"), out)
+          out
+        }
+      }
+
     /** A fragmented-then-compacted copy of the log table: the streaming
       * sink's one-file-per-flush layout merged by
       * [[LogSchema.compactPartitions]] (the MergeTree background-merge
@@ -608,6 +631,7 @@ object Queries {
     Fixtures.qualityModel(s, dir)
     Fixtures.clusters(s, dir).count()
     Fixtures.zorderedIndexedEventsDir(s, dir) // builds the z-table too
+    Fixtures.mediaTableDir(s, dir)
     ()
   }
 
@@ -2288,70 +2312,79 @@ object Queries {
     Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_len,
         md5(text) AS blob_md5 FROM documents ORDER BY doc_id"""))
 
-  /** Live image metadata extraction, held to a byte-layout oracle: each
-    * doc plants a spec-assembled 24-bit BMP (dims derived from doc_id,
-    * bytes built straight from the format spec — no codec involved), the
-    * JDK `javax.imageio` header probe recovers width/height/format
-    * WITHOUT decoding rasters, and DuckDB restates dims and total byte
-    * length arithmetically from the same spec (54 + h·⌈3w/4⌉·4). A probe
-    * that misparsed headers — or byte assembly that drifted from the
-    * spec — hash-mismatches. Narrow partition-local stage; the only
-    * shuffle is the deterministic output ordering.
+  /** Read one payload family back from the STORED media table
+    * ([[Fixtures.mediaTableDir]], [[graft.sources.MediaTable]]) as
+    * MediaRecords: directory-level partition pruning on `kind` (only this
+    * family's directory is listed or read), then the binary `payload`
+    * column scanned from parquet — the production read shape for every
+    * multimodal/perceptual operator below (closing the planted-fixture
+    * seam: payloads are no longer synthesized inside the queries).
+    */
+  private def storedMedia(s: SparkSession, dir: String, kind: String)
+    : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    import s.implicits._
+    s.read.parquet(Fixtures.mediaTableDir(s, dir))
+      .where(col("kind") === kind)
+      .select(col("doc_id").as("id"), col("modality").as("kind"),
+        col("payload").as("media"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sampleRateHz"))
+      .as[graft.operators.Multimodal.MediaRecord]
+  }
+
+  /** Live image metadata extraction over the STORED media table, held to
+    * a byte-layout oracle: each doc's `img_dims` payload is a 24-bit BMP
+    * (even doc_id; bytes built straight from the format spec) or a
+    * JDK-encoded PNG (odd doc_id — the compressed-codec rows), dims
+    * derived from doc_id. The JDK `javax.imageio` header probe recovers
+    * width/height/format WITHOUT decoding rasters, and DuckDB restates
+    * dims arithmetically from the same spec — plus total byte length for
+    * the spec-assembled BMPs (54 + h·⌈3w/4⌉·4; PNG container length is
+    * encoder-dependent, reported as -1 by contract). A probe that
+    * misparsed headers — or byte assembly that drifted from the spec —
+    * hash-mismatches. Narrow partition-local stage; the only shuffle is
+    * the deterministic output ordering.
     */
   private val multimodalImageDims = Q(
     (s, dir) => {
       import s.implicits._
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = 16 + (id % 13).toInt
-          val h = 8 + (id % 7).toInt
-          Multimodal.MediaRecord(id, "image",
-            Multimodal.BmpBytes.encode24(w, h,
-              (x, y) => (x * 7 + y * 13 + id.toInt) & 0xFF), 0, 0, 0)
+      Multimodal.transform(
+          storedMedia(s, dir, "img_dims"), new Multimodal.ImageDimensionProbe())
+        .map { r =>
+          val fmt = Multimodal.ImageIoDecoder.formatName(r.media).getOrElse("")
+          (r.id, fmt, r.width, r.height,
+            if (fmt == "bmp") r.media.length.toLong else -1L)
         }
-      Multimodal.transform(media, new Multimodal.ImageDimensionProbe())
-        .map(r => (r.id,
-          Multimodal.ImageIoDecoder.formatName(r.media).getOrElse(""),
-          r.width, r.height, r.media.length.toLong))
         .toDF("doc_id", "fmt", "width", "height", "blob_len")
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id, 'bmp' AS fmt,
+    Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
           (16 + doc_id % 13)::INT AS width,
           (8 + doc_id % 7)::INT AS height,
-          (54 + (8 + doc_id % 7) *
-            (((16 + doc_id % 13) * 3 + 3) // 4) * 4)::BIGINT AS blob_len
-        FROM documents WHERE doc_id < 48 ORDER BY doc_id"""))
+          (CASE WHEN doc_id % 2 = 0
+            THEN 54 + (8 + doc_id % 7) *
+              (((16 + doc_id % 13) * 3 + 3) // 4) * 4
+            ELSE -1 END)::BIGINT AS blob_len
+        FROM documents ORDER BY doc_id"""))
 
-  /** Live audio metadata extraction, the sibling of
-    * [[multimodalImageDims]]: each doc plants a spec-assembled 16-bit PCM
-    * WAV (rate/channels/frames derived from doc_id, bytes built straight
-    * from the RIFF spec — no codec involved), the JDK
-    * `javax.sound.sampled` header probe recovers container/rate/channels/
-    * frame-count WITHOUT decoding samples, and DuckDB restates every
-    * column arithmetically from the same spec (44 + frames·ch·2 bytes;
-    * duration = ⌊frames·1000/rate⌋). A reader misparse or assembly drift
-    * hash-mismatches. Narrow partition-local stage; the only shuffle is
-    * the output ordering.
+  /** Live audio metadata extraction over the STORED media table, the
+    * sibling of [[multimodalImageDims]]: each doc's `wav_meta` payload is
+    * a spec-assembled 16-bit PCM WAV (rate/channels/frames derived from
+    * doc_id, bytes built straight from the RIFF spec — no codec
+    * involved), the JDK `javax.sound.sampled` header probe recovers
+    * container/rate/channels/frame-count WITHOUT decoding samples, and
+    * DuckDB restates every column arithmetically from the same spec
+    * (44 + frames·ch·2 bytes; duration = ⌊frames·1000/rate⌋). A reader
+    * misparse or assembly drift hash-mismatches. Narrow partition-local
+    * stage; the only shuffle is the output ordering.
     */
   private val multimodalAudioMeta = Q(
     (s, dir) => {
       import s.implicits._
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val rate = 8000 + (id % 5).toInt * 1000
-          val ch = 1 + (id % 2).toInt
-          val frames = 400 + (id % 11).toInt * 40
-          Multimodal.MediaRecord(id, "audio",
-            Multimodal.WavBytes.encodePcm16(rate, ch, frames,
-              (f, c) => ((f * 31 + c * 7 + id) % 8191 - 4095).toShort),
-            0, 0, 0)
-        }
-      Multimodal.transform(media, new Multimodal.AudioMetadataProbe())
+      Multimodal.transform(
+          storedMedia(s, dir, "wav_meta"), new Multimodal.AudioMetadataProbe())
         .map { r =>
           val (rate, ch, frames) =
             Multimodal.AudioSystemDecoder.metadata(r.media)
@@ -2376,15 +2409,18 @@ object Queries {
           ((400 + (doc_id % 11) * 40) * 1000
             // (8000 + (doc_id % 5) * 1000))::BIGINT AS duration_ms,
           (44 + (400 + (doc_id % 11) * 40) * (1 + doc_id % 2) * 2)::BIGINT AS blob_len
-        FROM documents WHERE doc_id < 48 ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id"""))
 
-  /** REAL raster resize, end-to-end live: spec-assembled gray BMPs decode
+  /** REAL raster resize over the STORED media table, end-to-end live:
+    * gray source rasters (spec-assembled BMP for even doc_id, JDK PNG for
+    * odd — the decode side must handle both codecs identically) decode
     * through the JDK reader, resample nearest-neighbor (source pixel for
     * output (x,y) is (x·srcW÷7, y·srcH÷5), integer division), re-encode
     * as 24-bit BMP via the spec assembler, then the RESIZED payload is
     * re-decoded by the JDK reader and its red channel summed — so the
-    * oracle's arithmetic restatement of that sum checks decoder,
-    * resampler and re-encoder against the format spec in one row. Narrow
+    * oracle's arithmetic restatement of that sum checks both decoders,
+    * the resampler and the re-encoder against the format spec in one row
+    * (a lossy or shifted PNG decode would poison the sums). Narrow
     * partition-local stage; the only shuffle is the output ordering.
     */
   private val multimodalImageResize = Q(
@@ -2392,18 +2428,8 @@ object Queries {
       import s.implicits._
       import graft.operators.Multimodal
       val (tw, th) = (7, 5)
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = 16 + (id % 13).toInt
-          val h = 8 + (id % 7).toInt
-          Multimodal.MediaRecord(id, "image",
-            Multimodal.BmpBytes.encode24(w, h, (x, y) => {
-              val g = (x * 7 + y * 13 + id.toInt * 3) % 256
-              g * 0x010101 // gray — any one channel restates it
-            }), 0, 0, 0)
-        }
-      Multimodal.transform(media, new Multimodal.ImageResizer(tw, th))
+      Multimodal.transform(
+          storedMedia(s, dir, "img_resize"), new Multimodal.ImageResizer(tw, th))
         .map { r =>
           // re-decode the RESIZED payload with the live reader: a drift in
           // reader, resampler or re-encoder poisons the sum to -1/mismatch
@@ -2427,37 +2453,28 @@ object Queries {
             (((x.i * (16 + d.doc_id % 13)) // 7) * 7
              + ((y.i * (8 + d.doc_id % 7)) // 5) * 13
              + d.doc_id * 3) % 256 AS g
-          FROM documents d, range(0, 7) x(i), range(0, 5) y(i)
-          WHERE d.doc_id < 48)
+          FROM documents d, range(0, 7) x(i), range(0, 5) y(i))
         SELECT doc_id, 'bmp' AS fmt, 7::INT AS width, 5::INT AS height,
           174::BIGINT AS blob_len, sum(g)::BIGINT AS red_sum
         FROM px GROUP BY doc_id ORDER BY doc_id"""))
 
-  /** Container-aware audio segmentation, the audio frame-sampling done
-    * with a real codec: spec-assembled PCM WAVs are decoded, sliced on
-    * frame boundaries into 160-frame chunks, each re-emitted as a VALID
-    * standalone WAV; the query re-parses every emitted segment with the
-    * JDK reader (rate/channels must survive, frame count comes FROM the
-    * reader) and the oracle restates segment count, per-segment frames
-    * and byte length arithmetically from the RIFF spec. Narrow
-    * partition-local flatMap; the only shuffle is the output ordering.
+  /** Container-aware audio segmentation over the STORED media table, the
+    * audio frame-sampling done with a real codec: stored PCM WAVs are
+    * decoded, sliced on frame boundaries into 160-frame chunks, each
+    * re-emitted as a VALID standalone WAV; the query re-parses every
+    * emitted segment with the JDK reader (rate/channels must survive —
+    * checked against the generator's closed forms — and the frame count
+    * comes FROM the reader) and the oracle restates segment count,
+    * per-segment frames and byte length arithmetically from the RIFF
+    * spec. Narrow partition-local flatMap; the only shuffle is the
+    * output ordering.
     */
   private val multimodalAudioSegment = Q(
     (s, dir) => {
       import s.implicits._
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val rate = 8000 + (id % 5).toInt * 1000
-          val ch = 1 + (id % 2).toInt
-          val frames = 350 + (id % 9).toInt * 25
-          Multimodal.MediaRecord(id, "audio",
-            Multimodal.WavBytes.encodePcm16(rate, ch, frames,
-              (f, c) => ((f * 17 + c * 5 + id) % 4096 - 2048).toShort),
-            0, 0, 0)
-        }
-      Multimodal.segmentAudio(media, segmentFrames = 160)
+      Multimodal.segmentAudio(
+          storedMedia(s, dir, "wav_segment"), segmentFrames = 160)
         .map { fr =>
           val id = fr.mediaId
           val rate = 8000 + (id % 5).toInt * 1000
@@ -2477,40 +2494,30 @@ object Queries {
     Some("""WITH base AS (
           SELECT doc_id, (1 + doc_id % 2) AS ch,
             (350 + (doc_id % 9) * 25) AS frames
-          FROM documents WHERE doc_id < 48)
+          FROM documents)
         SELECT doc_id, s.i::INT AS seg_idx,
           least(160, frames - s.i * 160)::BIGINT AS seg_frames,
           (44 + least(160, frames - s.i * 160) * ch * 2)::BIGINT AS blob_len
         FROM base, range(0, 8) s(i) WHERE s.i * 160 < frames
         ORDER BY doc_id, seg_idx"""))
 
-  /** REAL multi-frame (video-shaped) frame extraction: each doc plants an
-    * animated GIF (JDK writer over an explicit 256-gray palette, so the
-    * stored pixel indices EQUAL the closed-form gray values), the live
-    * multi-image reader decodes all frames, every 2nd frame is kept and
-    * re-encoded as a standalone spec-assembled BMP, and the query
-    * re-decodes each emitted frame summing its red channel — which the
-    * oracle restates arithmetically from the per-frame pixel formula. A
-    * drift anywhere in GIF read, frame selection, BMP re-encode or
-    * re-read poisons the sum. Narrow partition-local stage; the only
-    * shuffle is the output ordering.
+  /** REAL multi-frame (video-shaped) frame extraction over the STORED
+    * media table: each doc's `gif_frames` payload is an animated GIF (JDK
+    * writer over an explicit 256-gray palette, so the stored pixel
+    * indices EQUAL the closed-form gray values), the live multi-image
+    * reader decodes all frames, every 2nd frame is kept and re-encoded as
+    * a standalone spec-assembled BMP, and the query re-decodes each
+    * emitted frame summing its red channel — which the oracle restates
+    * arithmetically from the per-frame pixel formula. A drift anywhere in
+    * GIF read, frame selection, BMP re-encode or re-read poisons the sum.
+    * Narrow partition-local stage; the only shuffle is the output
+    * ordering.
     */
   private val multimodalVideoFrames = Q(
     (s, dir) => {
       import s.implicits._
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = 6 + (id % 5).toInt
-          val h = 4 + (id % 3).toInt
-          val nf = 5 + (id % 6).toInt
-          Multimodal.MediaRecord(id, "video",
-            Multimodal.GifBytes.encodeGray(w, h, nf,
-              (f, x, y) => (f * 31 + x * 7 + y * 13 + id.toInt) % 256),
-            0, 0, 0)
-        }
-      Multimodal.extractFrames(media, stride = 2)
+      Multimodal.extractFrames(storedMedia(s, dir, "gif_frames"), stride = 2)
         .map { fr =>
           val redSum = Multimodal.ImageIoDecoder.readImage(fr.payload) match {
             case Some(img) =>
@@ -2530,7 +2537,7 @@ object Queries {
     Some("""WITH base AS (
           SELECT doc_id, (6 + doc_id % 5) AS w, (4 + doc_id % 3) AS h,
             (5 + doc_id % 6) AS nf
-          FROM documents WHERE doc_id < 48),
+          FROM documents),
         sel AS (
           SELECT doc_id, w, h, f.i AS frame_idx
           FROM base, range(0, 11) f(i)
@@ -2547,32 +2554,22 @@ object Queries {
         FROM px GROUP BY doc_id, frame_idx, w, h
         ORDER BY doc_id, frame_idx"""))
 
-  /** Perceptual image dedup over live decodes: 48 docs plant 7 distinct
-    * BMP patterns, each replicated at 3 brightness grades — the classic
-    * photometric near-duplicate. The dHash gradient bits cancel the
-    * brightness term exactly, so all grades of a pattern land in one
-    * bucket and the cluster label is the pattern's smallest doc_id; the
-    * oracle recomputes every grid sample, comparison bit and bucket min
-    * arithmetically (hash halves as 32-bit sums, no BIGINT sign games).
-    * One hash-partition exchange + the output ordering.
+  /** Perceptual image dedup over live decodes of the STORED media table:
+    * every doc carries one of 7 raster patterns at one of 3 brightness
+    * grades — the classic photometric near-duplicate — in one of TWO
+    * codecs (BMP even doc_id, PNG odd). The dHash gradient bits cancel
+    * the brightness term exactly and see only the decoded raster (a
+    * lossy or shifted PNG decode would scatter the clusters), so all
+    * grades and codecs of a pattern land in one bucket and the cluster
+    * label is the pattern's smallest doc_id; the oracle recomputes every
+    * grid sample, comparison bit and bucket min arithmetically (hash
+    * halves as 32-bit sums, no BIGINT sign games). One hash-partition
+    * exchange + the output ordering.
     */
   private val dedupImagePhash = Q(
     (s, dir) => {
-      import s.implicits._
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val p = (id % 7).toInt
-          val (w, h) = (10 + p, 8 + p % 3)
-          val b = ((id / 7) % 3).toInt * 10 // photometric grade: hash-invariant
-          Multimodal.MediaRecord(id, "image",
-            Multimodal.BmpBytes.encode24(w, h, (x, y) => {
-              val g = ((x * 7 + y * 13 + p * 29) % 200) + b
-              g * 0x010101
-            }), 0, 0, 0)
-        }
-      Multimodal.imagePHashClusters(media)
+      Multimodal.imagePHashClusters(storedMedia(s, dir, "img_phash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -2582,8 +2579,7 @@ object Queries {
              + ((y.i * (8 + (d.doc_id % 7) % 3)) // 8) * 13
              + (d.doc_id % 7) * 29) % 200
             + ((d.doc_id // 7) % 3) * 10 AS lum
-          FROM documents d, range(0, 9) x(i), range(0, 8) y(i)
-          WHERE d.doc_id < 48),
+          FROM documents d, range(0, 9) x(i), range(0, 8) y(i)),
         bits AS (
           SELECT a.doc_id, (a.gy * 8 + a.gx) AS i
           FROM g a JOIN g b
@@ -2593,39 +2589,34 @@ object Queries {
           SELECT d.doc_id,
             coalesce(sum(CASE WHEN i >= 32 THEN (1::BIGINT << (i - 32)) END), 0)::BIGINT AS ph_hi,
             coalesce(sum(CASE WHEN i < 32 THEN (1::BIGINT << i) END), 0)::BIGINT AS ph_lo
-          FROM (SELECT doc_id FROM documents WHERE doc_id < 48) d
+          FROM (SELECT doc_id FROM documents) d
           LEFT JOIN bits ON bits.doc_id = d.doc_id
           GROUP BY d.doc_id)
         SELECT doc_id, ph_hi, ph_lo,
           min(doc_id) OVER (PARTITION BY ph_hi, ph_lo) AS cluster
         FROM ph ORDER BY doc_id"""))
 
-  /** The decode→featurize→dedup pipeline end-to-end: live JDK decodes
-    * produce exact integer luminance-count features that feed the EXISTING
-    * embedding-cosine dedup operator unchanged — 8 BMP patterns × 3 slight
-    * brightness grades, where grades of one pattern stay near-parallel
-    * (cosine ≥ threshold) and different patterns mostly don't. The oracle
-    * recomputes every pixel's bin, every count and every 4-dp cosine
-    * arithmetically, so ANY drift in decoder, binning or the shared
-    * cosine contract hash-mismatches. Feature extraction is narrow; the
-    * pair scan is the operator's own bounded broadcast product.
+  /** The decode→featurize→dedup pipeline end-to-end over the STORED media
+    * table: live JDK decodes (BMP and PNG rows alike) produce exact
+    * integer luminance-count features that feed the EXISTING
+    * embedding-cosine dedup operator unchanged — 8 raster patterns × 3
+    * slight brightness grades, where grades of one pattern stay
+    * near-parallel (cosine ≥ threshold) and different patterns mostly
+    * don't. The oracle recomputes every pixel's bin, every count and
+    * every 4-dp cosine arithmetically, so ANY drift in either decoder,
+    * the binning or the shared cosine contract hash-mismatches. This row
+    * stays BOUNDED to doc_id < 48 by design — it verifies the EXACT
+    * all-pairs mode, whose output is quadratic in the class sizes (the
+    * scale path is the bucketed [[dedupImagePhash]] / ANN ladder) — but
+    * the bound is now a predicate PUSHED INTO the stored-table scan, not
+    * a fixture-planting trick. Feature extraction is narrow; the pair
+    * scan is the operator's own bounded broadcast product.
     */
   private val dedupMediaEmbedding = Q(
     (s, dir) => {
-      import s.implicits._
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val p = (id % 8).toInt
-          val (w, h) = (12 + p, 9 + p % 4)
-          val b = ((id / 8) % 3).toInt * 8 // slight photometric grade
-          Multimodal.MediaRecord(id, "image",
-            Multimodal.BmpBytes.encode24(w, h, (x, y) => {
-              val g = ((x * 7 + y * 13 + p * 23) % 240) + b
-              g * 0x010101
-            }), 0, 0, 0)
-        }
+      val media = storedMedia(s, dir, "img_embed")
+        .where(col("id") < 48)
       Dedup.embeddingCosinePairsExact(
           Multimodal.imageHistogramFeatures(media, bins = 8),
           "id", "features", threshold = 0.97, maxId = 48)
@@ -2657,35 +2648,20 @@ object Queries {
           FROM feats a, feats b WHERE a.doc_id < b.doc_id)
         WHERE cosine >= 0.97 ORDER BY id_a, id_b"""))
 
-  /** Perceptual audio dedup over live decodes: 48 docs plant 6 distinct
-    * PCM waveforms, each at 3 volume grades (×1/×2/×4 — the classic
-    * re-encode duplicate). Uniform gain scales every window energy
-    * equally, so the gradient fingerprint is identical across grades and
-    * the cluster label is the waveform's smallest doc_id; the oracle
-    * recomputes every |sample|, window energy, comparison bit and bucket
-    * min arithmetically from the same closed forms. Frame count is a
-    * multiple of 16, so the windowing drops nothing. One hash-partition
-    * exchange + the output ordering.
+  /** Perceptual audio dedup over live decodes of the STORED media table:
+    * every doc carries one of 6 PCM waveforms at one of 3 volume grades
+    * (×1/×2/×4 — the classic re-encode duplicate). Uniform gain scales
+    * every window energy equally, so the gradient fingerprint is
+    * identical across grades and the cluster label is the waveform's
+    * smallest doc_id; the oracle recomputes every |sample|, window
+    * energy, comparison bit and bucket min arithmetically from the same
+    * closed forms. Frame count is a multiple of 16, so the windowing
+    * drops nothing. One hash-partition exchange + the output ordering.
     */
   private val dedupAudioFp = Q(
     (s, dir) => {
-      import s.implicits._
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val p = (id % 6).toInt
-          val v = 1 << ((id / 6) % 3).toInt // volume grade: fp-invariant
-          val frames = 480 + p * 32
-          Multimodal.MediaRecord(id, "audio",
-            Multimodal.WavBytes.encodePcm16(8000, 1, frames,
-              // slope varies PER PATTERN (different sawtooth period =>
-              // different window-energy shape); phase alone would leave
-              // near-identical energies and collide every fingerprint
-              (f, _) => (((f * (11 + p * 6)) % 4096 - 2048) * v).toShort),
-            0, 0, 0)
-        }
-      Multimodal.audioFPClusters(media, windows = 16)
+      Multimodal.audioFPClusters(storedMedia(s, dir, "wav_fp"), windows = 16)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -2694,7 +2670,7 @@ object Queries {
             sum(abs(((f.i * (11 + (d.doc_id % 6) * 6)) % 4096 - 2048)
                     * (1 << ((d.doc_id // 6) % 3)))) AS energy
           FROM documents d, range(0, 640) f(i)
-          WHERE d.doc_id < 48 AND f.i < 480 + (d.doc_id % 6) * 32
+          WHERE f.i < 480 + (d.doc_id % 6) * 32
           GROUP BY 1, 2),
         fp AS (
           SELECT a.doc_id,
@@ -2707,7 +2683,8 @@ object Queries {
           min(doc_id) OVER (PARTITION BY fp) AS cluster
         FROM fp ORDER BY doc_id"""))
 
-  /** Shot-boundary detection end-to-end: each doc plants a two-shot
+  /** Shot-boundary detection end-to-end over the STORED media table: each
+    * doc's `gif_shots` payload is a two-shot
     * animated GIF — the raster SLOPE changes at the cut frame (different
     * material) while frames within a shot drift only in brightness
     * (which the per-frame dHash cancels) — and the operator must recover
@@ -2720,30 +2697,14 @@ object Queries {
     */
   private val multimodalShotDetect = Q(
     (s, dir) => {
-      import s.implicits._
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents").where(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val p = (id % 5).toInt
-          val cut = 2 + (id % 4).toInt
-          val nf = 6 + (id % 5).toInt
-          Multimodal.MediaRecord(id, "video",
-            Multimodal.GifBytes.encodeGray(12, 9, nf, (f, x, y) => {
-              // the material change flips the luminance-gradient DIRECTION
-              // (two same-sign slopes can share every dHash bit; a flip
-              // cannot), in-shot frames drift only in brightness
-              val xx = if (f < cut) x else 11 - x
-              ((xx * 9 + y * 7) % 180) + p * 8 + f * 3
-            }), 0, 0, 0)
-        }
-      Multimodal.detectShots(media)
+      Multimodal.detectShots(storedMedia(s, dir, "gif_shots"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "shot_idx")
     },
     Some("""WITH base AS (
           SELECT doc_id, (2 + doc_id % 4) AS cut, (6 + doc_id % 5) AS nf
-          FROM documents WHERE doc_id < 48)
+          FROM documents)
         SELECT doc_id, 0::INT AS shot_idx, 0::INT AS start_frame,
           cut::INT AS n_frames FROM base
         UNION ALL

@@ -155,7 +155,14 @@ object ScaleGen {
       shifted("vec_id", offVec, k),
       rotateVec(col("embedding"), k).as("embedding"), col("label")))
 
-    graft.sources.Tables.names.foreach { t =>
+    // the stored binary-media corpus rides the scaled doc_id domain: the
+    // payloads are closed-form in doc_id, so generating from the SCALED
+    // documents table keeps every media oracle valid at any factor
+    graft.sources.MediaTable.write(
+      spark.read.parquet(s"$dst/documents.parquet"), s"$dst/media.parquet")
+    System.err.println(s"[scalegen] media x$factor done")
+
+    (graft.sources.Tables.names :+ "media").foreach { t =>
       val n = spark.read.parquet(s"$dst/$t.parquet").count()
       System.err.println(s"[scalegen] $t: $n rows")
     }

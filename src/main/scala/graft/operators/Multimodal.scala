@@ -121,14 +121,38 @@ object Multimodal {
   }
 
   object ImageIoDecoder {
+    /** All ImageIO streams here are EXPLICITLY memory-cached: the JDK
+      * default (`ImageIO.createImageInputStream`, and `ImageIO.read`
+      * which calls it) wraps payloads in a `FileCacheImageInputStream` —
+      * a temp FILE written and re-read on local disk PER PAYLOAD. Over a
+      * stored media corpus that is a hidden disk round-trip per decode
+      * (it halved measured decode throughput) and an executor /tmp storm
+      * at scale; payloads already sit in memory, so the memory-cached
+      * stream is strictly correct.
+      */
+    private def memStream(bytes: Array[Byte]) =
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+
     /** Full decode; None when no installed reader recognizes the bytes. */
     def readImage(
-        bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      if (bytes.length == 0) None
-      else
-        try Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: Exception => None }
+        bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.length == 0) return None
+      var stream: javax.imageio.stream.ImageInputStream = null
+      try {
+        stream = memStream(bytes)
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(stream, true, true)
+            Some(reader.read(0))
+          } finally reader.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally if (stream != null) stream.close()
+    }
 
     /** Full MULTI-frame decode — the video-shaped modality the JDK can
       * actually exercise (animated GIF ships with every JRE): all frames
@@ -141,8 +165,7 @@ object Multimodal {
       if (bytes == null || bytes.length == 0) return Nil
       var stream: javax.imageio.stream.ImageInputStream = null
       try {
-        stream = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        stream = memStream(bytes)
         val readers = javax.imageio.ImageIO.getImageReaders(stream)
         if (!readers.hasNext) Nil
         else {
@@ -166,8 +189,7 @@ object Multimodal {
       if (bytes == null || bytes.length == 0) return None
       var stream: javax.imageio.stream.ImageInputStream = null
       try {
-        stream = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        stream = memStream(bytes)
         val readers = javax.imageio.ImageIO.getImageReaders(stream)
         if (!readers.hasNext) None
         else {
@@ -189,8 +211,7 @@ object Multimodal {
       if (bytes == null || bytes.length == 0) return None
       var stream: javax.imageio.stream.ImageInputStream = null
       try {
-        stream = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        stream = memStream(bytes)
         val readers = javax.imageio.ImageIO.getImageReaders(stream)
         if (!readers.hasNext) None
         else {
@@ -306,8 +327,12 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", bos),
+      // memory-cached output stream: ImageIO.write(…, OutputStream) would
+      // spool through a temp FILE per payload (see ImageIoDecoder.memStream)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try require(javax.imageio.ImageIO.write(img, "png", ios),
         "JDK PNG writer unavailable")
+      finally ios.close()
       bos.toByteArray
     }
   }
@@ -332,7 +357,8 @@ object Multimodal {
       val ramp = Array.tabulate[Byte](256)(_.toByte)
       val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      // memory-cached: createImageOutputStream spools via a temp file
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       val writer =
         javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       try {
@@ -458,18 +484,84 @@ object Multimodal {
   }
 
   object AudioSystemDecoder {
+    /** The JDK's audio file readers, resolved ONCE per JVM and called
+      * directly: `AudioSystem.getAudioFileFormat/getAudioInputStream`
+      * funnel EVERY call through a `synchronized` static provider lookup
+      * (sun's JDK13Services) — a process-global lock that serializes all
+      * decode threads (measured: the 32-core WAV fingerprint stage ran at
+      * a lock-bound ~7k payloads/s while the equivalent image stage did
+      * 265k/s). The readers themselves (WaveFileReader & co.) are
+      * stateless parsers, safe to share; the dispatch below is exactly
+      * AudioSystem's — first provider that doesn't throw
+      * UnsupportedAudioFileException wins — minus the global lock. Each
+      * attempt gets a FRESH ByteArrayInputStream (readers mark/reset
+      * internally; zero-copy over the payload array).
+      */
+    private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val acc = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) acc += it.next()
+      acc.result()
+    }
+
+    /** Magic-byte pre-dispatch: the SPI registration order runs Aiff, Au
+      * and SoftMidi BEFORE the Wave readers, so every WAV payload paid
+      * three parse-and-throw cycles (UnsupportedAudioFileException fills
+      * a stack trace each time) before the right reader ever saw it.
+      * The container magic picks the matching readers first; unmatched
+      * payloads fall through to the full list, so recognition is
+      * unchanged — only the throw storm on the hot path is gone.
+      */
+    private def orderedReaders(
+        bytes: Array[Byte]): List[javax.sound.sampled.spi.AudioFileReader] = {
+      val pref =
+        if (bytes.length < 4) ""
+        else (bytes(0).toChar, bytes(1).toChar, bytes(2).toChar, bytes(3).toChar) match {
+          case ('R', 'I', 'F', 'F') => "Wave"
+          case ('F', 'O', 'R', 'M') => "Aiff"
+          case ('.', 's', 'n', 'd') => "Au"
+          case _ => ""
+        }
+      if (pref.isEmpty) fileReaders
+      else {
+        val (hit, miss) =
+          fileReaders.partition(_.getClass.getSimpleName.startsWith(pref))
+        hit ::: miss
+      }
+    }
+
+    private def fileFormat(
+        bytes: Array[Byte]): Option[javax.sound.sampled.AudioFileFormat] = {
+      val readers = orderedReaders(bytes).iterator
+      while (readers.hasNext) {
+        try return Some(readers.next().getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => }
+      }
+      None
+    }
+
+    private def audioStream(
+        bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+      val readers = orderedReaders(bytes).iterator
+      while (readers.hasNext) {
+        try return Some(readers.next().getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => }
+      }
+      None
+    }
+
     /** Header-only metadata probe: (sampleRate, channels, frames) without
       * decoding samples — the audio analogue of
       * [[ImageIoDecoder.dimensions]].
       */
     def metadata(bytes: Array[Byte]): Option[(Float, Int, Long)] = {
       if (bytes == null || bytes.length == 0) return None
-      try {
-        val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(bytes))
-        Some((f.getFormat.getSampleRate, f.getFormat.getChannels,
+      fileFormat(bytes).map(f =>
+        (f.getFormat.getSampleRate, f.getFormat.getChannels,
           f.getFrameLength.toLong))
-      } catch { case _: Exception => None }
     }
 
     /** Header-only container sniff: the recognizing provider's file-type
@@ -479,10 +571,8 @@ object Multimodal {
       */
     def fileType(bytes: Array[Byte]): Option[String] = {
       if (bytes == null || bytes.length == 0) return None
-      try Some(javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(bytes))
-        .getType.toString.toLowerCase(java.util.Locale.ROOT))
-      catch { case _: Exception => None }
+      fileFormat(bytes).map(
+        _.getType.toString.toLowerCase(java.util.Locale.ROOT))
     }
 
     /** Decode a recognized payload to 16-bit SIGNED little-endian PCM:
@@ -500,8 +590,10 @@ object Multimodal {
       if (bytes == null || bytes.length == 0) return None
       var in: javax.sound.sampled.AudioInputStream = null
       try {
-        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val raw = audioStream(bytes) match {
+          case Some(s) => s
+          case None => return None
+        }
         val pcmEnc = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         in =
           if (raw.getFormat.getEncoding == pcmEnc &&
@@ -531,8 +623,10 @@ object Multimodal {
       if (bytes == null || bytes.length == 0) return None
       var in: javax.sound.sampled.AudioInputStream = null
       try {
-        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val raw = audioStream(bytes) match {
+          case Some(s) => s
+          case None => return None
+        }
         val pcm16 = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         in =
           if (raw.getFormat.getEncoding == pcm16 &&
@@ -911,6 +1005,29 @@ object Multimodal {
     hashed.withColumn("cluster",
       org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+  }
+
+  /** Modality-dispatched perceptual fingerprints — the probe unit the
+    * dedup-at-ingest stream shares with the batch operators: a payload
+    * that decodes as an image yields its dHash halves tagged `image`
+    * ([[imageDHash]] — multi-frame payloads hash their first frame); else
+    * a payload that decodes as audio yields its energy fingerprint tagged
+    * `audio` ([[audioEnergyFingerprint]]); undecodable payloads yield no
+    * row. The tag keeps the two 64-bit hash spaces from colliding in one
+    * bucket domain. Narrow partition-local decode, (id, tag, 16 B) out.
+    */
+  def perceptualFingerprints(
+      media: Dataset[MediaRecord], windows: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        imageDHash(r.media).map { case (hi, lo) => (r.id, "image", hi, lo) }
+          .orElse(audioEnergyFingerprint(r.media, windows)
+            .map(fp => (r.id, "audio", fp, 0L)))
+          .iterator
+      }
+    }.toDF("id", "mod", "h1", "h2")
   }
 
   /** REAL frame extraction for multi-frame containers — [[frameSample]]

@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal.{BmpBytes, GifBytes, PngBytes, WavBytes}
+
+/** The STORED binary-media corpus: a parquet table of image/audio/video
+  * payload blobs alongside the log/doc tables — the analogue of the
+  * reference's absorb-anything payload columns
+  * (/root/reference/schema.sql:12-14) at training-corpus scale. One row
+  * per (document, payload family), payloads generated executor-side from
+  * closed-form specs keyed by `doc_id`, so a SQL oracle over the
+  * `documents` table can restate every decoded raster/sample
+  * arithmetically while the ENGINE sees only what production would see: a
+  * binary column read back from parquet.
+  *
+  * Physical design for the 100 TB case:
+  *   - `partitionBy(kind)`: each payload family is its own directory, so
+  *     a query over one family (`kind = 'img_phash'`) prunes at the
+  *     DIRECTORY level and never lists, let alone reads, the others.
+  *   - payloads are opaque `BINARY`; metadata (`modality`, `fmt`) are
+  *     plain columns, so metadata-only queries prune the blob column via
+  *     parquet column pruning (ReadSchema excludes `payload`).
+  *   - the build is a narrow flatMap over `documents` — no shuffle; at
+  *     scale the generator parallelism is the doc-scan split count
+  *     (bumped to the session default parallelism so a single-file
+  *     sf0.01 docs table still builds in parallel).
+  *
+  * Image families alternate codec by row — spec-assembled BMP for even
+  * `doc_id`, JDK-encoded PNG for odd ([[PngBytes]]) — so every consumer
+  * of this table exercises a compressed codec on half its rows. PNG
+  * container length is encoder-dependent; only decoded CONTENT is
+  * closed-form for those rows.
+  */
+object MediaTable {
+
+  /** Storage schema; `kind` is the partition column. */
+  case class MediaRow(
+      doc_id: Long,
+      kind: String,
+      modality: String,
+      fmt: String,
+      payload: Array[Byte])
+
+  /** One payload family per consumer operator; the closed forms below are
+    * the SINGLE source of truth shared (by restatement) with the DuckDB
+    * oracles in [[graft.Queries]].
+    */
+  val Kinds: Seq[String] = Seq(
+    "img_dims", "img_resize", "img_phash", "img_embed",
+    "wav_meta", "wav_segment", "wav_fp", "gif_frames", "gif_shots")
+
+  private def imageFmt(id: Long): String = if (id % 2 == 0) "bmp" else "png"
+
+  private def encodeImage(
+      id: Long, w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
+    if (id % 2 == 0) BmpBytes.encode24(w, h, px)
+    else PngBytes.encode24(w, h, px)
+
+  /** The nine closed-form payloads for one document. */
+  def rowsFor(id: Long): Seq[MediaRow] = {
+    val dims = {
+      val w = 16 + (id % 13).toInt
+      val h = 8 + (id % 7).toInt
+      MediaRow(id, "img_dims", "image", imageFmt(id),
+        encodeImage(id, w, h, (x, y) => ((x * 7 + y * 13 + id) & 0xFF).toInt))
+    }
+    val resize = {
+      val w = 16 + (id % 13).toInt
+      val h = 8 + (id % 7).toInt
+      MediaRow(id, "img_resize", "image", imageFmt(id),
+        encodeImage(id, w, h, (x, y) => {
+          val g = ((x * 7 + y * 13 + id * 3) % 256).toInt
+          g * 0x010101 // gray — any one channel restates it
+        }))
+    }
+    val phash = {
+      val p = (id % 7).toInt
+      val (w, h) = (10 + p, 8 + p % 3)
+      val b = ((id / 7) % 3).toInt * 10 // photometric grade: dHash-invariant
+      MediaRow(id, "img_phash", "image", imageFmt(id),
+        encodeImage(id, w, h, (x, y) => {
+          val g = ((x * 7 + y * 13 + p * 29) % 200) + b
+          g * 0x010101
+        }))
+    }
+    val embed = {
+      val p = (id % 8).toInt
+      val (w, h) = (12 + p, 9 + p % 4)
+      val b = ((id / 8) % 3).toInt * 8 // slight photometric grade
+      MediaRow(id, "img_embed", "image", imageFmt(id),
+        encodeImage(id, w, h, (x, y) => {
+          val g = ((x * 7 + y * 13 + p * 23) % 240) + b
+          g * 0x010101
+        }))
+    }
+    val wavMeta = {
+      val rate = 8000 + (id % 5).toInt * 1000
+      val ch = 1 + (id % 2).toInt
+      val frames = 400 + (id % 11).toInt * 40
+      MediaRow(id, "wav_meta", "audio", "wave",
+        WavBytes.encodePcm16(rate, ch, frames,
+          (f, c) => ((f * 31 + c * 7 + id) % 8191 - 4095).toShort))
+    }
+    val wavSegment = {
+      val rate = 8000 + (id % 5).toInt * 1000
+      val ch = 1 + (id % 2).toInt
+      val frames = 350 + (id % 9).toInt * 25
+      MediaRow(id, "wav_segment", "audio", "wave",
+        WavBytes.encodePcm16(rate, ch, frames,
+          (f, c) => ((f * 17 + c * 5 + id) % 4096 - 2048).toShort))
+    }
+    val wavFp = {
+      val p = (id % 6).toInt
+      val v = 1 << ((id / 6) % 3).toInt // volume grade: fp-invariant
+      val frames = 480 + p * 32 // multiple of 16: the windowing drops nothing
+      MediaRow(id, "wav_fp", "audio", "wave",
+        WavBytes.encodePcm16(8000, 1, frames,
+          // slope varies PER PATTERN (different sawtooth period =>
+          // different window-energy shape); phase alone would leave
+          // near-identical energies and collide every fingerprint
+          (f, _) => (((f * (11 + p * 6)) % 4096 - 2048) * v).toShort))
+    }
+    val gifFrames = {
+      val w = 6 + (id % 5).toInt
+      val h = 4 + (id % 3).toInt
+      val nf = 5 + (id % 6).toInt
+      MediaRow(id, "gif_frames", "video", "gif",
+        GifBytes.encodeGray(w, h, nf,
+          (f, x, y) => ((f * 31 + x * 7 + y * 13 + id) % 256).toInt))
+    }
+    val gifShots = {
+      val p = (id % 5).toInt
+      val cut = 2 + (id % 4).toInt
+      val nf = 6 + (id % 5).toInt
+      MediaRow(id, "gif_shots", "video", "gif",
+        GifBytes.encodeGray(12, 9, nf, (f, x, y) => {
+          // the material change flips the luminance-gradient DIRECTION
+          // (two same-sign slopes can share every dHash bit; a flip
+          // cannot), in-shot frames drift only in brightness
+          val xx = if (f < cut) x else 11 - x
+          ((xx * 9 + y * 7) % 180) + p * 8 + f * 3
+        }))
+    }
+    Seq(dims, resize, phash, embed, wavMeta, wavSegment, wavFp,
+      gifFrames, gifShots)
+  }
+
+  /** Generate the corpus from a `documents` frame — a narrow flatMap, one
+    * task per input split (single-file doc tables are re-spread to the
+    * session default parallelism so the codec encodes run on every core).
+    */
+  def build(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = docs.select(col("doc_id").cast("long")).as[Long]
+    val parts = math.max(ids.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism)
+    ids.repartition(parts).flatMap(rowsFor _)
+  }
+
+  def write(docs: DataFrame, out: String): Unit =
+    build(docs).write.mode("overwrite").partitionBy("kind").parquet(out)
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

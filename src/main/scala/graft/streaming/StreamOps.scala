@@ -286,4 +286,109 @@ object StreamOps {
         ()
       }
   }
+
+  /** Perceptual media dedup AT INGEST — the [[dedupAtIngest]] loop for
+    * binary payloads: each micro-batch of media records is fingerprinted
+    * where the bytes sit ([[graft.operators.Multimodal.
+    * perceptualFingerprints]] — image dHash / audio energy fp, narrow
+    * decode, pixels and PCM never ship), probed against a persisted
+    * fingerprint index (parquet `(id, mod, h1, h2)` under `indexDir`) and
+    * against itself; survivors append to `outPath` AND to the index so
+    * the next batch sees them. Keep-first semantics, the text loop's drop
+    * rule verbatim: a record is dropped when its fingerprint matches ANY
+    * predecessor — an indexed corpus record (self-rows excluded by id, so
+    * marker-window replays recompute identical survivors), or a
+    * same-batch record with a smaller id. Undecodable payloads carry no
+    * fingerprint and always survive (exact dedup covers them upstream).
+    *
+    * Scale shape per batch: the batch's fingerprints BROADCAST into the
+    * corpus probe — the index never shuffles — matched ids aggregate
+    * before anything returns, and the within-batch rule is one window
+    * over the (small) batch. At-least-once via the commit-marker pattern
+    * shared with [[dedupAtIngest]] (index append before marker: a crash
+    * between them replays the batch into identical survivors — the
+    * fingerprint probe excludes self-ids — and re-appends index rows,
+    * which are harmless duplicates under the probe's semi-join
+    * semantics).
+    *
+    * `media` must carry the [[graft.operators.Multimodal.mediaSchema]]
+    * columns (`id`, `kind`, `media`, …).
+    */
+  def dedupMediaAtIngest(
+      media: DataFrame,
+      indexDir: String,
+      outPath: String,
+      checkpoint: String,
+      windows: Int = 16,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Multimodal
+    var generationId: String = null
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val conf = spark.sparkContext.hadoopConfiguration
+        if (generationId == null)
+          generationId = IngestStream.checkpointGenerationId(checkpoint, conf)
+        val base = new org.apache.hadoop.fs.Path(outPath)
+        val fs = base.getFileSystem(conf)
+        val ns = new org.apache.hadoop.fs.Path(base,
+          s"_graft_batches/$generationId")
+        val marker = new org.apache.hadoop.fs.Path(ns, batchId.toString)
+        if (!fs.exists(marker)) {
+          batch.persist()
+          try {
+            val fps = Multimodal.perceptualFingerprints(
+              batch.select(col("id").cast("long").as("id"), col("kind"),
+                col("media"), lit(0).as("width"), lit(0).as("height"),
+                lit(0).as("sampleRateHz")).as[Multimodal.MediaRecord],
+              windows).persist()
+            try {
+              val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+              val idxFs = idxPath.getFileSystem(conf)
+              // batch rows with an indexed predecessor (any OTHER id on
+              // the same fingerprint): aggregate before returning, so
+              // only victim ids — bounded by the batch — leave the join
+              val corpusVictims: DataFrame =
+                if (!idxFs.exists(idxPath) ||
+                    !idxFs.listStatus(idxPath).exists(
+                      _.getPath.getName.endsWith(".parquet")))
+                  Seq.empty[Long].toDF("victim")
+                else spark.read.parquet(indexDir)
+                  .withColumnRenamed("id", "corpus_id")
+                  .join(broadcast(fps), Seq("mod", "h1", "h2"))
+                  .where(col("corpus_id") =!= col("id"))
+                  .select(col("id").as("victim")).distinct()
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy("mod", "h1", "h2")
+              val batchVictims = fps
+                .withColumn("mn", min(col("id")).over(w))
+                .where(col("id") =!= col("mn"))
+                .select(col("id").as("victim"))
+              val victims = corpusVictims.unionAll(batchVictims).distinct()
+              val survivors = batch.join(broadcast(victims),
+                batch("id").cast("long") === victims("victim"), "left_anti")
+              survivors.write.mode("append").parquet(outPath)
+              // survivors' fingerprints enter the index BEFORE the marker
+              // (crash-ordering rationale on [[dedupAtIngest]])
+              fps.join(broadcast(survivors.select(
+                    col("id").cast("long").as("sid"))),
+                  fps("id") === col("sid"), "left_semi")
+                .write.mode("append").parquet(indexDir)
+              fs.create(marker, true).close()
+              if (batchId >= IngestStream.MarkerRetention) {
+                val old = new org.apache.hadoop.fs.Path(ns,
+                  (batchId - IngestStream.MarkerRetention).toString)
+                try { fs.delete(old, false); () } catch { case _: Exception => }
+              }
+            } finally { fps.unpersist(); () }
+          } finally { batch.unpersist(); () }
+        }
+        ()
+      }
+  }
 }

@@ -266,6 +266,58 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Seq(100L, 201L), kept.toString)
   }
 
+  test("perceptual media dedup at ingest: cross-batch via the fingerprint index, surviving a restart") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.sources.MediaTable
+    val in = tmp("graft-mdedup-in")
+    val out = tmp("graft-mdedup-out")
+    val idx = tmp("graft-mdedup-idx") + "/fpidx" // must not pre-exist as empty
+    val ckpt = tmp("graft-mdedup-ckpt")
+    // payloads ride the MediaTable closed forms: img_phash pattern =
+    // id%7 at grade (id/7)%3 (grades share a dHash), wav_fp pattern =
+    // id%6 at volume (id/6)%3 (volumes share a fingerprint)
+    def rec(id: Long, kind: String): Multimodal.MediaRecord = {
+      val row = MediaTable.rowsFor(id).find(_.kind == kind).get
+      Multimodal.MediaRecord(id, row.modality, row.payload, 0, 0, 0)
+    }
+    // stage the parquet write in a scratch dir, then MOVE the finished
+    // part file into the stream dir under a stable name — the file stream
+    // source must never list a half-written file
+    def writeBatch(name: String, recs: Seq[Multimodal.MediaRecord]): Unit = {
+      val stage = tmp(s"graft-mdedup-stage-$name")
+      recs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.parquet"))
+    }
+    def start() = StreamOps.dedupMediaAtIngest(
+      spark.readStream.schema(Multimodal.mediaSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      idx, out, ckpt).start()
+    // batch 1: image pattern 1 at two grades (ids 1, 8 — keep-first drops
+    // 8 inside the batch) + one audio (id 2)
+    writeBatch("b1", Seq(rec(1, "img_phash"), rec(8, "img_phash"),
+      rec(2, "wav_fp")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSet
+      == Set(1L, 2L))
+    // batch 2 under a RESTARTED query on the same checkpoint: id 15 is
+    // grade 2 of corpus pattern 1 (only the persisted index knows), id 14
+    // is volume grade 2 of corpus audio 2; ids 3 and 9 are fresh
+    writeBatch("b2", Seq(rec(15, "img_phash"), rec(3, "img_phash"),
+      rec(14, "wav_fp"), rec(9, "wav_fp")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val kept = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 9L), kept.toString)
+    // the index holds exactly the survivors' fingerprints, both modalities
+    val idxRows = spark.read.parquet(idx)
+      .select("id", "mod").as[(Long, String)].collect().toSet
+    assert(idxRows == Set((1L, "image"), (2L, "audio"),
+      (3L, "image"), (9L, "audio")), idxRows.toString)
+  }
+
   test("anomalyAlerts: stateful streaming scores ≡ batch volumeAnomalies on the same events") {
     import spark.implicits._
     import org.apache.spark.sql.types._
