@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Cold-probe scaling over file count (VERDICT r11 #2's done-criterion):
+  * builds synthetic range-clustered tables of N files (N in args, default
+  * 1000 and 10000), zone-map-indexes them, and measures the COLD probe —
+  * wall time and rows collected to the driver — for a selective range.
+  * With candidate-bounded collection the driver transfer stays flat as N
+  * grows 10×; the distributed index scan grows with N but stays a single
+  * tiny-column job. Usage: `ProbeSidecarCold [N ...]`.
+  */
+object ProbeSidecarCold {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1000, 10000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.model.{SidecarIndex, ZoneMapIndex}
+
+    for (n <- sizes) {
+      val dir = java.nio.file.Files.createTempDirectory(s"sidecar-cold-$n").toString
+      // n files, file i spanning x in [100i, 100(i+1)) — tight spans, the
+      // layout zone maps exist for; ~20 rows per file keeps the build fast
+      spark.range(n.toLong * 20)
+        .select(col("id"), (col("id") * 5).as("x"))
+        .repartitionByRange(n, col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(dir)
+      val t0 = System.nanoTime()
+      ZoneMapIndex.build(spark, dir, Seq("x"))
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val live = spark.read.parquet(dir).inputFiles.toSeq
+      // a ~2-file range in the middle of the domain
+      val mid = n.toLong * 100 / 2
+      SidecarIndex.lastProbeCollected.set(-1L)
+      val t1 = System.nanoTime()
+      val p = ZoneMapIndex.pruneAll(spark, dir,
+        Seq(("x", mid.toDouble, (mid + 150).toDouble)), live).head
+      val coldS = (System.nanoTime() - t1) / 1e9
+      val collected = SidecarIndex.lastProbeCollected.get
+      val t2 = System.nanoTime()
+      val p2 = ZoneMapIndex.pruneAll(spark, dir,
+        Seq(("x", mid.toDouble, (mid + 150).toDouble)), live).head
+      val warmS = (System.nanoTime() - t2) / 1e9
+      require(p2.candidates.toSet == p.candidates.toSet)
+      println(f"[sidecar-cold] files=$n%6d build=$buildS%6.1fs " +
+        f"cold=$coldS%6.3fs warm=$warmS%6.3fs collected=$collected%4d " +
+        f"candidates=${p.candidates.size}%4d pruned=${p.pruned}%6d")
+    }
+    spark.stop()
+  }
+}
