@@ -73,18 +73,23 @@ private[graft] object SidecarIndex {
     * transparently re-reads). The frame is `persist`ed MEMORY_AND_DISK:
     * bloom byte arrays stay on executors, repeated probes of a hot table
     * skip the parquet decode that dominated the indexed-probe constant.
-    * Stopped-session and stale-generation entries are unpersisted on the
-    * next access; the fast path is one lock-free map read + one listing.
+    * Stopped-session and stale-generation entries are dropped from the
+    * map on the next access; the fast path is one lock-free map read +
+    * one listing.
     *
     * The cache is keyed by (session, path) — two sessions probing the same
     * table each keep their own persisted copy rather than evicting each
     * other on every access. Within one session, a generation change
-    * unpersists the prior entry non-blocking; a probe still EXECUTING
+    * unpersists the prior entry non-blocking — eagerness is a CORRECTNESS
+    * requirement, not hygiene: the CacheManager would otherwise substitute
+    * the stale registered InMemoryRelation into every later read of the
+    * path (see the eviction comment below). A probe still EXECUTING
     * against that entry at that instant recomputes from the file list its
     * plan captured at creation, so it either completes on the old files or
     * fails loudly if maintenance removed them — it never silently mixes
     * generations (index builds/vacuums are maintenance operations; run
-    * one writer per table at a time).
+    * one writer per table at a time). Two-session and cross-generation
+    * concurrency is exercised by ZoneMapSpec's hammer test.
     */
   /** The index dir's generation signature — the (name, length, mtime) of
     * its files, one cheap listing. Parquet writes always create fresh
@@ -116,6 +121,19 @@ private[graft] object SidecarIndex {
               if (owner eq spark) && !owner.sparkContext.isStopped && s0 == sig =>
             df
           case prior =>
+            // Stale generations MUST be unpersisted eagerly (non-blocking),
+            // not lazily abandoned to the ContextCleaner: persist()
+            // registers the frame's analyzed plan with the session's
+            // CacheManager, which SUBSTITUTES the cached InMemoryRelation
+            // into ANY later read of the same path — leave the stale entry
+            // registered and the post-rebuild re-read (and even the
+            // uncached `read`) silently serves the PREVIOUS generation's
+            // rows (reproduced: vacuum convergence broke under lazy
+            // abandon). The unpersist is non-blocking; a probe still
+            // executing against the old frame recomputes from the file
+            // list its plan captured, completing on the old files or
+            // failing loudly if maintenance removed them — never silently
+            // mixing generations (single maintenance writer per table).
             prior.foreach { case (owner, _, df) =>
               if (!owner.sparkContext.isStopped) {
                 try df.unpersist(false)

@@ -85,6 +85,47 @@ class ZoneMapSpec extends SparkTestBase {
         : Seq[String]) == Nil)
   }
 
+  test("two sessions probe one table concurrently across a generation change without interference") {
+    val out = tmp("graft-zonemap-twosession")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    val live = spark.read.parquet(out).inputFiles.toSeq
+    val s2 = spark.newSession()
+    val expected = ZoneMapIndex.prune(spark, out, "x", 2500d, 3500d)
+      .get.candidates.toSet
+    // 8 threads × 2 sessions hammer the same probe; every decision must
+    // equal the single-threaded one and nothing may throw (the cache is
+    // keyed per session and generation — no cross-session thrash)
+    def hammer(): Unit = {
+      import java.util.concurrent.{Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(8)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until 16).foreach { i =>
+        val s = if (i % 2 == 0) spark else s2
+        pool.execute(() =>
+          try {
+            val p = ZoneMapIndex.pruneAll(spark = s, tablePath = out,
+              ranges = Seq(("x", 2500d, 3500d)), live = live).head
+            assert(p.candidates.toSet == expected)
+          } catch { case t: Throwable => errs.add(t) })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"concurrent probe failed: ${errs.peek()}")
+    }
+    hammer()
+    // generation change mid-life: rebuild, then both sessions must converge
+    // on the new generation (stale entries abandoned lazily, not yanked)
+    ZoneMapIndex.build(spark, out, Seq("x", "id"), rebuild = true)
+    assert(ZoneMapIndex.prune(spark, out, "x", 2500d, 3500d)
+      .get.candidates.toSet == expected)
+    assert(ZoneMapIndex.prune(s2, out, "x", 2500d, 3500d)
+      .get.candidates.toSet == expected)
+    hammer()
+    // the new generation serves the widened column set in both sessions
+    assert(ZoneMapIndex.prune(s2, out, "id", 10d, 20d).isDefined)
+  }
+
   test("unindexed (freshly appended) files are always scanned; build indexes only them") {
     val out = tmp("graft-zonemap-stale")
     writeClustered(out)
