@@ -3192,16 +3192,19 @@ object Queries {
       val (zdir, (umin, umax, _, _)) = Fixtures.zorderedIndexedEventsDir(s, dir)
       val ulo = umin + (umax - umin) * 3 / 10
       val uhi = umin + (umax - umin) * 4 / 10
-      val clean = graft.model.ZoneMapIndex.rangeScan(
-          s, zdir, "user_id", ulo.toDouble, uhi.toDouble)
+      // ONE fused probe + one table listing for both ranges (rangeScans):
+      // the clean range over user_id, and the same range over the
+      // NaN-poisoned `metric` (== user_id except the event_id % 97 rows,
+      // which are NaN — fixture scaladoc): the scan must keep every
+      // file's non-NaN in-range rows while both engines agree NaN itself
+      // never matches a range; a NaN-poisoned max that pruned whole
+      // files would zero these columns
+      val Seq(cleanScan, poisonedScan) = graft.model.ZoneMapIndex.rangeScans(
+        s, zdir, Seq(("user_id", ulo.toDouble, uhi.toDouble),
+          ("metric", ulo.toDouble, uhi.toDouble)))
+      val clean = cleanScan
         .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("checksum"))
-      // same range over the NaN-poisoned `metric` (== user_id except the
-      // event_id % 97 rows, which are NaN — fixture scaladoc): the scan
-      // must keep every file's non-NaN in-range rows while both engines
-      // agree NaN itself never matches a range; a NaN-poisoned max that
-      // pruned whole files would zero these columns
-      val poisoned = graft.model.ZoneMapIndex.rangeScan(
-          s, zdir, "metric", ulo.toDouble, uhi.toDouble)
+      val poisoned = poisonedScan
         .agg(count(lit(1)).as("n_rows_nanpoisoned"),
           sum(col("event_id")).as("checksum_nanpoisoned"))
       clean.crossJoin(poisoned)

@@ -192,13 +192,25 @@ object ZoneMapIndex {
       spark: SparkSession,
       tablePath: String,
       ranges: Seq[(String, Double, Double)],
-      live: => Seq[String]): Seq[Pruning] = {
+      live: => Seq[String]): Seq[Pruning] =
+    pruneAllAligned(spark, tablePath, ranges, live).flatten
+
+  /** [[pruneAll]] with POSITIONAL results: element i answers ranges(i),
+    * None where the index cannot help — the alignment [[rangeScans]]
+    * needs to pair each pruning with its scan.
+    */
+  def pruneAllAligned(
+      spark: SparkSession,
+      tablePath: String,
+      ranges: Seq[(String, Double, Double)],
+      live: => Seq[String]): Seq[Option[Pruning]] = {
     ranges.foreach { case (_, lo, hi) =>
       require(!lo.isNaN && !hi.isNaN,
         "a NaN query bound matches nothing under range semantics (NaN " +
           "satisfies no between predicate) — filter NaN explicitly instead")
     }
-    if (ranges.isEmpty || !indexExists(spark, tablePath)) return Nil
+    if (ranges.isEmpty || !indexExists(spark, tablePath))
+      return Seq.fill(ranges.size)(None)
     val covered = SidecarIndex.coverage(spark, tablePath, IndexDirName, "col")
     // probe identity = column + the exact ulp-widened bounds the verdicts
     // are computed against (raw bits, so -0.0/0.0 and every double are
@@ -249,7 +261,7 @@ object ZoneMapIndex {
       }
     }
     lazy val liveList = live
-    probeKeys.flatMap { k =>
+    probeKeys.map { k =>
       matches(k).map(ms =>
         SidecarIndex.decide(ms, covered(byKey(k)._1), liveList))
     }
@@ -265,22 +277,35 @@ object ZoneMapIndex {
       tablePath: String,
       colName: String,
       lo: Double,
-      hi: Double): DataFrame = {
+      hi: Double): DataFrame =
+    rangeScans(spark, tablePath, Seq((colName, lo, hi))).head
+
+  /** SEVERAL range scans over one table sharing ONE listing + schema
+    * resolution and ONE fused index probe — the multi-predicate form of
+    * [[rangeScan]] (a query touching k ranges pays one parquet listing
+    * and one index scan, not k of each; the probe constant was the
+    * dominant cost of the indexed range query at small SF). Element i is
+    * exactly [[rangeScan]] of ranges(i).
+    */
+  def rangeScans(
+      spark: SparkSession,
+      tablePath: String,
+      ranges: Seq[(String, Double, Double)]): Seq[DataFrame] = {
     // the exact predicate evaluates in the same double space the index
     // stores — explicit for types (timestamp) that won't implicitly
     // coerce against a double literal, identical coercion for the rest
-    def exact(df: DataFrame) =
-      df.where(col(colName).cast("double").between(lo, hi))
+    def exact(df: DataFrame, r: (String, Double, Double)) =
+      df.where(col(r._1).cast("double").between(r._2, r._3))
     val fullTable = spark.read.parquet(tablePath)
-    val full = exact(fullTable)
-    pruneAgainst(spark, tablePath, colName, lo, hi,
-      fullTable.inputFiles.toSeq) match {
-      case Some(p) if p.pruned > 0 =>
-        if (p.candidates.isEmpty) full.limit(0)
+    val aligned = pruneAllAligned(spark, tablePath, ranges,
+      fullTable.inputFiles.toSeq)
+    ranges.zip(aligned).map {
+      case (r, Some(p)) if p.pruned > 0 =>
+        if (p.candidates.isEmpty) exact(fullTable, r).limit(0)
         else exact(spark.read
           .option("basePath", tablePath) // keep partition columns
-          .parquet(p.candidates: _*))
-      case _ => full
+          .parquet(p.candidates: _*), r)
+      case (r, _) => exact(fullTable, r)
     }
   }
 }
