@@ -2331,6 +2331,37 @@ object Queries {
       .as[graft.operators.Multimodal.MediaRecord]
   }
 
+  /** Metadata-only catalog of the STORED media corpus: per (family,
+    * modality, container format) row counts read from the media table's
+    * plain columns — the payload BINARY column prunes out of the parquet
+    * scan entirely (MediaTableSpec asserts the ReadSchema), so at 100 TB
+    * this catalog query reads a few KB of column chunks per file while
+    * the blobs stay untouched. The oracle restates the whole catalog
+    * arithmetically from the documents domain and the generator's
+    * closed forms (image rows alternate bmp/png by doc_id parity).
+    */
+  private val multimodalMediaCatalog = Q(
+    (s, dir) =>
+      s.read.parquet(Fixtures.mediaTableDir(s, dir))
+        .groupBy(col("kind"), col("modality"), col("fmt"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("kind", "fmt"),
+    Some("""WITH k AS (
+          SELECT * FROM (VALUES
+            ('img_dims','image'), ('img_resize','image'),
+            ('img_phash','image'), ('img_embed','image'),
+            ('wav_meta','audio'), ('wav_segment','audio'),
+            ('wav_fp','audio'), ('gif_frames','video'),
+            ('gif_shots','video')) AS t(kind, modality)),
+        f AS (SELECT d.doc_id, k.kind, k.modality,
+            CASE WHEN k.modality = 'image' THEN
+                   (CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END)
+                 WHEN k.modality = 'audio' THEN 'wave'
+                 ELSE 'gif' END AS fmt
+          FROM documents d, k)
+        SELECT kind, modality, fmt, count(*)::BIGINT AS n
+        FROM f GROUP BY 1, 2, 3 ORDER BY kind, fmt"""))
+
   /** Live image metadata extraction over the STORED media table, held to
     * a byte-layout oracle: each doc's `img_dims` payload is a 24-bit BMP
     * (even doc_id; bytes built straight from the format spec) or a
@@ -4283,6 +4314,7 @@ object Queries {
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "multimodal_columns" -> multimodalColumns,
+    "multimodal_media_catalog" -> multimodalMediaCatalog,
     "multimodal_image_dims" -> multimodalImageDims,
     "multimodal_audio_meta" -> multimodalAudioMeta,
     "multimodal_image_resize" -> multimodalImageResize,

@@ -314,6 +314,57 @@ object StreamOps {
     * `media` must carry the [[graft.operators.Multimodal.mediaSchema]]
     * columns (`id`, `kind`, `media`, …).
     */
+  private def fpStagedPath(idx: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(idx.getParent, "." + idx.getName + ".vacuum")
+  private def fpAsidePath(idx: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(idx.getParent, "." + idx.getName + ".old")
+
+  /** Crash recovery for [[compactMediaFpIndex]]'s rename-aside swap — the
+    * [[graft.model.SidecarIndex]] protocol: index-missing + staged-present
+    * can only mean the crash fell between the two renames, and a MISSING
+    * fingerprint index is not a safe default here (the next batch would
+    * probe against nothing and re-admit every known duplicate), so every
+    * index read in this file funnels through this promote-if-needed.
+    */
+  private def recoverFpIndex(
+      fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path): Unit = {
+    val staged = fpStagedPath(idx)
+    if (!fs.exists(idx) && fs.exists(staged))
+      require(fs.rename(staged, idx) || fs.exists(idx),
+        s"fingerprint index recovery failed: $staged -> $idx")
+  }
+
+  /** Compact the streaming fingerprint index: a marker-window replay can
+    * re-append a batch's survivor rows ([[dedupMediaAtIngest]]'s
+    * documented at-least-once floor — harmless duplicates under the
+    * probe's join semantics, but probe I/O forever). Rewrites the index
+    * to DISTINCT rows with the stage-then-swap publish, crash-safe at
+    * every instant (recovery above). Returns the rows removed.
+    */
+  def compactMediaFpIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
+    val idx = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverFpIndex(fs, idx)
+    if (!fs.exists(idx)) return 0L
+    val rows = spark.read.parquet(indexDir)
+    val total = rows.count()
+    val kept = rows.distinct().count()
+    if (kept == total) return 0L
+    val staged = fpStagedPath(idx)
+    val aside = fpAsidePath(idx)
+    fs.delete(aside, true) // stale aside from a prior compact's last instant
+    spark.read.parquet(indexDir).distinct()
+      .coalesce(math.max(1, fs.listStatus(idx).count(
+        _.getPath.getName.endsWith(".parquet")) / 4))
+      .write.mode("overwrite").parquet(staged.toString)
+    require(fs.rename(idx, aside), s"fp compact swap (aside) failed: $idx")
+    require(fs.rename(staged, idx), s"fp compact swap (promote) failed: $idx")
+    fs.delete(aside, true)
+    total - kept
+  }
+
   def dedupMediaAtIngest(
       media: DataFrame,
       indexDir: String,
@@ -350,6 +401,7 @@ object StreamOps {
             try {
               val idxPath = new org.apache.hadoop.fs.Path(indexDir)
               val idxFs = idxPath.getFileSystem(conf)
+              recoverFpIndex(idxFs, idxPath)
               // batch rows with an indexed predecessor (any OTHER id on
               // the same fingerprint): aggregate before returning, so
               // only victim ids — bounded by the batch — leave the join

@@ -316,6 +316,15 @@ class StreamingSpec extends SparkTestBase {
       .select("id", "mod").as[(Long, String)].collect().toSet
     assert(idxRows == Set((1L, "image"), (2L, "audio"),
       (3L, "image"), (9L, "audio")), idxRows.toString)
+    // replay-duplicate hygiene: simulate a marker-window replay by
+    // re-appending the index's own rows, then compact — the duplicates
+    // go, the distinct content is unchanged, and a second compact no-ops
+    val before = spark.read.parquet(idx).collect().length
+    spark.read.parquet(idx).write.mode("append").parquet(idx)
+    assert(StreamOps.compactMediaFpIndex(spark, idx) == before.toLong)
+    assert(spark.read.parquet(idx).select("id", "mod")
+      .as[(Long, String)].collect().toSet == idxRows)
+    assert(StreamOps.compactMediaFpIndex(spark, idx) == 0L)
   }
 
   test("anomalyAlerts: stateful streaming scores ≡ batch volumeAnomalies on the same events") {
