@@ -157,7 +157,14 @@ object Queries {
     def mediaTableDir(s: SparkSession, dir: String): String =
       memo(mediaTables, dir) {
         val pre = new java.io.File(dir, "media.parquet")
-        if (pre.isDirectory && Option(pre.list()).exists(_.nonEmpty))
+        // "non-empty dir" is NOT "valid corpus": an interrupted ScaleGen
+        // write leaves _temporary but no _SUCCESS — trust only a
+        // committed write (marker present AND at least one kind=*
+        // partition), else regenerate into a temp dir
+        val committed = pre.isDirectory &&
+          new java.io.File(pre, "_SUCCESS").isFile &&
+          Option(pre.list()).exists(_.exists(_.startsWith("kind=")))
+        if (committed)
           pre.getAbsolutePath
         else {
           val out = java.nio.file.Files.createTempDirectory("graft-media").toString

@@ -262,8 +262,14 @@ object ZoneMapIndex {
     }
     lazy val liveList = live
     probeKeys.map { k =>
+      // getOrElse: `covered` was fetched before the probe — if the index
+      // is rebuilt in between (violated single-writer assumption), a
+      // cache-hit Some for a column the stale manifest no longer lists
+      // must degrade to all-unindexed (decide treats Set.empty as "no
+      // coverage" → no pruning, sound), not throw
       matches(k).map(ms =>
-        SidecarIndex.decide(ms, covered(byKey(k)._1), liveList))
+        SidecarIndex.decide(ms, covered.getOrElse(byKey(k)._1, Set.empty),
+          liveList))
     }
   }
 

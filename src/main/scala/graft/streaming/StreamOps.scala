@@ -309,7 +309,13 @@ object StreamOps {
     * between them replays the batch into identical survivors — the
     * fingerprint probe excludes self-ids — and re-appends index rows,
     * which are harmless duplicates under the probe's semi-join
-    * semantics).
+    * semantics). The OUTPUT side shares the same floor: survivors land
+    * in `outPath` before the index append and marker, so a crash in
+    * that window re-appends the identical survivor rows to `outPath`
+    * on replay — at-least-once DUPLICATE OUTPUT, not lost output.
+    * Downstream consumers dedup on `id` (exact hash-dedup is a single
+    * groupBy), exactly as for [[dedupAtIngest]]; the index side is
+    * reclaimed by [[compactMediaFpIndex]].
     *
     * `media` must carry the [[graft.operators.Multimodal.mediaSchema]]
     * columns (`id`, `kind`, `media`, …).
@@ -341,9 +347,18 @@ object StreamOps {
     * probe's join semantics, but probe I/O forever). Rewrites the index
     * to DISTINCT rows with the stage-then-swap publish, crash-safe at
     * every instant (recovery above). Returns the rows removed.
+    *
+    * `minBloatRatio` gates the rewrite: only compact when duplicates
+    * exceed that fraction of the distinct rows (0.0 = any duplicate
+    * triggers). The count-vs-distinct CHECK still runs — it is the
+    * cheap two-aggregate pass; the gate saves the expensive rewrite +
+    * double swap when the index is barely bloated, which is what a
+    * per-N-batches maintenance cadence wants ([[dedupMediaAtIngest]]'s
+    * `compactEvery`).
     */
   def compactMediaFpIndex(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      minBloatRatio: Double = 0.0): Long = {
     val idx = new org.apache.hadoop.fs.Path(indexDir)
     val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverFpIndex(fs, idx)
@@ -351,7 +366,7 @@ object StreamOps {
     val rows = spark.read.parquet(indexDir)
     val total = rows.count()
     val kept = rows.distinct().count()
-    if (kept == total) return 0L
+    if (kept == total || (total - kept) <= kept * minBloatRatio) return 0L
     val staged = fpStagedPath(idx)
     val aside = fpAsidePath(idx)
     fs.delete(aside, true) // stale aside from a prior compact's last instant
@@ -372,7 +387,9 @@ object StreamOps {
       checkpoint: String,
       windows: Int = 16,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactEvery: Int = 0,
+      compactBloatRatio: Double = 0.25)
     : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Multimodal
     var generationId: String = null
@@ -436,6 +453,17 @@ object StreamOps {
                 val old = new org.apache.hadoop.fs.Path(ns,
                   (batchId - IngestStream.MarkerRetention).toString)
                 try { fs.delete(old, false); () } catch { case _: Exception => }
+              }
+              // maintenance cadence (LogSchema.compactPartitions's
+              // background-merge analogue): every `compactEvery`
+              // committed batches, reclaim the at-least-once replay
+              // bloat — gated on the rows-vs-distinct ratio so a clean
+              // index never pays the rewrite. Runs AFTER the marker, so
+              // a crash mid-compact replays as a no-op (marker present)
+              // and the swap's own crash-safety (recoverFpIndex) holds.
+              if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+                compactMediaFpIndex(spark, indexDir, compactBloatRatio)
+                ()
               }
             } finally { fps.unpersist(); () }
           } finally { batch.unpersist(); () }

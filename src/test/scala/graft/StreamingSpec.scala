@@ -327,6 +327,67 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamOps.compactMediaFpIndex(spark, idx) == 0L)
   }
 
+  test("media dedup maintenance cadence: a replayed marker window triggers compaction; the next probe reads the compacted generation") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.sources.MediaTable
+    val in = tmp("graft-mcompact-in")
+    val out = tmp("graft-mcompact-out")
+    val idx = tmp("graft-mcompact-idx") + "/fpidx"
+    val ckpt = tmp("graft-mcompact-ckpt")
+    def rec(id: Long, kind: String): Multimodal.MediaRecord = {
+      val row = MediaTable.rowsFor(id).find(_.kind == kind).get
+      Multimodal.MediaRecord(id, row.modality, row.payload, 0, 0, 0)
+    }
+    def writeBatch(name: String, recs: Seq[Multimodal.MediaRecord]): Unit = {
+      val stage = tmp(s"graft-mcompact-stage-$name")
+      recs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.parquet"))
+    }
+    // cadence live on every committed batch; the 0.25 bloat gate means a
+    // clean commit's check no-ops while a replayed window (100% bloat)
+    // rewrites
+    def start() = StreamOps.dedupMediaAtIngest(
+      spark.readStream.schema(Multimodal.mediaSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in),
+      idx, out, ckpt, compactEvery = 1, compactBloatRatio = 0.25).start()
+    writeBatch("b1", Seq(rec(1, "img_phash"), rec(2, "wav_fp")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(idx).count() == 2L)
+    // simulate the crash window AFTER the index append but BEFORE the
+    // marker: remove both Spark's commit record and our marker for batch
+    // 0 — the restarted query fully re-executes the batch, re-appending
+    // output AND index rows (the documented at-least-once floor)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gen = graft.streaming.IngestStream.checkpointGenerationId(ckpt, conf)
+    val markerFs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(conf)
+    assert(markerFs.delete(new org.apache.hadoop.fs.Path(
+      s"$out/_graft_batches/$gen/0"), false))
+    assert(markerFs.delete(new org.apache.hadoop.fs.Path(
+      s"$ckpt/commits/0"), false))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // the replay duplicated the OUTPUT rows (at-least-once floor: same
+    // ids, twice) but the commit hook's cadence compacted the index back
+    // to distinct rows in the same run
+    val outIds = spark.read.parquet(out).select("id").as[Long].collect()
+    assert(outIds.length == 4 && outIds.toSet == Set(1L, 2L), outIds.toSeq)
+    val idxRows = spark.read.parquet(idx)
+      .select("id", "mod").as[(Long, String)].collect()
+    assert(idxRows.length == 2 &&
+      idxRows.toSet == Set((1L, "image"), (2L, "audio")), idxRows.toSeq)
+    // the NEXT batch probes the compacted generation: id 15 is a grade
+    // variant of corpus pattern 1 (dropped via the index), id 3 is fresh
+    writeBatch("b2", Seq(rec(15, "img_phash"), rec(3, "img_phash")))
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    val kept = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), kept.toString)
+    assert(spark.read.parquet(idx).count() == 3L)
+  }
+
   test("anomalyAlerts: stateful streaming scores ≡ batch volumeAnomalies on the same events") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -20,7 +20,7 @@ exec java \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -Xlog:all=warning:stderr \
+  ${GRAFT_JVM_LOG:+-Xlog:all=warning:stderr} \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -cp "/root/repo/target/scala-2.13/classes:$SCALA_JARS:/opt/spark/jars/*" \
   "$MAIN" "$@"
