@@ -38,7 +38,18 @@ object ProbeSidecarCold {
       ZoneMapIndex.build(spark, dir, Seq("x"))
       val buildS = (System.nanoTime() - t0) / 1e9
       val live = spark.read.parquet(dir).inputFiles.toSeq
-      // a ~2-file range in the middle of the domain
+      // the per-generation coverage manifest fetch is the ONE surviving
+      // O(files) driver transfer (SidecarIndex.coverage — (col, file)
+      // string pairs, cached per generation); time it separately so its
+      // linear growth is named instead of folded into the probe
+      val tc = System.nanoTime()
+      val cov = SidecarIndex.coverage(
+        spark, dir, ZoneMapIndex.IndexDirName, "col")
+      val covS = (System.nanoTime() - tc) / 1e9
+      val covRows = cov.valuesIterator.map(_.size.toLong).sum
+      // a ~2-file range in the middle of the domain; the probe below
+      // reuses the manifest fetched above (the steady-state shape — one
+      // manifest per generation amortized over every probe)
       val mid = n.toLong * 100 / 2
       SidecarIndex.lastProbeCollected.set(-1L)
       val t1 = System.nanoTime()
@@ -52,6 +63,7 @@ object ProbeSidecarCold {
       val warmS = (System.nanoTime() - t2) / 1e9
       require(p2.candidates.toSet == p.candidates.toSet)
       println(f"[sidecar-cold] files=$n%6d build=$buildS%6.1fs " +
+        f"manifest=$covS%6.3fs/$covRows%6d rows " +
         f"cold=$coldS%6.3fs warm=$warmS%6.3fs collected=$collected%4d " +
         f"candidates=${p.candidates.size}%4d pruned=${p.pruned}%6d")
     }

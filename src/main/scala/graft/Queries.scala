@@ -159,11 +159,14 @@ object Queries {
         val pre = new java.io.File(dir, "media.parquet")
         // "non-empty dir" is NOT "valid corpus": an interrupted ScaleGen
         // write leaves _temporary but no _SUCCESS — trust only a
-        // committed write (marker present AND at least one kind=*
-        // partition), else regenerate into a temp dir
+        // committed write (marker present AND every payload family's
+        // kind= partition, so a corpus generated before a family was
+        // added regenerates instead of serving empty scans), else fall
+        // through to the temp-dir regeneration path
         val committed = pre.isDirectory &&
           new java.io.File(pre, "_SUCCESS").isFile &&
-          Option(pre.list()).exists(_.exists(_.startsWith("kind=")))
+          graft.sources.MediaTable.Kinds.forall(k =>
+            new java.io.File(pre, s"kind=$k").isDirectory)
         if (committed)
           pre.getAbsolutePath
         else {
@@ -367,6 +370,25 @@ object Queries {
       sessionScoped(ivfIndexes, s, dir) {
         val idx = Similarity.buildIvfIndex(
           t(s, dir, "embeddings"), "vec_id", "embedding", numCells = 16)
+        idx.copy(bucketed =
+          idx.bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+
+    /** The SCALE-AWARE sibling of [[ivfIndex]]: numCells = ⌈√n⌉ (floored
+      * at 16), the FAISS sizing rule knnJoin's scaladoc commits to — the
+      * cell-join key cardinality grows with the corpus so the join keeps
+      * parallelizing, and per-cell candidate lists grow as √n instead of
+      * n. This is the index the ANN-mode knn_join row probes; the fixed
+      * 16-cell [[ivfIndex]] stays the oracle-exactness vehicle (probing
+      * all 16 cells = provably brute force).
+      */
+    def ivfIndexScaled(s: SparkSession, dir: String): Similarity.IvfIndex =
+      sessionScoped(ivfIndexes, s, dir + "#scaled") {
+        val emb = t(s, dir, "embeddings")
+        val cells = math.max(16,
+          math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+        val idx = Similarity.buildIvfIndex(
+          emb, "vec_id", "embedding", numCells = cells)
         idx.copy(bucketed =
           idx.bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
@@ -633,6 +655,7 @@ object Queries {
     Fixtures.bpeMerges(s, dir)
     Fixtures.nestedIngested(s, dir).count()
     Fixtures.ivfIndex(s, dir).bucketed.count()
+    Fixtures.ivfIndexScaled(s, dir).bucketed.count()
     Fixtures.pqIndex(s, dir).codes.count()
     Fixtures.ivfPqIndex(s, dir).codes.count()
     Fixtures.qualityModel(s, dir)
@@ -2231,6 +2254,38 @@ object Queries {
           FROM scored)
         WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** ANN-mode k-NN join — the PRODUCTION dial of [[knnJoin]]: the same
+    * 2000-query batch as the exact row, probed against the scale-aware
+    * index (numCells = ⌈√n⌉) at nprobe = numCells/8, so every rung scans
+    * ~12.5% of the corpus per query — an 8× pair-count cut vs the exact
+    * row at every scale, with the cell-join key cardinality growing as
+    * √n (the parallelism story knnJoin's scaladoc promises at 1B rows).
+    *
+    * Recall is certified against the brute-force anchor
+    * ([[Fixtures.annBruteTruth]]) at ≥ 0.3. Why 0.3 and not higher: this
+    * synthetic corpus is near-isotropic (measured: random-pair cosine
+    * p90 ≈ 0.16, top-1 neighbor ≈ 0.45–0.49 — no planted near-dup
+    * clusters), where IVF recall ≈ 4–5× the scanned fraction and cannot
+    * beat the scan fraction asymptotically. Measured recall at this dial
+    * RISES with scale — 0.38 (sf0.01) → 0.54 (sf0.1) → 0.60 (sf1) →
+    * 0.70 (sf10) — because √n cells carve progressively tighter
+    * neighborhoods; 0.3 clears every rung with margin. On a real
+    * embedding corpus (clustered by construction) the same dial sits at
+    * 0.9+ recall for 1–2% scanned; the isotropic case here is the
+    * worst-case floor, not the expected operating point.
+    */
+  private val knnJoinAnn = Q(
+    (s, dir) => {
+      val idx = Fixtures.ivfIndexScaled(s, dir)
+      annCertified(s, dir, minRecall = 0.3)(
+        Similarity.knnJoinWithIndex(idx,
+          t(s, dir, "embeddings").where(col("vec_id") < 2000),
+          "vec_id", "embedding",
+          k = 5, nprobe = math.max(4, idx.numCells / 8),
+          excludeSelf = true))
+    },
+    Some(annOracleSql))
+
   private val textAnalyze = Q(
     (s, dir) => t(s, dir, "documents")
       .select(explode(TF.tokens(col("text"))).as("token"))
@@ -2359,9 +2414,11 @@ object Queries {
             ('img_phash','image'), ('img_embed','image'),
             ('wav_meta','audio'), ('wav_segment','audio'),
             ('wav_fp','audio'), ('gif_frames','video'),
-            ('gif_shots','video')) AS t(kind, modality)),
+            ('gif_shots','video'),
+            ('img_dims_jpeg','image'), ('img_phash_jpeg','image')) AS t(kind, modality)),
         f AS (SELECT d.doc_id, k.kind, k.modality,
-            CASE WHEN k.modality = 'image' THEN
+            CASE WHEN k.kind LIKE '%_jpeg' THEN 'jpeg'
+                 WHEN k.modality = 'image' THEN
                    (CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END)
                  WHEN k.modality = 'audio' THEN 'wave'
                  ELSE 'gif' END AS fmt
@@ -2404,6 +2461,34 @@ object Queries {
             THEN 54 + (8 + doc_id % 7) *
               (((16 + doc_id % 13) * 3 + 3) // 4) * 4
             ELSE -1 END)::BIGINT AS blob_len
+        FROM documents ORDER BY doc_id"""))
+
+  /** [[multimodalImageDims]] through the LOSSY codec: the same geometry
+    * family stored as JPEG ([[graft.sources.MediaTable]] `img_dims_jpeg`).
+    * JPEG pixels are encoder-dependent, but the header geometry is exact
+    * — so the dims probe stays a full hash-verified oracle while the
+    * raster-content oracles (resize sums, exact dHash bits) deliberately
+    * do NOT extend to this family. Container length is encoder-dependent
+    * like PNG (-1 by the same contract).
+    */
+  private val multimodalImageDimsJpeg = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      Multimodal.transform(
+          storedMedia(s, dir, "img_dims_jpeg"),
+          new Multimodal.ImageDimensionProbe())
+        .map { r =>
+          val fmt = Multimodal.ImageIoDecoder.formatName(r.media).getOrElse("")
+          (r.id, fmt, r.width, r.height, -1L)
+        }
+        .toDF("doc_id", "fmt", "width", "height", "blob_len")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'jpeg' AS fmt,
+          (16 + doc_id % 13)::INT AS width,
+          (8 + doc_id % 7)::INT AS height,
+          (-1)::BIGINT AS blob_len
         FROM documents ORDER BY doc_id"""))
 
   /** Live audio metadata extraction over the STORED media table, the
@@ -2633,6 +2718,58 @@ object Queries {
         SELECT doc_id, ph_hi, ph_lo,
           min(doc_id) OVER (PARTITION BY ph_hi, ph_lo) AS cluster
         FROM ph ORDER BY doc_id"""))
+
+  /** [[dedupImagePhash]] through the LOSSY codec — the cert that the
+    * perceptual layer survives a codec that does NOT round-trip
+    * bit-exactly. The stored `img_phash_jpeg` family plants 7 block
+    * patterns × 3 brightness grades (rationale and measured stability on
+    * the closed form in [[graft.sources.MediaTable]]); the SAME dHash
+    * clustering operator runs live on the JPEG decodes, and the oracle
+    * certifies cluster QUALITY as booleans — pairwise recall (planted
+    * near-dup grades still collapse) and precision (distinct material
+    * still separates) — instead of hash bits, which are encoder
+    * artifacts. Pair counting is the exact combinatorial aggregation
+    * over (cluster, pattern) group sizes — ONE grouping-sets pass over
+    * the hashed frame (cells + both marginals + total through a single
+    * shuffle), so the decode runs once and nothing is quadratic. Exact row count anchors the cert
+    * (every payload must decode); thresholds sit at 0.95 against a
+    * measured 1.0/1.0 so a genuinely drifting decoder fails while an
+    * encoder-version wobble of a few bits does not.
+    */
+  private val dedupImagePhashJpeg = Q(
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val cl = Multimodal.imagePHashClusters(
+          storedMedia(s, dir, "img_phash_jpeg"))
+        .withColumn("pattern", col("id") % 7)
+      val pairs = (n: Column) => (n * (n - lit(1))) / lit(2)
+      // all four pair-count bases from ONE decode pass: grouping sets
+      // emit the (cluster, pattern) cells, both marginals and the grand
+      // total through a single partial-aggregated shuffle. grouping_id
+      // bit i = 1 when groupBy column i is aggregated away, so with
+      // column order (cluster, pattern): 0 = cell, 2 = pattern
+      // marginal, 1 = cluster marginal, 3 = grand total
+
+      val gs = cl.groupingSets(
+          Seq(Seq(col("cluster"), col("pattern")), Seq(col("pattern")),
+            Seq(col("cluster")), Seq()),
+          col("cluster"), col("pattern"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      gs.agg(
+          coalesce(sum(when(col("gid") === 0, pairs(col("n")))), lit(0L))
+            .as("tp"),
+          coalesce(sum(when(col("gid") === 2, pairs(col("n")))), lit(0L))
+            .as("same_pat"),
+          coalesce(sum(when(col("gid") === 1, pairs(col("n")))), lit(0L))
+            .as("same_cl"),
+          coalesce(sum(when(col("gid") === 3, col("n"))), lit(0L))
+            .as("n_imgs"))
+        .select(col("n_imgs"),
+          (col("tp") >= col("same_pat") * 0.95).as("recall_ok"),
+          (col("tp") >= col("same_cl") * 0.95).as("precision_ok"))
+    },
+    Some("""SELECT count(*) AS n_imgs, TRUE AS recall_ok,
+          TRUE AS precision_ok FROM documents"""))
 
   /** The decode→featurize→dedup pipeline end-to-end over the STORED media
     * table: live JDK decodes (BMP and PNG rows alike) produce exact
@@ -4312,6 +4449,7 @@ object Queries {
     "sim_search_ivfpq" -> simSearchIvfPq,
     "quality_classifier" -> qualityClassifier,
     "knn_join" -> knnJoin,
+    "knn_join_ann" -> knnJoinAnn,
     "shuffle_shards" -> shuffleShards,
     "sample_uniform_n" -> sampleUniformN,
     "text_analyze" -> textAnalyze,
@@ -4323,12 +4461,14 @@ object Queries {
     "multimodal_columns" -> multimodalColumns,
     "multimodal_media_catalog" -> multimodalMediaCatalog,
     "multimodal_image_dims" -> multimodalImageDims,
+    "multimodal_image_dims_jpeg" -> multimodalImageDimsJpeg,
     "multimodal_audio_meta" -> multimodalAudioMeta,
     "multimodal_image_resize" -> multimodalImageResize,
     "multimodal_audio_segment" -> multimodalAudioSegment,
     "multimodal_video_frames" -> multimodalVideoFrames,
     "multimodal_shot_detect" -> multimodalShotDetect,
     "dedup_image_phash" -> dedupImagePhash,
+    "dedup_image_phash_jpeg" -> dedupImagePhashJpeg,
     "dedup_media_embedding" -> dedupMediaEmbedding,
     "dedup_audio_fp" -> dedupAudioFp,
     "multimodal_frame_sample" -> multimodalFrameSample,

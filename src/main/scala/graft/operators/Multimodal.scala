@@ -337,6 +337,50 @@ object Multimodal {
     }
   }
 
+  /** JPEG sibling of [[PngBytes]] — the image family's LOSSY codec, which
+    * is what dominates a real 100 TB corpus: decoded content is NOT
+    * bit-exact, so no raster-level oracle can restate JPEG pixels
+    * arithmetically. What stays exact: the HEADER geometry (width/height
+    * — `multimodal_image_dims_jpeg` hash-verifies it), and what must
+    * stay STABLE rather than exact: perceptual signatures
+    * (`dedup_image_phash_jpeg` certifies dHash cluster recall/precision
+    * as booleans — the sim_search cert pattern, because the exact bits
+    * depend on encoder artifacts). Encoding is the JDK writer at an
+    * EXPLICIT quality (the default is writer-dependent), through a
+    * memory-cached stream like every other codec here.
+    */
+  object JpegBytes {
+    /** `pixel(x, y)` returns packed 0xRRGGBB; origin top-left. */
+    def encode24(
+        w: Int, h: Int, pixel: (Int, Int) => Int,
+        quality: Float = 0.85f): Array[Byte] = {
+      require(w > 0 && h > 0, s"JPEG dims must be positive, got ${w}x$h")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, pixel(x, y) & 0xFFFFFF); x += 1 }
+        y += 1
+      }
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+      require(it.hasNext, "JDK JPEG writer unavailable")
+      val writer = it.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        writer.write(null,
+          new javax.imageio.IIOImage(img, null, null), p)
+        ios.flush()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+  }
+
   /** Deterministic multi-frame GIF fixtures for the video-shaped path:
     * grayscale frames drawn into an EXPLICIT 256-entry gray palette
     * (`IndexColorModel`), so the JDK GIF writer stores pixel INDICES that

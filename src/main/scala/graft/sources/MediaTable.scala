@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal.{BmpBytes, GifBytes, PngBytes, WavBytes}
+import graft.operators.Multimodal.{BmpBytes, GifBytes, JpegBytes, PngBytes, WavBytes}
 
 /** The STORED binary-media corpus: a parquet table of image/audio/video
   * payload blobs alongside the log/doc tables — the analogue of the
@@ -31,7 +31,9 @@ import graft.operators.Multimodal.{BmpBytes, GifBytes, PngBytes, WavBytes}
   * `doc_id`, JDK-encoded PNG for odd ([[PngBytes]]) — so every consumer
   * of this table exercises a compressed codec on half its rows. PNG
   * container length is encoder-dependent; only decoded CONTENT is
-  * closed-form for those rows.
+  * closed-form for those rows. The `*_jpeg` families carry the LOSSY
+  * codec ([[JpegBytes]]): there, only header geometry is exact and
+  * perceptual signatures are certified statistically, never per-pixel.
   */
 object MediaTable {
 
@@ -49,7 +51,8 @@ object MediaTable {
     */
   val Kinds: Seq[String] = Seq(
     "img_dims", "img_resize", "img_phash", "img_embed",
-    "wav_meta", "wav_segment", "wav_fp", "gif_frames", "gif_shots")
+    "wav_meta", "wav_segment", "wav_fp", "gif_frames", "gif_shots",
+    "img_dims_jpeg", "img_phash_jpeg")
 
   private def imageFmt(id: Long): String = if (id % 2 == 0) "bmp" else "png"
 
@@ -58,7 +61,7 @@ object MediaTable {
     if (id % 2 == 0) BmpBytes.encode24(w, h, px)
     else PngBytes.encode24(w, h, px)
 
-  /** The nine closed-form payloads for one document. */
+  /** The closed-form payloads for one document (one per [[Kinds]] entry). */
   def rowsFor(id: Long): Seq[MediaRow] = {
     val dims = {
       val w = 16 + (id % 13).toInt
@@ -143,8 +146,42 @@ object MediaTable {
           ((xx * 9 + y * 7) % 180) + p * 8 + f * 3
         }))
     }
+    val dimsJpeg = {
+      // the img_dims geometry family again, now through the LOSSY codec:
+      // header geometry is exact under JPEG even though pixels are not,
+      // so the dims oracle stays hash-verifiable; the raster is a smooth
+      // gradient (content is irrelevant to the dims probe)
+      val w = 16 + (id % 13).toInt
+      val h = 8 + (id % 7).toInt
+      MediaRow(id, "img_dims_jpeg", "image", "jpeg",
+        JpegBytes.encode24(w, h,
+          (x, y) => (((x * 5 + y * 9 + id) % 256).toInt) * 0x010101))
+    }
+    val phashJpeg = {
+      // JPEG-robust perceptual family: 7 patterns × 3 brightness grades,
+      // drawn as 8-px-aligned FLAT blocks at 4 luminance levels keyed by
+      // a splitmix64-mixed (pattern, block) seed. Flat blocks aligned to
+      // JPEG's 8×8 DCT grid survive quantization nearly DC-exact
+      // (measured: 210/210 dHashes bit-identical to the lossless raster
+      // at quality 0.85), and 4-level blocks give patterns distinct
+      // dHash transition signatures (pairwise cluster precision 1.0) —
+      // unlike img_phash's mod-sawtooth rasters, whose wrap-edge
+      // gradients JPEG smooths away (measured precision 0.77). Exact
+      // hashes still depend on the encoder, so the consuming row
+      // certifies cluster recall/precision booleans, never hash bits.
+      val p = (id % 7).toInt
+      val g = ((id / 7) % 3).toInt * 10 // photometric grade: dHash-invariant
+      MediaRow(id, "img_phash_jpeg", "image", "jpeg",
+        JpegBytes.encode24(32, 24, (x, y) => {
+          var z = p * 12L + (y / 8) * 4L + (x / 8) + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          (40 + (z & 3L).toInt * 50 + g) * 0x010101
+        }))
+    }
     Seq(dims, resize, phash, embed, wavMeta, wavSegment, wavFp,
-      gifFrames, gifShots)
+      gifFrames, gifShots, dimsJpeg, phashJpeg)
   }
 
   /** Generate the corpus from a `documents` frame — a narrow flatMap, one

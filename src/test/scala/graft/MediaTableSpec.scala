@@ -24,7 +24,49 @@ class MediaTableSpec extends SparkTestBase {
         s"pixel ($x,$y) drifted through the PNG round-trip")
   }
 
-  test("rowsFor: all nine families decode through the live JDK readers with spec'd metadata") {
+  test("JPEG: header geometry exact, dHash clusters stable through the lossy round-trip") {
+    // dims family: geometry survives the lossy codec exactly
+    for (id <- 0L to 20L) {
+      val r = MediaTable.rowsFor(id).find(_.kind == "img_dims_jpeg").get
+      assert(r.fmt == "jpeg")
+      assert(Multimodal.ImageIoDecoder.formatName(r.payload).contains("jpeg"))
+      assert(Multimodal.ImageIoDecoder.dimensions(r.payload)
+        .contains((16 + (id % 13).toInt, 8 + (id % 7).toInt)))
+    }
+    // phash family: the decoded-JPEG dHash must equal the dHash of the
+    // closed-form lossless raster for every (pattern, grade) — the
+    // block design's whole point (8-px-aligned flat blocks are DC-exact
+    // under quantization) — which forces perfect cluster recall AND
+    // separation on the planted structure
+    def losslessRaster(id: Long): java.awt.image.BufferedImage = {
+      val p = (id % 7).toInt
+      val g = ((id / 7) % 3).toInt * 10
+      val img = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 24) {
+        var z = p * 12L + (y / 8) * 4L + (x / 8) + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        img.setRGB(x, y, ((40 + (z & 3L).toInt * 50 + g) * 0x010101))
+      }
+      img
+    }
+    val hashes = (0L until 21L).map { id =>
+      val r = MediaTable.rowsFor(id).find(_.kind == "img_phash_jpeg").get
+      val jpegHash = Multimodal.imageDHash(r.payload).get
+      assert(jpegHash == Multimodal.dHashRaster(losslessRaster(id)),
+        s"doc $id: dHash drifted through the JPEG round-trip")
+      id -> jpegHash
+    }
+    // 21 ids = all 7 patterns × 3 grades: grades collapse, patterns don't
+    assert(hashes.groupBy(_._2).size == 7)
+    for (Seq((a, ha), (b, hb)) <- hashes.combinations(2))
+      assert((ha == hb) == (a % 7 == b % 7),
+        s"docs $a/$b: cluster structure broke under JPEG")
+  }
+
+  test("rowsFor: every family decodes through the live JDK readers with spec'd metadata") {
     for (id <- 0L to 30L) {
       val rows = MediaTable.rowsFor(id)
       assert(rows.map(_.kind) == MediaTable.Kinds)
