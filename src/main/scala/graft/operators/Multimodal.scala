@@ -863,9 +863,12 @@ object Multimodal {
     * ([[ImageIoDecoder.luminanceCounts]]) ready for
     * `Dedup.embeddingCosinePairs*` / the ANN operators (they cast to
     * double themselves) — the decode→featurize→dedup pipeline a
-    * multimodal training corpus runs, with the model-embedding step
-    * standing in as a histogram until a codec/model-backed
-    * [[MediaDecoder]] slots in. Undecodable payloads yield no row. Narrow
+    * multimodal training corpus runs. The histogram keeps the oracle
+    * SQL-restatable (exact integer counts); [[imageHogFeatures]] is the
+    * non-toy featurizer slotted into the same seam (same contract,
+    * certified statistically in MediaTableSpec rather than arithmetically
+    * — real descriptors aren't closed-form). Undecodable payloads yield
+    * no row. Narrow
     * partition-local stage: features (a few longs) are the ONLY thing
     * that leaves the scan — pixels never ship.
     */
@@ -878,6 +881,96 @@ object Multimodal {
       it.flatMap { r =>
         ImageIoDecoder.readImage(r.media)
           .map(img => (r.id, ImageIoDecoder.luminanceCounts(img, bins)))
+      }
+    }.toDF("id", "features")
+  }
+
+  /** Histogram-of-Oriented-Gradients descriptor (Dalal & Triggs, CVPR
+    * 2005 — the standard pre-CNN visual descriptor) of a decoded raster:
+    * the NON-TOY featurizer behind the [[imageHistogramFeatures]] seam.
+    * Luminance gradients by central difference, unsigned orientation
+    * binned into `orientBins` per spatial cell (`cellsX` × `cellsY`,
+    * pixel→cell by the same integer mapping as [[ImageResizer]]), then
+    * 2×2 OVERLAPPING block L2-normalization exactly as published — the
+    * step that buys photometric invariance: a uniform brightness shift
+    * cancels in the differences, a contrast scale cancels in the block
+    * norm. Output dim = (cellsX−1)·(cellsY−1)·4·orientBins, fixed for
+    * any input size. Deterministic pure-JVM float math (no library).
+    */
+  def hogDescriptor(
+      img: java.awt.image.BufferedImage,
+      cellsX: Int = 4, cellsY: Int = 4, orientBins: Int = 9): Array[Float] = {
+    require(cellsX >= 2 && cellsY >= 2 && orientBins >= 2,
+      s"HOG needs >=2 cells per axis and >=2 bins, got $cellsX/$cellsY/$orientBins")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = Array.tabulate(w, h) { (x, y) =>
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+        (rgb & 0xFF) * 114) / 1000.0f
+    }
+    // per-cell orientation histograms, magnitude-weighted; border pixels
+    // use clamped central differences (the reference implementation's
+    // replicate-padding)
+    val cells = Array.fill(cellsX, cellsY)(new Array[Float](orientBins))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = lum(math.min(x + 1, w - 1))(y) - lum(math.max(x - 1, 0))(y)
+        val gy = lum(x)(math.min(y + 1, h - 1)) - lum(x)(math.max(y - 1, 0))
+        val mag = math.sqrt(gx * gx + gy * gy).toFloat
+        if (mag > 0f) {
+          // unsigned orientation in [0, π): atan2 folded by π
+          var theta = math.atan2(gy, gx)
+          if (theta < 0) theta += math.Pi
+          if (theta >= math.Pi) theta -= math.Pi
+          val bin = math.min(orientBins - 1,
+            (theta / math.Pi * orientBins).toInt)
+          cells(x * cellsX / w)(y * cellsY / h)(bin) += mag
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // 2×2 overlapping blocks, each L2-normalized independently
+    val out = new Array[Float]((cellsX - 1) * (cellsY - 1) * 4 * orientBins)
+    var o = 0
+    var bx = 0
+    while (bx < cellsX - 1) {
+      var by = 0
+      while (by < cellsY - 1) {
+        val block = cells(bx)(by) ++ cells(bx + 1)(by) ++
+          cells(bx)(by + 1) ++ cells(bx + 1)(by + 1)
+        var ss = 0.0
+        var i = 0
+        while (i < block.length) { ss += block(i).toDouble * block(i); i += 1 }
+        val inv = if (ss > 0) (1.0 / math.sqrt(ss)).toFloat else 0f
+        i = 0
+        while (i < block.length) { out(o) = block(i) * inv; o += 1; i += 1 }
+        by += 1
+      }
+      bx += 1
+    }
+    out
+  }
+
+  /** [[imageHistogramFeatures]] with the HOG featurizer slotted into the
+    * model-embedding seam: same (id, features) contract, same narrow
+    * partition-local scale shape (pixels never leave the scan), but the
+    * feature is a real visual descriptor — gradient structure, not just
+    * a luminance density — so photometric near-duplicates cohere while
+    * structurally different rasters separate under the SAME downstream
+    * cosine operators (`Dedup.embeddingCosinePairs*`, the ANN stack).
+    */
+  def imageHogFeatures(
+      media: Dataset[MediaRecord],
+      cellsX: Int = 4, cellsY: Int = 4, orientBins: Int = 9): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        ImageIoDecoder.readImage(r.media)
+          .map(img => (r.id, hogDescriptor(img, cellsX, cellsY, orientBins)))
       }
     }.toDF("id", "features")
   }

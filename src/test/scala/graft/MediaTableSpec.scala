@@ -66,6 +66,39 @@ class MediaTableSpec extends SparkTestBase {
         s"docs $a/$b: cluster structure broke under JPEG")
   }
 
+  test("HOG featurizer in the embedding seam: a real descriptor drives the same cosine dedup, surviving JPEG") {
+    import graft.operators.{Dedup, Multimodal}
+    // 7 patterns × 3 grades × 2 repeats of the stored JPEG phash family,
+    // through the NON-TOY featurizer (Dalal–Triggs HOG) slotted where
+    // the luminance histogram stands — same (id, features) contract,
+    // same downstream operator, oracle rows untouched
+    val n = 42L
+    val recs = (0L until n).map { id =>
+      val row = MediaTable.rowsFor(id).find(_.kind == "img_phash_jpeg").get
+      Multimodal.MediaRecord(id, row.modality, row.payload, 0, 0, 0)
+    }
+    val feats = Multimodal.imageHogFeatures(recs.toDS())
+    assert(feats.count() == n, "every JPEG payload must featurize")
+    // descriptor dim is fixed regardless of input raster size
+    assert(feats.select(size(col("features"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(3 * 3 * 4 * 9))
+    // probe-measured structure: same-pattern grades cohere at cosine
+    // 1.0000 EVEN THROUGH JPEG (brightness shifts only the quantized DC
+    // coefficient; gradients and block norms cancel the rest), while
+    // distinct patterns sit at <= 0.89 — so a 0.95 threshold through the
+    // UNCHANGED exact cosine operator must recover exactly the planted
+    // same-pattern pairs
+    val pairs = Dedup.embeddingCosinePairsExact(
+        feats, "id", "features", threshold = 0.95, maxId = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until n; b <- (a + 1) until n; if a % 7 == b % 7
+    } yield (a, b)).toSet
+    assert(pairs == expected,
+      s"HOG cosine clusters must equal the planted patterns " +
+        s"(got ${pairs.size}, want ${expected.size})")
+  }
+
   test("rowsFor: every family decodes through the live JDK readers with spec'd metadata") {
     for (id <- 0L to 30L) {
       val rows = MediaTable.rowsFor(id)
