@@ -14,6 +14,7 @@ object ProbeHostBand {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -32,8 +33,15 @@ object ProbeHostBand {
         Queries.registry(n).build(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // standard median: mean of the two middle order statistics for
+      // even reps (sorted(reps/2) alone is the UPPER median — a biased
+      // statistic for a probe whose whole point is drift adjudication)
+      val sorted = times.sorted
+      val p50 =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
       println(f"[host-band] $n%-30s min=${times.min}%6.3fs " +
-        f"p50=${times.sorted.apply(reps / 2)}%6.3fs max=${times.max}%6.3fs")
+        f"p50=$p50%6.3fs max=${times.max}%6.3fs")
     }
     spark.stop()
   }

@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object ProbeSidecarCold {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1000, 10000)
+    val (decideSizes, tableSizes) = args.toSeq.span(_ != "--tables") match {
+      case (pre, post) if pre.headOption.contains("--decide") =>
+        (pre.drop(1).map(_.toInt), post.drop(1).map(_.toInt))
+      case _ => (Nil, args.map(_.toInt).toSeq)
+    }
+    val sizes = if (tableSizes.nonEmpty || decideSizes.nonEmpty) tableSizes
+      else Seq(1000, 10000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,6 +72,56 @@ object ProbeSidecarCold {
         f"manifest=$covS%6.3fs/$covRows%6d rows " +
         f"cold=$coldS%6.3fs warm=$warmS%6.3fs collected=$collected%4d " +
         f"candidates=${p.candidates.size}%4d pruned=${p.pruned}%6d")
+    }
+    // ---- decide-step scaling (VERDICT r14 #2): the decide step reads
+    // only the sidecar and the live list — never the data files — so a
+    // SYNTHETIC sidecar isolates exactly the cost under test at file
+    // counts where physically materializing 10⁶ parquet files would
+    // measure the filesystem, not the operator. Per size: one warm
+    // driver-path probe (Seq decide — the measured ~6 µs/file) vs one
+    // warm Df-path probe (SidecarIndex.decideDf — distributed joins,
+    // candidate-bounded collect, liveDf held persisted the way a
+    // streaming sink holds its hot listing).
+    for (n <- decideSizes) {
+      import graft.model.{SidecarIndex, ZoneMapIndex}
+      val dir = java.nio.file.Files.createTempDirectory(s"sidecar-decide-$n").toString
+      val idxRows = spark.range(n.toLong).select(
+        concat(lit(s"$dir/part-"), format_string("%08d", col("id")),
+          lit(".parquet")).as("file"),
+        lit("x").as("col"),
+        (col("id") * 100).cast("double").as("lo"),
+        (col("id") * 100 + 95).cast("double").as("hi"))
+      idxRows.write.mode("overwrite").parquet(
+        SidecarIndex.indexPath(dir, ZoneMapIndex.IndexDirName).toString)
+      val live: Seq[String] = (0L until n.toLong)
+        .map(i => f"$dir%s/part-$i%08d.parquet")
+      val liveDf = spark.range(n.toLong).select(
+        concat(lit(s"$dir/part-"), format_string("%08d", col("id")),
+          lit(".parquet")).as("file"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      liveDf.count()
+      val mid = n.toLong * 100 / 2
+      val range = Seq(("x", mid.toDouble, (mid + 150).toDouble))
+      // warm both paths: index scan + match cache + manifest populate
+      val seqWarm = ZoneMapIndex.pruneAll(spark, dir, range, live).head
+      val dfWarm = ZoneMapIndex.pruneAllAlignedDf(spark, dir, range, liveDf)
+        .head.get
+      require(seqWarm.candidates.map(SidecarIndex.norm).toSet ==
+        dfWarm.candidates.map(SidecarIndex.norm).toSet &&
+        seqWarm.pruned == dfWarm.pruned &&
+        seqWarm.unindexed == dfWarm.unindexed,
+        s"decide paths disagree at n=$n: $seqWarm vs $dfWarm")
+      val t1 = System.nanoTime()
+      val a = ZoneMapIndex.pruneAll(spark, dir, range, live).head
+      val seqS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val b = ZoneMapIndex.pruneAllAlignedDf(spark, dir, range, liveDf).head.get
+      val dfS = (System.nanoTime() - t2) / 1e9
+      println(f"[sidecar-decide] files=$n%8d warm_seq=$seqS%7.3fs " +
+        f"warm_df=$dfS%7.3fs candidates=${b.candidates.size}%3d " +
+        f"pruned=${b.pruned}%8d (seq candidates=${a.candidates.size})")
+      liveDf.unpersist()
+      ()
     }
     spark.stop()
   }

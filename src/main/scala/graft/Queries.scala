@@ -163,13 +163,28 @@ object Queries {
         // kind= partition, so a corpus generated before a family was
         // added regenerates instead of serving empty scans), else fall
         // through to the temp-dir regeneration path
-        val committed = pre.isDirectory &&
-          new java.io.File(pre, "_SUCCESS").isFile &&
-          graft.sources.MediaTable.Kinds.forall(k =>
+        val missingMarker = pre.isDirectory &&
+          !new java.io.File(pre, "_SUCCESS").isFile
+        val missingKinds =
+          if (!pre.isDirectory) Nil
+          else graft.sources.MediaTable.Kinds.filterNot(k =>
             new java.io.File(pre, s"kind=$k").isDirectory)
+        val committed = pre.isDirectory && !missingMarker && missingKinds.isEmpty
         if (committed)
           pre.getAbsolutePath
         else {
+          // regeneration is expensive at large SF and otherwise invisible
+          // — say WHICH trust predicate failed so an operator whose
+          // corpus was written without success markers (or before a
+          // family existed) knows what to re-run
+          if (pre.isDirectory)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"media corpus at $pre not trusted, regenerating to a temp dir: " +
+                (if (missingMarker) "_SUCCESS marker missing" else "") +
+                (if (missingMarker && missingKinds.nonEmpty) "; " else "") +
+                (if (missingKinds.nonEmpty)
+                  missingKinds.mkString("missing kind= partitions: ", ", ", "")
+                else ""))
           val out = java.nio.file.Files.createTempDirectory("graft-media").toString
           deleteOnExit(out)
           graft.sources.MediaTable.write(t(s, dir, "documents"), out)
@@ -556,6 +571,100 @@ object Queries {
         val emb = t(s, dir, "embeddings")
         Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10),
             "vec_id", "embedding", k = 5)
+          .select("qid", "nid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
+    /** The FIXED query batch shared by the two knn_join rows: the
+      * [[graft.operators.TrainPipeline.sampleUniformN]] md5 arithmetic
+      * (salt "knn", n = 128) picks the same vectors in Spark and in the
+      * oracle's `ORDER BY md5('knn' || vec_id) LIMIT 128` CTE, at every
+      * SF. A FIXED-SIZE batch is what makes the exact-knn DuckDB oracle
+      * tractable at scale: brute pairs are O(128 · n) instead of
+      * O(q · n) with q growing alongside the corpus — the sf10 compare's
+      * 4×10⁸-pair stall under the old `vec_id < 2000` bound, cut 16×.
+      */
+    val KnnQueryCount = 128
+    def knnQueryBatch(s: SparkSession, dir: String): DataFrame =
+      sessionScoped(truthFrames, s, dir + "#knnq") {
+        graft.operators.TrainPipeline.sampleUniformN(
+            t(s, dir, "embeddings").select("vec_id", "embedding"),
+            "vec_id", n = KnnQueryCount, salt = "knn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
+    /** [[annBruteTruth]] over the FULL [[knnQueryBatch]] — the answer key
+      * for knn_join_ann's recall cert, so the cert covers the whole
+      * 128-query batch the row runs (the 10-query truth certifies the
+      * small-batch sim_search family). Exact brute force in-engine:
+      * 128 · n pairs, linear in the corpus.
+      */
+    def knnBruteTruth(s: SparkSession, dir: String): DataFrame =
+      sessionScoped(truthFrames, s, dir + "#knnbrute") {
+        Similarity.bruteTopK(t(s, dir, "embeddings"),
+            knnQueryBatch(s, dir), "vec_id", "embedding", k = 5)
+          .select("qid", "nid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
+    /** A PLANTED-CLUSTER embedding corpus over the embeddings id domain —
+      * the shape real model-embedding corpora have (neighborhoods exist by
+      * construction) and the base testdata deliberately lacks (it is
+      * near-isotropic, knn_join_ann's worst-case-floor rationale). Closed
+      * forms, MediaTable's discipline: blob count C = max(numCells,
+      * ⌈n/64⌉) keeps ≥ 6 members per blob (true top-5 stays in-blob,
+      * intra-blob cosine ≈ 0.9998 vs cross-blob ≲ 0.25) AND ≥ 1 blob per
+      * IVF cell (a blob never splits across cells by k-means geometry —
+      * the splitmix-style per-dim center hash keeps blobs far apart
+      * relative to the ±2% noise). All columns are codegen expressions;
+      * generation is NARROW over the embeddings scan.
+      */
+    def clusteredEmbeddings(s: SparkSession, dir: String): DataFrame =
+      sessionScoped(truthFrames, s, dir + "#clusteredemb") {
+        val n = t(s, dir, "embeddings").count()
+        val numCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val blobs = math.max(numCells, math.ceil(n / 64.0).toInt)
+        val dim = 64
+        t(s, dir, "embeddings").select(col("vec_id"))
+          .withColumn("blob", pmod(col("vec_id"), lit(blobs.toLong)))
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              (pmod(xxhash64(lit("ctr"), col("blob"), j), lit(2000L))
+                / lit(1000.0) - lit(1.0)) +
+              (pmod(xxhash64(lit("eps"), col("vec_id"), j), lit(2000L))
+                / lit(1000.0) - lit(1.0)) * lit(0.02)))
+          .select("vec_id", "embedding")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
+    /** The scale-aware IVF index over [[clusteredEmbeddings]] — same
+      * numCells = ⌈√n⌉ sizing as [[ivfIndexScaled]]. */
+    def ivfIndexClustered(s: SparkSession, dir: String): Similarity.IvfIndex =
+      sessionScoped(ivfIndexes, s, dir + "#clustered") {
+        val emb = clusteredEmbeddings(s, dir)
+        val cells = math.max(16,
+          math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+        val idx = Similarity.buildIvfIndex(
+          emb, "vec_id", "embedding", numCells = cells)
+        idx.copy(bucketed =
+          idx.bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+
+    /** [[knnQueryBatch]] / [[knnBruteTruth]] over the clustered corpus
+      * (salt "knnc" — an independent draw from the exact row's batch).
+      */
+    def knnClusteredQueryBatch(s: SparkSession, dir: String): DataFrame =
+      sessionScoped(truthFrames, s, dir + "#knncq") {
+        graft.operators.TrainPipeline.sampleUniformN(
+            clusteredEmbeddings(s, dir), "vec_id", n = KnnQueryCount,
+            salt = "knnc")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
+    def knnClusteredBruteTruth(s: SparkSession, dir: String): DataFrame =
+      sessionScoped(truthFrames, s, dir + "#knncbrute") {
+        Similarity.bruteTopK(clusteredEmbeddings(s, dir),
+            knnClusteredQueryBatch(s, dir), "vec_id", "embedding", k = 5)
           .select("qid", "nid")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
@@ -2008,9 +2117,10 @@ object Queries {
     * ivfpq .74 at sf0.01) so they certify the mechanism, not the noise.
     */
   private def annCertified(
-      s: SparkSession, dir: String, minRecall: Double)(
+      s: SparkSession, dir: String, minRecall: Double,
+      truth: (SparkSession, String) => DataFrame = Fixtures.annBruteTruth)(
       topk: DataFrame): DataFrame = {
-    val brute = Fixtures.annBruteTruth(s, dir)
+    val brute = truth(s, dir)
     val hit = brute.join(topk.select("qid", "nid"), Seq("qid", "nid"),
         "left_semi")
       .agg(count(lit(1)).as("n_hit"))
@@ -2026,6 +2136,34 @@ object Queries {
   private val annOracleSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qv
           FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.qid, c.vec_id AS nid,
+            round(
+              list_sum(list_transform(list_zip(q.qv, c.embedding),
+                p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) *
+               sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+            4) AS cosine
+          FROM q, embeddings c WHERE c.vec_id <> q.qid),
+        topk AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, nid) AS rank
+          FROM scored)
+        WHERE rank <= 5)
+        SELECT count(DISTINCT qid) AS n_q, count(*) AS n_brute,
+          TRUE AS recall_ok FROM topk"""
+
+  /** The counting oracle over the 128-query [[Fixtures.knnQueryBatch]]
+    * brute top-k (the knn_join row hash-verifies the same sampled-batch
+    * brute CTE in full at k = 3) — O(128 · n) pairs, tractable in DuckDB
+    * at every rung.
+    */
+  private val knnAnnOracleSql =
+    """WITH qs AS (SELECT vec_id FROM embeddings
+          ORDER BY md5('knn' || cast(vec_id AS VARCHAR)), vec_id LIMIT 128),
+        q AS (SELECT e.vec_id AS qid, e.embedding AS qv
+          FROM embeddings e JOIN qs ON qs.vec_id = e.vec_id),
         scored AS (
           SELECT q.qid, c.vec_id AS nid,
             round(
@@ -2228,15 +2366,20 @@ object Queries {
     // bound as the other exact-verification variants (ngramJaccard's
     // maxId contract): exact all-cells knn IS quadratic — the sf1 soak
     // measured 75× for 10× data unbounded — so the oracle-exact form runs
-    // on a fixed query set (covers ALL of sf0.01, so the oracle loses
-    // nothing) and pair count scales linearly with the corpus; unbounded
-    // production joins use the nprobe dial instead.
+    // on the FIXED md5-sampled query batch ([[Fixtures.knnQueryBatch]]:
+    // the sample_uniform_n arithmetic, so DuckDB picks the identical
+    // vectors) and pair count scales linearly with the corpus AND with a
+    // constant the oracle can afford at sf10 (128·n, vs the 4×10⁸-pair
+    // stall of the old vec_id < 2000 bound); unbounded production joins
+    // use the nprobe dial instead.
     (s, dir) => Similarity.knnJoinWithIndex(Fixtures.ivfIndex(s, dir),
-        t(s, dir, "embeddings").where(col("vec_id") < 2000),
+        Fixtures.knnQueryBatch(s, dir),
         "vec_id", "embedding",
         k = 3, nprobe = 16, excludeSelf = true)
       .orderBy("qid", "rank"),
-    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    Some("""WITH qs AS (SELECT vec_id FROM embeddings
+          ORDER BY md5('knn' || cast(vec_id AS VARCHAR)), vec_id LIMIT 128),
+        e AS (SELECT vec_id, embedding FROM embeddings),
         scored AS (
           SELECT q.vec_id AS qid, c.vec_id AS nid,
             round(
@@ -2245,8 +2388,8 @@ object Queries {
               (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
                sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
             4) AS cosine
-          FROM e q, e c
-          WHERE c.vec_id <> q.vec_id AND q.vec_id < 2000)
+          FROM e q JOIN qs ON qs.vec_id = q.vec_id, e c
+          WHERE c.vec_id <> q.vec_id)
         SELECT qid, rank, nid, cosine FROM (
           SELECT qid, nid, cosine,
             ROW_NUMBER() OVER (PARTITION BY qid
@@ -2254,37 +2397,77 @@ object Queries {
           FROM scored)
         WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  /** ANN-mode k-NN join — the PRODUCTION dial of [[knnJoin]]: the same
-    * 2000-query batch as the exact row, probed against the scale-aware
-    * index (numCells = ⌈√n⌉) at nprobe = numCells/8, so every rung scans
+  /** ANN-mode k-NN join — the PRODUCTION dial of [[knnJoin]]: the SAME
+    * 128-query md5-sampled batch as the exact row
+    * ([[Fixtures.knnQueryBatch]]), probed against the scale-aware index
+    * (numCells = ⌈√n⌉) at nprobe = numCells/8, so every rung scans
     * ~12.5% of the corpus per query — an 8× pair-count cut vs the exact
     * row at every scale, with the cell-join key cardinality growing as
     * √n (the parallelism story knnJoin's scaladoc promises at 1B rows).
     *
-    * Recall is certified against the brute-force anchor
-    * ([[Fixtures.annBruteTruth]]) at ≥ 0.3. Why 0.3 and not higher: this
-    * synthetic corpus is near-isotropic (measured: random-pair cosine
-    * p90 ≈ 0.16, top-1 neighbor ≈ 0.45–0.49 — no planted near-dup
-    * clusters), where IVF recall ≈ 4–5× the scanned fraction and cannot
-    * beat the scan fraction asymptotically. Measured recall at this dial
-    * RISES with scale — 0.38 (sf0.01) → 0.54 (sf0.1) → 0.60 (sf1) →
-    * 0.70 (sf10) — because √n cells carve progressively tighter
-    * neighborhoods; 0.3 clears every rung with margin. On a real
-    * embedding corpus (clustered by construction) the same dial sits at
-    * 0.9+ recall for 1–2% scanned; the isotropic case here is the
-    * worst-case floor, not the expected operating point.
+    * Recall is certified against the brute-force anchor over the ENTIRE
+    * 128-query batch ([[Fixtures.knnBruteTruth]] — not a 10-query
+    * subsample) at ≥ 0.3. Why 0.3 and not higher: this synthetic corpus
+    * is near-isotropic (measured: random-pair cosine p90 ≈ 0.16, top-1
+    * neighbor ≈ 0.45–0.49 — no planted near-dup clusters), where IVF
+    * recall ≈ 4–5× the scanned fraction and cannot beat the scan
+    * fraction asymptotically. Measured on the full 128-query batch
+    * (graft.ProbeAnnRecall): 0.66 / 0.60 / 0.53 at sf0.001/0.01/0.1 —
+    * the earlier "recall rises with scale" reading was 10-query sample
+    * noise; what actually holds is recall ≈ 4–5× the ~12.5% scan
+    * fraction at every rung, and 0.3 clears each with ≥ 1.7× margin.
+    * On a real embedding corpus
+    * (clustered by construction) the same dial sits at 0.9+ recall for
+    * 1–2% scanned — the knn_join_ann_clustered row certifies exactly
+    * that operating point on a planted-cluster corpus; the isotropic
+    * case here is the worst-case floor, not the expected operating
+    * point.
     */
   private val knnJoinAnn = Q(
     (s, dir) => {
       val idx = Fixtures.ivfIndexScaled(s, dir)
-      annCertified(s, dir, minRecall = 0.3)(
+      annCertified(s, dir, minRecall = 0.3, truth = Fixtures.knnBruteTruth)(
         Similarity.knnJoinWithIndex(idx,
-          t(s, dir, "embeddings").where(col("vec_id") < 2000),
+          Fixtures.knnQueryBatch(s, dir),
           "vec_id", "embedding",
           k = 5, nprobe = math.max(4, idx.numCells / 8),
           excludeSelf = true))
     },
-    Some(annOracleSql))
+    Some(knnAnnOracleSql))
+
+  /** knn_join_ann OFF the isotropic worst-case floor: the same production
+    * join at the ~1–2%-scan dial (nprobe = numCells/64, floored at 2) on
+    * a PLANTED-CLUSTER corpus ([[Fixtures.clusteredEmbeddings]] — the
+    * shape real model-embedding corpora have by construction), certified
+    * at recall ≥ 0.9 over the full 128-query batch vs the in-engine brute
+    * truth. This is the operating point the ANN row's scaladoc claims for
+    * clustered data: each blob's members land in one IVF cell (blob count
+    * ≥ cell count, noise ≪ blob separation), so probing the query's
+    * nearest 1–2% of cells finds essentially all true in-blob neighbors —
+    * where the isotropic row at the SAME scan fraction can only reach
+    * recall ≈ 4–5× the fraction. The nprobe floor of 2 covers the
+    * blob-split edge (two k-means centroids landing inside one blob, or a
+    * blob straddling a Voronoi boundary): the two nearest cells then ARE
+    * the two halves. The DuckDB anchor states the sampled batch size and
+    * the k·n_q brute-set cardinality from the shared md5 arithmetic; the
+    * recall boolean is in-engine (the vectors exist only engine-side —
+    * the established certified-boolean pattern).
+    */
+  private val knnJoinAnnClustered = Q(
+    (s, dir) => {
+      val idx = Fixtures.ivfIndexClustered(s, dir)
+      annCertified(s, dir, minRecall = 0.9,
+        truth = Fixtures.knnClusteredBruteTruth)(
+        Similarity.knnJoinWithIndex(idx,
+          Fixtures.knnClusteredQueryBatch(s, dir),
+          "vec_id", "embedding",
+          k = 5, nprobe = math.max(2, idx.numCells / 64),
+          excludeSelf = true))
+    },
+    Some("""WITH qs AS (SELECT vec_id FROM embeddings
+          ORDER BY md5('knnc' || cast(vec_id AS VARCHAR)), vec_id LIMIT 128)
+        SELECT count(*) AS n_q, count(*) * 5 AS n_brute,
+          TRUE AS recall_ok FROM qs"""))
 
   private val textAnalyze = Q(
     (s, dir) => t(s, dir, "documents")
@@ -2822,6 +3005,43 @@ object Queries {
                sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cosine
           FROM feats a, feats b WHERE a.doc_id < b.doc_id)
         WHERE cosine >= 0.97 ORDER BY id_a, id_b"""))
+
+  /** The HOG featurizer as a REGISTRY row: Dalal–Triggs descriptors
+    * ([[graft.operators.Multimodal.hogDescriptor]]) of live JPEG decodes
+    * from the stored `img_phash_jpeg` family drive the UNCHANGED exact
+    * cosine-dedup operator, and the planted cluster structure (7 block
+    * patterns × brightness grades) must come back EXACTLY: grades of one
+    * pattern cohere at cosine 1.0000 through JPEG (gradients and block
+    * norms cancel brightness; quantization moves only the DC
+    * coefficient), distinct patterns sit ≤ 0.89, so a 0.95 threshold
+    * recovers precisely the same-pattern pairs. The oracle restates the
+    * full pair combinatorics from the planted closed form — n_pairs and
+    * tp hash-compare as EXACT integers (stronger than the
+    * recall/precision booleans of dedup_image_phash_jpeg: one missed or
+    * spurious pair mismatches), with the decodable-payload count
+    * anchoring the decode. Bounded to doc_id < 48 like
+    * dedup_media_embedding — this is the exact all-pairs verification
+    * mode; the scale ladder is phash buckets / ANN.
+    */
+  private val dedupMediaHog = Q(
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val feats = Multimodal.imageHogFeatures(
+        storedMedia(s, dir, "img_phash_jpeg").where(col("id") < 48))
+      val pairs = Dedup.embeddingCosinePairsExact(
+        feats, "id", "features", threshold = 0.95, maxId = 48)
+      feats.agg(count(lit(1)).as("n_imgs")).crossJoin(
+        pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("id_a") % 7 === col("id_b") % 7, lit(1L))),
+            lit(0L)).as("tp")))
+    },
+    Some("""WITH p AS (
+          SELECT count(*)::BIGINT AS n
+          FROM range(0, 48) a(i), range(0, 48) b(j)
+          WHERE a.i < b.j AND a.i % 7 = b.j % 7)
+        SELECT (SELECT count(*) FROM documents WHERE doc_id < 48) AS n_imgs,
+          n AS n_pairs, n AS tp FROM p"""))
 
   /** Perceptual audio dedup over live decodes of the STORED media table:
     * every doc carries one of 6 PCM waveforms at one of 3 volume grades
@@ -4450,6 +4670,7 @@ object Queries {
     "quality_classifier" -> qualityClassifier,
     "knn_join" -> knnJoin,
     "knn_join_ann" -> knnJoinAnn,
+    "knn_join_ann_clustered" -> knnJoinAnnClustered,
     "shuffle_shards" -> shuffleShards,
     "sample_uniform_n" -> sampleUniformN,
     "text_analyze" -> textAnalyze,
@@ -4470,6 +4691,7 @@ object Queries {
     "dedup_image_phash" -> dedupImagePhash,
     "dedup_image_phash_jpeg" -> dedupImagePhashJpeg,
     "dedup_media_embedding" -> dedupMediaEmbedding,
+    "dedup_media_hog" -> dedupMediaHog,
     "dedup_audio_fp" -> dedupAudioFp,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "text_chunk" -> textChunk,

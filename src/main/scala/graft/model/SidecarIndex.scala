@@ -377,6 +377,101 @@ private[graft] object SidecarIndex {
       unindexed = unindexed.size.toLong)
   }
 
+  /** The distinct dim values the index covers AT ALL — the collect is
+    * bounded by the dim domain (a handful of columns / gram widths), so
+    * unlike [[coverage]] it never transfers O(files) strings. The
+    * Df-based probe path uses this for the "is this column indexed?"
+    * test and [[coverageDf]] for file membership, so NOTHING in that
+    * path is O(files) on the driver.
+    */
+  def coverageDims(
+      spark: SparkSession, tablePath: String, dirName: String,
+      dimCol: String): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    readCached(spark, tablePath, dirName)
+      .select(col(dimCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** [[coverage]]'s DISTRIBUTED form: the (dim, normalized file) frame,
+    * derived from the generation-cached persisted index scan — never
+    * collected. [[decideDf]] joins against it executor-side.
+    */
+  def coverageDf(
+      spark: SparkSession, tablePath: String, dirName: String,
+      dimCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    readCached(spark, tablePath, dirName)
+      .select(col(dimCol).cast("string").as("dim"),
+        normFile(col("file")).as("file"))
+      .distinct()
+  }
+
+  /** [[listFiles]] as a DISTRIBUTED listing: partition dirs are
+    * parallelized and each task lists its own dirs, so a 10⁶-file table
+    * never materializes its listing on the driver — the frame feeds
+    * [[decideDf]] (and can be persisted by a caller that probes the same
+    * generation repeatedly, the way a streaming sink holds its hot
+    * partitions).
+    */
+  def listFilesDf(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val n = math.max(1, math.min(dirs.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(dirs).repartition(n)
+      .flatMap { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf.value)
+        if (!fs.exists(p)) Iterator.empty
+        else fs.listStatus(p).iterator.collect {
+          case f if f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_") => f.getPath.toString
+        }
+      }.toDF("file")
+  }
+
+  /** [[decide]] OFF the driver: the same staleness contract — unindexed
+    * live files are always candidates, index rows for dead files are
+    * ignored — but coverage membership and the match filter run as
+    * distributed joins over the live-file FRAME, so per-probe driver
+    * work is bounded by the CANDIDATE count (the collect below) instead
+    * of O(live files) of set lookups and Path normalizations (measured
+    * ~6 µs/file — ~6 s per probe at 10⁶ files; SCALING.md). `matches`
+    * is candidate-bounded by [[probeCached]]'s contract, so it
+    * broadcasts. `coveredForDim` carries the NORMALIZED `file` column
+    * for ONE dim ([[coverageDf]] filtered); `liveCount` is the caller's
+    * (one count per probe batch, shared across ranges).
+    */
+  def decideDf(
+      spark: SparkSession,
+      matches: Set[String],
+      coveredForDim: DataFrame,
+      liveDf: DataFrame,
+      liveCount: Long): Pruning = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val sp = spark
+    import sp.implicits._
+    val liveN = liveDf.select(col("file").as("orig"),
+      normFile(col("file")).as("file"))
+    val cov = coveredForDim.select(col("file"))
+    val unindexed = liveN.join(cov, Seq("file"), "left_anti")
+      .select(col("orig"), lit(true).as("un"))
+    val matchedKnown =
+      if (matches.isEmpty)
+        spark.emptyDataset[(String, Boolean)].toDF("orig", "un")
+      else liveN
+        .join(cov, Seq("file"), "left_semi")
+        .join(broadcast(matches.toSeq.toDF("file")), Seq("file"), "left_semi")
+        .select(col("orig"), lit(false).as("un"))
+    val rows = matchedKnown.unionAll(unindexed).collect()
+    val candidates = rows.map(_.getString(0)).toSeq
+    val nUnindexed = rows.count(_.getBoolean(1)).toLong
+    Pruning(candidates, pruned = liveCount - candidates.size, nUnindexed)
+  }
+
   /** Drop index rows whose data file no longer exists (post-compaction /
     * post-TTL hygiene; correctness never needs it — dead rows are ignored
     * by the pruning decision — but they cost probe I/O forever). `file`

@@ -273,6 +273,84 @@ object ZoneMapIndex {
     }
   }
 
+  /** [[pruneAllAligned]] with the live file list as a FRAME — the
+    * 10⁶-file path (VERDICT r13 #2): coverage membership and the match
+    * filter run as distributed joins ([[SidecarIndex.decideDf]]), the
+    * "is this column indexed?" test reads only the dim domain
+    * ([[SidecarIndex.coverageDims]]), and the fused index scan's collect
+    * stays candidate-bounded — so NO step is O(files) on the driver; the
+    * only per-batch O(files) work is `liveDf.count()`, one distributed
+    * job shared by all k ranges. Result-identical to the Seq form
+    * (ZoneMapSpec asserts it); callers with driver-resident lists under
+    * ~10⁴ files keep the Seq form, whose single-probe latency has no
+    * Spark-job floor.
+    */
+  def pruneAllAlignedDf(
+      spark: SparkSession,
+      tablePath: String,
+      ranges: Seq[(String, Double, Double)],
+      liveDf: DataFrame): Seq[Option[Pruning]] = {
+    ranges.foreach { case (_, lo, hi) =>
+      require(!lo.isNaN && !hi.isNaN,
+        "a NaN query bound matches nothing under range semantics (NaN " +
+          "satisfies no between predicate) — filter NaN explicitly instead")
+    }
+    if (ranges.isEmpty || !indexExists(spark, tablePath))
+      return Seq.fill(ranges.size)(None)
+    val dims = SidecarIndex.coverageDims(spark, tablePath, IndexDirName, "col")
+    def key(colName: String, lo: Double, hi: Double) =
+      s"$colName:${java.lang.Double.doubleToRawLongBits(lo)}:" +
+        s"${java.lang.Double.doubleToRawLongBits(hi)}"
+    val byKey = ranges.map { case (c, lo, hi) => key(c, lo, hi) -> ((c, lo, hi)) }.toMap
+    val probeKeys = ranges.map { case (c, lo, hi) => key(c, lo, hi) }
+    val matches = SidecarIndex.probeCached(
+        spark, tablePath, IndexDirName, probeKeys) { missing =>
+      val answerable = missing.filter(k => dims(byKey(k)._1))
+      if (answerable.isEmpty) Map.empty
+      else {
+        val wanted = answerable.map(k => byKey(k)._1).distinct
+        def okFor(colName: String, lo: Double, hi: Double) = {
+          val qlo = Math.nextDown(lo)
+          val qhi = Math.nextUp(hi)
+          col("col") === lit(colName) &&
+            col("lo").isNotNull && col("hi").isNotNull &&
+            (isnan(col("lo")) || isnan(col("hi")) ||
+              (col("hi") >= lit(qlo) && col("lo") <= lit(qhi)))
+        }
+        val conds = answerable.map { k =>
+          val (c, lo, hi) = byKey(k); k -> okFor(c, lo, hi)
+        }
+        val rows = readIndex(spark, tablePath)
+          .where(col("col").isin(wanted: _*))
+          .select(col("file") +: col("col") +:
+            conds.zipWithIndex.map { case ((_, c), i) => c.as(s"ok$i") }: _*)
+          .where(conds.indices.map(i => col(s"ok$i")).reduce(_ or _))
+          .collect()
+        SidecarIndex.lastProbeCollected.set(rows.length.toLong)
+        conds.zipWithIndex.map { case ((k, _), i) =>
+          k -> rows.collect {
+            case r if r.getBoolean(i + 2) => norm(r.getString(0))
+          }.toSet
+        }.toMap
+      }
+    }
+    lazy val liveCount = liveDf.count()
+    lazy val covDf = SidecarIndex.coverageDf(
+      spark, tablePath, IndexDirName, "col")
+    probeKeys.map { k =>
+      val colName = byKey(k)._1
+      matches(k).map { ms =>
+        // a stale cache-hit for a column the current generation no longer
+        // covers degrades to all-unindexed (empty coverage → everything
+        // is a candidate), matching the Seq form's getOrElse(Set.empty)
+        val coveredForDim =
+          if (dims(colName)) covDf.where(col("dim") === lit(colName))
+          else covDf.where(lit(false))
+        SidecarIndex.decideDf(spark, ms, coveredForDim, liveDf, liveCount)
+      }
+    }
+  }
+
   /** Range scan through the index: exactly equivalent to
     * `spark.read.parquet(table).where(col between (lo, hi))` for every
     * index state — the zone map only ever shrinks the file list, and the

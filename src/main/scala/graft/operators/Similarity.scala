@@ -423,37 +423,88 @@ object Similarity {
       .select("qid", "rank", "nid", "cosine")
   }
 
+  /** Above this many cells the literal-centroid probe stops riding the
+    * plan as an expression tree and switches to the broadcast array-column
+    * form — ~4k cells ≈ 2 MB of plan literals is fine, the 32k cells a
+    * 1 B-row corpus wants (≈16 MB in ONE expression) is not. The spec
+    * asserts result identity across the gate.
+    */
+  private[graft] val ProbeLiteralMaxCells = 4096
+
   /** Each row's `nprobe` nearest IVF cells, as a NARROW projection over a
-    * frame carrying a `qv` vector column: the centroid table is tiny
-    * (numCells rows), so it rides along as a driver-collected LITERAL and
-    * cell selection is `array_sort` + `slice` + `explode` — no crossJoin
-    * row blow-up and no per-row ranking window. Distance uses ivfQuery's
-    * formula (−2·q·c + c·c, squared-L2 with the constant |q|² dropped);
-    * c·c is precomputed driver-side. Ties break on cell id, matching
-    * ivfQuery's Window orderBy(dist, cell). Output = input columns plus
-    * `cell`, one row per (input row, probed cell).
+    * frame carrying a `qv` vector column: no crossJoin row blow-up and no
+    * per-row ranking window — cell selection is `array_sort` + `slice` +
+    * `explode` over per-cell (dist, cell) structs. Distance uses
+    * ivfQuery's formula (−2·q·c + c·c, squared-L2 with the constant |q|²
+    * dropped). Ties break on cell id, matching ivfQuery's Window
+    * orderBy(dist, cell). Output = input columns plus `cell`, one row per
+    * (input row, probed cell).
+    *
+    * Two result-identical physical forms behind a size gate
+    * (`maxLiteralCells`, default [[ProbeLiteralMaxCells]]):
+    *
+    *  - `numCells ≤ gate`: the centroid table rides the plan as
+    *    LITERALS (one struct per cell) — codegen-friendly, zero joins;
+    *  - past the gate: the centroids are aggregated into a SINGLE
+    *    cell-sorted array row and attached via a broadcast cross join, so
+    *    the 16 MB of a 32k-cell table is DATA in one broadcast row, not
+    *    plan text — per-row compute is the same numCells dot products,
+    *    evaluated by `transform` over the array column. Both fold c·c
+    *    left-to-right over the same doubles, so distances (and therefore
+    *    probe sets) are bitwise identical across the gate.
     */
   private def probeCellsNarrow(
-      withQv: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
-    val cents = centroids
-      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val probeN = math.min(nprobe, cents.length)
-    val candStructs = cents.map { case (cell, c) =>
-      struct(
-        (VectorExprs.dot(col("qv"), lit(c)) * lit(-2.0) +
-          lit(c.map(x => x * x).sum)).as("dist"),
-        lit(cell).as("cell"))
-    }
+      withQv: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    probeCells(withQv, centroids, nprobe, ProbeLiteralMaxCells)
+
+  private[graft] def probeCells(
+      withQv: DataFrame, centroids: DataFrame, nprobe: Int,
+      maxLiteralCells: Int): DataFrame = {
     val keep = withQv.columns.map(col)
-    withQv
-      .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(keep :+
-        explode(slice(array_sort(array(candStructs.toSeq: _*)), 1, probeN))
-          .as("p")): _*)
-      .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        keep :+ col("p.cell").as("cell")): _*)
+    val centsTyped = centroids
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+    val numCells = centsTyped.count().toInt
+    val probeN = math.min(nprobe, numCells)
+    if (numCells <= maxLiteralCells) {
+      val cents = centsTyped
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val candStructs = cents.map { case (cell, c) =>
+        struct(
+          (VectorExprs.dot(col("qv"), lit(c)) * lit(-2.0) +
+            lit(c.map(x => x * x).sum)).as("dist"),
+          lit(cell).as("cell"))
+      }
+      withQv
+        .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(keep :+
+          explode(slice(array_sort(array(candStructs.toSeq: _*)), 1, probeN))
+            .as("p")): _*)
+        .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          keep :+ col("p.cell").as("cell")): _*)
+    } else {
+      // c·c rides the broadcast row too (same left-to-right double fold
+      // as the literal path's driver-side sum); array_sort on the
+      // (cell, …) struct reproduces the literal path's sortBy(cell)
+      val centsRow = broadcast(centsTyped
+        .select(struct(
+          col("cell"),
+          col("centroid"),
+          aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)
+            .as("cnorm2")).as("c"))
+        .agg(array_sort(collect_list(col("c"))).as("_cents")))
+      withQv
+        .crossJoin(centsRow)
+        .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(keep :+
+          explode(slice(array_sort(transform(col("_cents"), c =>
+              struct(
+                (VectorExprs.dot(col("qv"), c.getField("centroid")) * lit(-2.0) +
+                  c.getField("cnorm2")).as("dist"),
+                c.getField("cell").as("cell")))),
+            1, probeN)).as("p")): _*)
+        .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          keep :+ col("p.cell").as("cell")): _*)
+    }
   }
 
   /** A product-quantization index (FAISS `IndexPQ` shape): per-subspace

@@ -364,8 +364,18 @@ object StreamOps {
     recoverFpIndex(fs, idx)
     if (!fs.exists(idx)) return 0L
     val rows = spark.read.parquet(indexDir)
-    val total = rows.count()
-    val kept = rows.distinct().count()
+    // ONE aggregation pass decides the gate: count + exact distinct over
+    // the whole row ride the same job (a hot maintenance cadence would
+    // otherwise pay three reads of the index — count, distinct().count(),
+    // then the rewrite). Exact, not approx_count_distinct: the return
+    // value is spec-asserted and a 2% sketch error could skip a
+    // one-duplicate index under minBloatRatio = 0.0.
+    val g = rows.agg(
+      count(lit(1)).as("total"),
+      count_distinct(struct(rows.columns.map(col).toIndexedSeq: _*))
+        .as("kept")).head()
+    val total = g.getLong(0)
+    val kept = g.getLong(1)
     if (kept == total || (total - kept) <= kept * minBloatRatio) return 0L
     val staged = fpStagedPath(idx)
     val aside = fpAsidePath(idx)
@@ -461,10 +471,19 @@ object StreamOps {
               // index never pays the rewrite. Runs AFTER the marker, so
               // a crash mid-compact replays as a no-op (marker present)
               // and the swap's own crash-safety (recoverFpIndex) holds.
-              if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-                compactMediaFpIndex(spark, indexDir, compactBloatRatio)
-                ()
-              }
+              // Best-effort: the marker is already written, so dedup
+              // correctness never depends on this succeeding — a
+              // transient FS error here must not fail the batch and put
+              // the query into a retry loop whose replay is a no-op
+              // anyway. The swap itself is crash-safe (recoverFpIndex);
+              // a skipped compaction is retried at the next cadence tick.
+              if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+                try { compactMediaFpIndex(spark, indexDir, compactBloatRatio); () }
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"fp index compaction skipped (batch $batchId): $e")
+                }
             } finally { fps.unpersist(); () }
           } finally { batch.unpersist(); () }
         }

@@ -300,6 +300,61 @@ class ExpressionsSpec extends SparkTestBase {
     assert(recall >= 0.4, s"knnJoin@3 nprobe=2 recall $recall vs brute")
   }
 
+  test("probeCells: literal vs broadcast form identical across the gate, no plan-size blowup") {
+    // a 5000-cell centroid table sits past ProbeLiteralMaxCells (4096):
+    // the auto gate must pick the broadcast array-column form, return the
+    // same probe sets as the forced-literal form, and keep the plan tiny
+    // (the literal form embeds one struct per cell in the expression tree)
+    val nCells = 5000
+    val dim = 8
+    val cents = spark.range(nCells).select(
+      col("id").cast("int").as("cell"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(xxhash64(col("id") * lit(31) + j), lit(1000)) / lit(500.0))
+          - lit(1.0)).as("centroid"))
+    val rows = spark.range(40).select(
+      col("id").as("qid"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(xxhash64(col("id") * lit(37) + j * lit(7)), lit(1000))
+          / lit(500.0)) - lit(1.0)).cast("array<double>").as("qv"))
+      .persist()
+    val lit5k = Similarity.probeCells(rows, cents, nprobe = 3,
+      maxLiteralCells = Int.MaxValue)
+    val bcast = Similarity.probeCells(rows, cents, nprobe = 3,
+      maxLiteralCells = Similarity.ProbeLiteralMaxCells)
+    val a = lit5k.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val b = bcast.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(a == b, "probe sets must be identical across the gate")
+    assert(a.size == 40 * 3)
+    // plan SIZE by expression-node count (toString truncates long trees,
+    // so string length would hide exactly the blowup under test): the
+    // literal form carries one struct(dot(qv, <64 doubles>), cell) per
+    // cell — ~10⁵ nodes at 5000 cells — the broadcast form a constant
+    // handful
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Long = {
+      var n = 0L
+      df.queryExecution.optimizedPlan.foreach { p =>
+        p.expressions.foreach(e => e.foreach(_ => n += 1))
+      }
+      n
+    }
+    val litNodes = exprNodes(lit5k)
+    val bcastNodes = exprNodes(bcast)
+    assert(bcastNodes < litNodes / 100,
+      s"broadcast form must not embed centroids in the plan " +
+        s"(literal $litNodes expr nodes vs broadcast $bcastNodes)")
+    // and well under the gate the literal path still serves (tie-order
+    // parity on a small table both forms can run)
+    val centsSmall = cents.where(col("cell") < 64)
+    val la = Similarity.probeCells(rows, centsSmall, 3, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val lb = Similarity.probeCells(rows, centsSmall, 3, 0)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(la == lb)
+    rows.unpersist()
+    ()
+  }
+
   test("knnJoin: excludeSelf=false keeps the self match at rank 1") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
       .where(col("vec_id") < 50)

@@ -57,6 +57,46 @@ class ZoneMapSpec extends SparkTestBase {
     assert(again.map(_.candidates.toSet) == fused.map(_.candidates.toSet))
   }
 
+  test("pruneAllAlignedDf (distributed decide) is result-identical to the Seq form in every state") {
+    import graft.model.SidecarIndex
+    val out = tmp("graft-zonemap-df")
+    writeClustered(out)
+    ZoneMapIndex.build(spark, out, Seq("x"))
+    val live = spark.read.parquet(out).inputFiles.toSeq
+    val liveDf = live.toDF("file")
+    val ranges = Seq(("x", 2500d, 3500d), ("x", 0d, 999d), ("id", 10d, 20d))
+    val seqForm = ZoneMapIndex.pruneAllAligned(spark, out, ranges, live)
+    val dfForm = ZoneMapIndex.pruneAllAlignedDf(spark, out, ranges, liveDf)
+    assert(dfForm.map(_.isDefined) == seqForm.map(_.isDefined))
+    for ((Some(a), Some(b)) <- seqForm.zip(dfForm)) {
+      assert(a.candidates.map(SidecarIndex.norm).toSet ==
+        b.candidates.map(SidecarIndex.norm).toSet)
+      assert(a.pruned == b.pruned && a.unindexed == b.unindexed)
+    }
+    // staleness contract: a freshly appended (unindexed) file is a
+    // candidate on both paths
+    (8000 until 8010).map(i => (i.toLong, i.toLong, s"r$i")).toDF("id", "x", "s")
+      .coalesce(1).write.mode("append").parquet(out)
+    val live2 = spark.read.parquet(out).inputFiles.toSeq
+    val a2 = ZoneMapIndex.pruneAll(spark, out, Seq(("x", 2500d, 3500d)),
+      live2).head
+    val b2 = ZoneMapIndex.pruneAllAlignedDf(spark, out,
+      Seq(("x", 2500d, 3500d)), live2.toDF("file")).head.get
+    assert(a2.unindexed == 1 && b2.unindexed == 1)
+    assert(a2.candidates.map(SidecarIndex.norm).toSet ==
+      b2.candidates.map(SidecarIndex.norm).toSet)
+    // missing index → None, empty ranges → empty
+    val bare = tmp("graft-zonemap-df-noidx")
+    (1 to 10).toDF("x").write.mode("overwrite").parquet(bare)
+    assert(ZoneMapIndex.pruneAllAlignedDf(spark, bare, Seq(("x", 0d, 1d)),
+      spark.read.parquet(bare).inputFiles.toSeq.toDF("file")) == Seq(None))
+    assert(ZoneMapIndex.pruneAllAlignedDf(spark, out, Nil, liveDf).isEmpty)
+    // the distributed listing helper sees exactly the table's data files
+    val listed = SidecarIndex.listFilesDf(spark, Seq(out))
+      .collect().map(r => SidecarIndex.norm(r.getString(0))).toSet
+    assert(listed == live2.map(SidecarIndex.norm).toSet)
+  }
+
   test("cold probe collects only surviving rows; unindexed columns and missing indexes cost no scan/listing") {
     import graft.model.SidecarIndex
     val out = tmp("graft-zonemap-bounded")
