@@ -2597,10 +2597,11 @@ object Queries {
             ('img_phash','image'), ('img_embed','image'),
             ('wav_meta','audio'), ('wav_segment','audio'),
             ('wav_fp','audio'), ('gif_frames','video'),
-            ('gif_shots','video'),
+            ('gif_shots','video'), ('avi_frames','video'),
             ('img_dims_jpeg','image'), ('img_phash_jpeg','image')) AS t(kind, modality)),
         f AS (SELECT d.doc_id, k.kind, k.modality,
             CASE WHEN k.kind LIKE '%_jpeg' THEN 'jpeg'
+                 WHEN k.kind = 'avi_frames' THEN 'avi'
                  WHEN k.modality = 'image' THEN
                    (CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END)
                  WHEN k.modality = 'audio' THEN 'wave'
@@ -2859,6 +2860,67 @@ object Queries {
           sum(g)::BIGINT AS red_sum
         FROM px GROUP BY doc_id, frame_idx, w, h
         ORDER BY doc_id, frame_idx"""))
+
+  /** [[multimodalVideoFrames]] through a REAL video container: each doc's
+    * `avi_frames` payload is an MJPEG AVI assembled straight from the
+    * RIFF spec ([[graft.operators.Multimodal.AviBytes]] — the container
+    * the animated-GIF stand-in was holding a seat for), the SAME
+    * [[graft.operators.Multimodal.extractFrames]] operator walks the
+    * container (RIFF chunk walk + the existing JPEG decoder per frame)
+    * with the same stride-2 selection and BMP re-encode. What
+    * hash-compares exactly: per-frame geometry, frame selection and the
+    * spec-closed BMP byte length — all container arithmetic. What is
+    * certified instead of hashed: frame CONTENT, which rode the lossy
+    * codec — each source frame is FLAT at a closed-form luminance, which
+    * JPEG reconstructs DC-exact to within the quantization step, so
+    * `level_ok` asserts every decoded pixel sits within ±3 of the planted
+    * level (JpegBytes' exact-geometry / certified-content contract).
+    * Narrow partition-local stage; the only shuffle is the output
+    * ordering.
+    */
+  private val multimodalVideoFramesAvi = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      Multimodal.extractFrames(storedMedia(s, dir, "avi_frames"), stride = 2)
+        .map { fr =>
+          val (w, h, lvOk) = Multimodal.ImageIoDecoder.readImage(fr.payload) match {
+            case Some(img) =>
+              val g = (40 + ((fr.mediaId * 31 + fr.frameIdx * 17) % 20).toInt * 8) & 0xFF
+              var ok = true
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xFF) * 299 +
+                    ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                  if (math.abs(lum - g) > 3) ok = false
+                  x += 1
+                }
+                y += 1
+              }
+              (img.getWidth, img.getHeight, ok)
+            case None => (-1, -1, false)
+          }
+          (fr.mediaId, fr.frameIdx, w, h, fr.payload.length.toLong, lvOk)
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "blob_len", "level_ok")
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH base AS (
+          SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, 8 + (doc_id % 2) * 8 AS h,
+            4 + (doc_id % 5) AS nf
+          FROM documents),
+        sel AS (
+          SELECT doc_id, w, h, f.i AS frame_idx
+          FROM base, range(0, 8) f(i)
+          WHERE f.i < nf AND f.i % 2 = 0)
+        SELECT doc_id, frame_idx::INT AS frame_idx, w::INT AS width,
+          h::INT AS height,
+          (54 + h * (((w * 3 + 3) // 4) * 4))::BIGINT AS blob_len,
+          TRUE AS level_ok
+        FROM sel ORDER BY doc_id, frame_idx"""))
 
   /** Perceptual image dedup over live decodes of the STORED media table:
     * every doc carries one of 7 raster patterns at one of 3 brightness
@@ -4687,6 +4749,7 @@ object Queries {
     "multimodal_image_resize" -> multimodalImageResize,
     "multimodal_audio_segment" -> multimodalAudioSegment,
     "multimodal_video_frames" -> multimodalVideoFrames,
+    "multimodal_video_frames_avi" -> multimodalVideoFramesAvi,
     "multimodal_shot_detect" -> multimodalShotDetect,
     "dedup_image_phash" -> dedupImagePhash,
     "dedup_image_phash_jpeg" -> dedupImagePhashJpeg,

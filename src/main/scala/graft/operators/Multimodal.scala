@@ -445,6 +445,142 @@ object Multimodal {
     }
   }
 
+  /** Minimal MJPEG-in-AVI: assembly AND extraction straight from the
+    * public RIFF/AVI container layout (the same spec-not-library
+    * discipline as [[BmpBytes]]/[[WavBytes]] — AVI is RIFF like WAV, so
+    * the writer is closed-form byte assembly; only the per-frame PAYLOAD
+    * goes through a codec, the existing JPEG path). This is the real
+    * video container slotted where animated GIF stood in for the
+    * multi-frame seam: frame COUNT and header geometry are exact
+    * container arithmetic, frame CONTENT is lossy-codec territory and is
+    * certified, never hash-compared ([[JpegBytes]]' contract).
+    *
+    * The writer emits an index-less AVI (idx1 is optional per the spec
+    * and [[readFrames]] walks `movi` sequentially); the reader walks
+    * RIFF chunks, takes `..dc`/`..db` entries of the `movi` list in
+    * order, and hands each payload to the image decoder.
+    */
+  object AviBytes {
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def fourcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fourcc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    private def list(typ: String, body: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ le32(body.length + 4) ++ fourcc(typ) ++ body
+
+    /** Assemble an MJPEG AVI from pre-encoded JPEG frames (one `00dc`
+      * chunk each; encode frames with [[JpegBytes.encode24]]).
+      */
+    def encodeMjpeg(
+        w: Int, h: Int, fps: Int, jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && fps > 0 && jpegFrames.nonEmpty,
+        s"AVI params must be positive with >=1 frame, got ${w}x$h@$fps" +
+          s"x${jpegFrames.size}")
+      val maxChunk = jpegFrames.map(_.length).max
+      val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(jpegFrames.size) ++ le32(0) ++ le32(1) ++ le32(maxChunk) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++
+        le32(0) ++ le32(jpegFrames.size) ++ le32(maxChunk) ++ le32(-1) ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        fourcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        jpegFrames.iterator.flatMap(f => chunk("00dc", f)).toArray)
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    def isAvi(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 &&
+        fcAt(bytes, 0) == "RIFF" && fcAt(bytes, 8) == "AVI "
+
+    private def fcAt(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    /** Header-only probe from `avih` — (width, height, totalFrames,
+      * microsecondsPerFrame); exact container arithmetic even though the
+      * frame payloads are lossy. None when the bytes are not a parseable
+      * AVI.
+      */
+    def headerMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      try {
+        if (!isAvi(bytes)) None
+        else findList(bytes, 12, bytes.length, "hdrl").flatMap {
+          case (off, end) =>
+            // first chunk of hdrl is avih by spec
+            if (off + 8 <= end && fcAt(bytes, off) == "avih" &&
+                off + 8 + u32(bytes, off + 4) <= end) {
+              val p = off + 8
+              Some((u32(bytes, p + 32).toInt, u32(bytes, p + 36).toInt,
+                u32(bytes, p + 16).toInt, u32(bytes, p).toInt))
+            } else None
+        }
+      } catch { case _: Exception => None }
+
+    /** All frames of the `movi` list, decoded (MJPEG → the image
+      * decoder); Nil when the bytes are not a parseable AVI. Frames are
+      * materialized per payload — the input-split class, same as
+      * [[ImageIoDecoder.readFrames]].
+      */
+    def readFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] =
+      try {
+        if (!isAvi(bytes)) Nil
+        else findList(bytes, 12, bytes.length, "movi") match {
+          case None => Nil
+          case Some((start, end)) =>
+            val out = Seq.newBuilder[java.awt.image.BufferedImage]
+            var p = start
+            while (p + 8 <= end) {
+              val id = fcAt(bytes, p)
+              val len = u32(bytes, p + 4)
+              if (p + 8 + len > end) { p = end } // truncated — stop
+              else {
+                if (id.endsWith("dc") || id.endsWith("db")) {
+                  val payload = java.util.Arrays.copyOfRange(
+                    bytes, p + 8, p + 8 + len.toInt)
+                  ImageIoDecoder.readImage(payload).foreach(out += _)
+                }
+                p += 8 + len.toInt + (len % 2).toInt // word alignment
+              }
+            }
+            out.result()
+        }
+      } catch { case _: Exception => Nil }
+
+    /** Offset range of the first LIST of the given type among the chunks
+      * in [from, to) — (payload start AFTER the type fourcc, payload
+      * end).
+      */
+    private def findList(
+        bytes: Array[Byte], from: Int, to: Int,
+        typ: String): Option[(Int, Int)] = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = fcAt(bytes, p)
+        val len = u32(bytes, p + 4)
+        if (p + 8 + len > to) return None // truncated
+        if (id == "LIST" && len >= 4 && fcAt(bytes, p + 8) == typ)
+          return Some((p + 12, p + 8 + len.toInt))
+        p += 8 + len.toInt + (len % 2).toInt
+      }
+      None
+    }
+  }
+
   /** Deterministic 16-bit PCM WAV assembly straight from the RIFF spec
     * (12-byte RIFF/WAVE header + 24-byte `fmt ` chunk + `data` chunk,
     * little-endian) — the audio sibling of [[BmpBytes]]: a payload whose
@@ -1033,7 +1169,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val frames = ImageIoDecoder.readFrames(r.media)
+        val frames = containerFrames(r.media)
         if (frames.isEmpty) Iterator.empty
         else {
           val hashes = frames.map(dHashRaster)
@@ -1189,7 +1325,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val frames = ImageIoDecoder.readFrames(r.media)
+        val frames = containerFrames(r.media)
         Iterator.range(0, frames.size, stride).map { i =>
           val img = frames(i)
           MediaFrame(r.id, i,
@@ -1199,6 +1335,16 @@ object Multimodal {
       }
     }
   }
+
+  /** Container dispatch for the multi-frame decode: RIFF/AVI payloads go
+    * through the [[AviBytes]] walker (MJPEG frames via the JPEG decoder),
+    * everything else through the JDK multi-image readers (animated GIF).
+    * One seam, so [[extractFrames]] and [[detectShots]] handle both
+    * containers identically.
+    */
+  def containerFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] =
+    if (AviBytes.isAvi(bytes)) AviBytes.readFrames(bytes)
+    else ImageIoDecoder.readFrames(bytes)
 
   /** Container-aware audio segmentation — [[frameSample]] done RIGHT for
     * audio: each recognized payload is decoded to PCM (live JDK providers,

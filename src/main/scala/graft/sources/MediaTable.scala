@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal.{BmpBytes, GifBytes, JpegBytes, PngBytes, WavBytes}
+import graft.operators.Multimodal.{AviBytes, BmpBytes, GifBytes, JpegBytes, PngBytes, WavBytes}
 
 /** The STORED binary-media corpus: a parquet table of image/audio/video
   * payload blobs alongside the log/doc tables — the analogue of the
@@ -52,6 +52,7 @@ object MediaTable {
   val Kinds: Seq[String] = Seq(
     "img_dims", "img_resize", "img_phash", "img_embed",
     "wav_meta", "wav_segment", "wav_fp", "gif_frames", "gif_shots",
+    "avi_frames",
     "img_dims_jpeg", "img_phash_jpeg")
 
   private def imageFmt(id: Long): String = if (id % 2 == 0) "bmp" else "png"
@@ -180,8 +181,25 @@ object MediaTable {
           (40 + (z & 3L).toInt * 50 + g) * 0x010101
         }))
     }
+    val aviFrames = {
+      // a REAL video container (RIFF walk + the existing JPEG decoder):
+      // frame geometry and count are exact container arithmetic; frame
+      // CONTENT rides the lossy codec, so each frame is FLAT — one
+      // luminance level, closed-form in (doc, frame) — which JPEG's DCT
+      // reconstructs DC-exact to within the DC quantization step (±2 at
+      // quality 0.85, probed); the consuming row checks a ±3 band
+      // boolean, never pixel hashes (JpegBytes' contract)
+      val w = 16 + (id % 3).toInt * 8
+      val h = 8 + (id % 2).toInt * 8
+      val nf = 4 + (id % 5).toInt
+      MediaRow(id, "avi_frames", "video", "avi",
+        AviBytes.encodeMjpeg(w, h, 10, (0 until nf).map { f =>
+          val g = (40 + ((id * 31 + f * 17) % 20).toInt * 8) & 0xFF
+          JpegBytes.encode24(w, h, (_, _) => g * 0x010101)
+        }))
+    }
     Seq(dims, resize, phash, embed, wavMeta, wavSegment, wavFp,
-      gifFrames, gifShots, dimsJpeg, phashJpeg)
+      gifFrames, gifShots, aviFrames, dimsJpeg, phashJpeg)
   }
 
   /** Generate the corpus from a `documents` frame — a narrow flatMap, one

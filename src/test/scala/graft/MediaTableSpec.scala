@@ -99,6 +99,41 @@ class MediaTableSpec extends SparkTestBase {
         s"(got ${pairs.size}, want ${expected.size})")
   }
 
+  test("AviBytes: header meta, frame walk and JPEG DC-stability of the stored MJPEG family") {
+    import graft.operators.Multimodal.AviBytes
+    for (id <- 0L to 20L) {
+      val r = MediaTable.rowsFor(id).find(_.kind == "avi_frames").get
+      val w = 16 + (id % 3).toInt * 8
+      val h = 8 + (id % 2).toInt * 8
+      val nf = 4 + (id % 5).toInt
+      assert(AviBytes.isAvi(r.payload))
+      // header geometry and frame count are exact container arithmetic
+      assert(AviBytes.headerMeta(r.payload).contains((w, h, nf, 100000)))
+      val frames = AviBytes.readFrames(r.payload)
+      assert(frames.size == nf, s"doc $id: ${frames.size} frames, want $nf")
+      for ((img, f) <- frames.zipWithIndex) {
+        assert(img.getWidth == w && img.getHeight == h)
+        // flat frames reconstruct DC-exact to within the quantization
+        // step: every pixel within +-3 of the planted level
+        val g = (40 + ((id * 31 + f * 17) % 20).toInt * 8) & 0xFF
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+          assert(math.abs(lum - g) <= 3,
+            s"doc $id frame $f pixel ($x,$y): lum $lum vs planted $g")
+        }
+      }
+    }
+    // the container dispatch: extractFrames walks AVI and GIF through one
+    // seam — and a truncated/garbage payload yields no frames, not a throw
+    assert(AviBytes.readFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AviBytes.readFrames(
+      MediaTable.rowsFor(3L).find(_.kind == "avi_frames").get
+        .payload.take(40)).isEmpty)
+    assert(AviBytes.headerMeta(Array.emptyByteArray).isEmpty)
+  }
+
   test("rowsFor: every family decodes through the live JDK readers with spec'd metadata") {
     for (id <- 0L to 30L) {
       val rows = MediaTable.rowsFor(id)
