@@ -3,7 +3,7 @@ package graft
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.functions.Rounding.r
 import graft.model.{LogSchema, NgramIndex}
-import graft.operators.{Dedup, Ingest, IngestConfig, Similarity}
+import graft.operators.{Dedup, Ingest, IngestConfig, Similarity, Spread}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -38,6 +38,18 @@ object Queries {
     */
   private def logs(s: SparkSession, dir: String): DataFrame =
     LogSchema.logsFromEvents(t(s, dir, "events"))
+
+  /** [[logs]] over a compute-spread events scan — for the builders whose
+    * per-row work (regex template mining, JSON round-trips, map packing)
+    * dominates an under-split single-file scan. [[Spread.maybe]] gates the
+    * exchange: a many-file or already-shuffled source spreads nothing, so
+    * the 100 TB plan shape is unchanged. Spread BEFORE the log-view
+    * projection: the exchange then carries the raw events columns and the
+    * view's map-building runs on every core.
+    */
+  private def logsSpread(s: SparkSession, dir: String): DataFrame =
+    LogSchema.logsFromEvents(
+      Spread.maybe(t(s, dir, "events"), col("event_id")))
 
   /** Per-process fixtures. Query builders must be side-effect free on
     * rebuild: the bench builds every query twice (warmup + measured) and the
@@ -965,6 +977,8 @@ object Queries {
     * oracle states the same predicate in SQL over `events`.
     */
   private val queryLanguage = Q(
+    // NOT spread (measured, r14): Catalyst pushes the parsed filter below
+    // a repartition, so a spread pays its exchange and parallelizes nothing
     (s, dir) => graft.query.LogQuery.filter(logs(s, dir),
         "cluster='c1' _and_ (event.value>=150 _or_ _exists_ flag.err) " +
           "_and_ _not_ namespace=~'%view%' _and_ namespace!='signup' " +
@@ -1203,7 +1217,8 @@ object Queries {
           (col("user_id") % 2 === 0).as("b"),
           lit(null).cast(StringType).as("n")),
         Map("ignoreNullFields" -> "false"))
-      val ev = t(s, dir, "events").withColumn("j", j)
+      val ev = Spread.maybe(t(s, dir, "events"), col("event_id"))
+        .withColumn("j", j)
       Ingest.ingestJson(ev, col("j"), col("ts"))
         .select(
           col("fields_number")("i").cast(LongType).as("id_i"),
@@ -1267,7 +1282,10 @@ object Queries {
             lit("legacy").as("k8s-app")).as("labels")).as("kubernetes"),
         col("props").as("log"),
         col("event_id").as("event_id")))
-      val ev = t(s, dir, "events").withColumn("j", j)
+      // the JSON round-trip below is the cost; spread the under-split scan
+      // so it runs on every core (gated — no-op on a many-file source)
+      val ev = Spread.maybe(t(s, dir, "events"), col("event_id"))
+        .withColumn("j", j)
       Ingest.ingestJson(ev, col("j"), col("ts"))
         .select(
           col("fields_number")("event_id").cast(LongType).as("id"),
@@ -1289,7 +1307,8 @@ object Queries {
         col("event_id").as("event_id"),
         col("value").as("metric.v"),
         col("event_type").as("tag.t")))
-      val ev = t(s, dir, "events").withColumn("j", j)
+      val ev = Spread.maybe(t(s, dir, "events"), col("event_id"))
+        .withColumn("j", j)
       Ingest.ingestJson(ev, col("j"), col("ts"),
           IngestConfig(forceUnderscores = true))
         .select(
@@ -1307,7 +1326,8 @@ object Queries {
         col("event_id").as("event_id"),
         col("value").cast(StringType).as("metric.v"),
         col("event_type").as("note.n")))
-      val ev = t(s, dir, "events").withColumn("j", j)
+      val ev = Spread.maybe(t(s, dir, "events"), col("event_id"))
+        .withColumn("j", j)
       // membership is tested on the ORIGINAL dotted key, storage lands on
       // the underscored key (/root/reference/main.go:337-345)
       Ingest.ingestJson(ev, col("j"), col("ts"),
@@ -1943,15 +1963,23 @@ object Queries {
           shingleN = 2, bands = 8, rowsPerBand = 4, jaccardThreshold = 0.4)
         .select("id_a", "id_b")
       val truth = Fixtures.minhashTruth(s, dir)
-      val nTrue = truth.agg(count(lit(1)).as("n_true"))
-      val nHit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      val nFalse = found.join(truth, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("n_false"))
-      nTrue.crossJoin(nHit).crossJoin(nFalse).select(
-        col("n_true"),
-        (col("n_hit") >= col("n_true") * 0.8).as("recall_ok"),
-        (col("n_false") === 0).as("precision_ok"))
+      // ONE full-outer pass instead of semi + anti: both sides are
+      // distinct pair sets, so n_true / n_hit / n_false are null-pattern
+      // counts of the same join — the live LSH pipeline (the expensive
+      // side) is evaluated once, not twice. Values identical by
+      // construction (set semantics).
+      truth.withColumn("_t", lit(1))
+        .join(found.withColumn("_f", lit(1)), Seq("id_a", "id_b"),
+          "full_outer")
+        .agg(
+          count(col("_t")).as("n_true"),
+          count(when(col("_t").isNotNull && col("_f").isNotNull, 1))
+            .as("n_hit"),
+          count(when(col("_t").isNull, 1)).as("n_false"))
+        .select(
+          col("n_true"),
+          (col("n_hit") >= col("n_true") * 0.8).as("recall_ok"),
+          (col("n_false") === 0).as("precision_ok"))
     },
     Some("""WITH toks AS (
           SELECT doc_id, list_filter(
@@ -1991,13 +2019,20 @@ object Queries {
       val scratch = graft.model.DedupIndex.allPairs(s, fullIdx,
           jaccardThreshold = 0.4)
         .where(col("id_b") >= 400)
+      // ONE full-outer symmetric diff instead of two anti-joins: the old
+      // shape evaluated BOTH pair pipelines twice (once per anti-join —
+      // a 58-Exchange physical plan); both sides are distinct sets keyed
+      // by (id_a, id_b, jaccard) with bit-identical jaccard from the same
+      // sketch rows, so the null-pattern counts are exactly the two anti
+      // counts.
       val keys = Seq("id_a", "id_b", "jaccard")
-      val miss = scratch.join(incr, keys, "left_anti")
-        .agg(count(lit(1)).as("n_miss"))
-      val extra = incr.join(scratch, keys, "left_anti")
-        .agg(count(lit(1)).as("n_extra"))
+      val diff = scratch.withColumn("_s", lit(1))
+        .join(incr.withColumn("_i", lit(1)), keys, "full_outer")
+        .agg(
+          count(when(col("_i").isNull, 1)).as("n_miss"),
+          count(when(col("_s").isNull, 1)).as("n_extra"))
       newDocs.agg(count(lit(1)).as("n_new"))
-        .crossJoin(miss).crossJoin(extra)
+        .crossJoin(diff)
         .select(col("n_new"),
           (col("n_miss") === 0).as("complete_ok"),
           (col("n_extra") === 0).as("sound_ok"))
@@ -2035,12 +2070,16 @@ object Queries {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           ham.as("hamming"))
         .where(col("hamming") <= 12)
-      val missing = brute.join(found, Seq("id_a", "id_b", "hamming"),
-        "left_anti").agg(count(lit(1)).as("n_miss"))
-      val extra = found.join(brute, Seq("id_a", "id_b", "hamming"),
-        "left_anti").agg(count(lit(1)).as("n_extra"))
+      // full-outer symmetric diff (see dedup_incremental): the quadratic
+      // brute side is evaluated once, not once per anti-join
+      val diff = brute.withColumn("_b", lit(1))
+        .join(found.withColumn("_f", lit(1)),
+          Seq("id_a", "id_b", "hamming"), "full_outer")
+        .agg(
+          count(when(col("_f").isNull, 1)).as("n_miss"),
+          count(when(col("_b").isNull, 1)).as("n_extra"))
       docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(missing).crossJoin(extra)
+        .crossJoin(diff)
         .select(col("n_docs"),
           (col("n_miss") === 0).as("complete_ok"),
           (col("n_extra") === 0).as("sound_ok"))
@@ -2120,13 +2159,19 @@ object Queries {
       s: SparkSession, dir: String, minRecall: Double,
       truth: (SparkSession, String) => DataFrame = Fixtures.annBruteTruth)(
       topk: DataFrame): DataFrame = {
+    // one full-outer pass instead of semi + separate count agg +
+    // crossJoin: the truth fixture is read once and the plan loses two
+    // stages; null-pattern counts over distinct (qid, nid) sets equal the
+    // old semi/count values exactly
     val brute = truth(s, dir)
-    val hit = brute.join(topk.select("qid", "nid"), Seq("qid", "nid"),
-        "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    brute.agg(count_distinct(col("qid")).as("n_q"),
-        count(lit(1)).as("n_brute"))
-      .crossJoin(hit)
+    brute.withColumn("_b", lit(1))
+      .join(topk.select("qid", "nid").withColumn("_t", lit(1)),
+        Seq("qid", "nid"), "full_outer")
+      .agg(
+        count_distinct(when(col("_b").isNotNull, col("qid"))).as("n_q"),
+        count(col("_b")).as("n_brute"),
+        count(when(col("_b").isNotNull && col("_t").isNotNull, 1))
+          .as("n_hit"))
       .select(col("n_q"), col("n_brute"),
         (col("n_hit") >= col("n_brute") * minRecall).as("recall_ok"))
   }
@@ -3727,8 +3772,10 @@ object Queries {
     // character-level tokenization on every non-empty doc
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // BPE encode is the heavy per-row step — spread its input (gated)
       val enc = graft.operators.Bpe.encode(
-        docs, "doc_id", "text", Fixtures.bpeMerges(s, dir))
+        Spread.maybe(docs, col("doc_id")), "doc_id", "text",
+        Fixtures.bpeMerges(s, dir))
       val joined = enc.join(docs, enc("doc") === docs("doc_id"))
         .select(
           concat_ws("", col("tokens")).as("rebuilt"),
@@ -3948,8 +3995,9 @@ object Queries {
     */
   private val logTemplatesQ = Q(
     (s, dir) => {
-      // plant hex/ip/uuid-shaped variability the synthetic lines lack
-      val planted = logs(s, dir).withColumn("log",
+      // plant hex/ip/uuid-shaped variability the synthetic lines lack;
+      // template mining is 4 regexes per line — spread the under-split scan
+      val planted = logsSpread(s, dir).withColumn("log",
         concat(col("log"), lit(" pid="), col("id"),
           lit(" ip=10.0."), (col("id") % 8).cast(StringType),
           lit("."), (col("id") % 250).cast(StringType)))
@@ -3990,7 +4038,7 @@ object Queries {
       val cutoff = ev
         .agg(expr("date_trunc('DAY', max(ts)) - INTERVAL 1 DAY"))
         .head().getTimestamp(0)
-      val lg = logs(s, dir).withColumn("log",
+      val lg = logsSpread(s, dir).withColumn("log",
         concat(col("log"),
           when(col("timestamp") >= lit(cutoff) &&
               col("namespace") === "error",

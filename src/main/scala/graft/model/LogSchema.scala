@@ -108,10 +108,20 @@ object LogSchema {
     * groups via parquet min/max stats.
     */
   def writePartitioned(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
-    // Repartition by date PLUS the sort-key prefix: hashing on date alone
-    // would serialize each day into a single task (fatal when one day is
-    // the whole ingest volume); including the metadata prefix spreads a day
-    // across the shuffle while keeping co-located, sortable runs per file.
+    // REBALANCE (AQE) by date so the OUTPUT FILE COUNT tracks data size,
+    // not the shuffle-partition conf: the old repartition(date, cluster,
+    // namespace, app) at shuffle.partitions=32 wrote ~150 ~5 KB files for
+    // a 4 MB table (measured r14 — every later scan of the table paid
+    // ~150 task launches and per-file opens, 0.2-0.3 s/query). REBALANCE
+    // coalesces small write tasks to advisoryPartitionSizeInBytes (~1
+    // file/day at bench scale) AND — via AQE's
+    // optimizeSkewsInRebalancePartitions — SPLITS a day bigger than the
+    // advisory size into many right-sized tasks, which is why date alone
+    // is now a safe key: the single-giant-ingest-day case the old
+    // metadata-suffixed key existed for is handled by the skew split, at
+    // every scale, with no hand-tuned constant. Within-file clustering is
+    // unchanged: each task (whole small days, or a slice of a split day)
+    // still sorts by (date, sortKey) below.
     // The sort LEADS with the partition column: the dynamic-partition
     // writer requires output ordered by its partition columns and would
     // otherwise insert its own sort by `date` alone on top of this one —
@@ -126,7 +136,7 @@ object LogSchema {
     // parquet analogue of a MergeTree bloom_filter skip index. (ndv is a
     // per-ROW-GROUP estimate, not table-wide.)
     val w0 = df.withColumn("date", to_date(col("timestamp")))
-      .repartition(col("date"), col("cluster"), col("namespace"), col("app"))
+      .hint("rebalance", col("date"))
       .sortWithinPartitions(("date" +: sortKey).map(col): _*)
       .write
       .mode(mode)

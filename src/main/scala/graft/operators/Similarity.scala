@@ -3,7 +3,6 @@ package graft.operators
 import graft.expressions.VectorExprs
 import graft.functions.{Rounding, VectorFunctions => VF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,45 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  // LRU cache of spread-gate verdicts, keyed by (session identity,
-  // canonicalized corpus plan). The probe below is driver-side and
-  // constant-cost, but not free — a plan walk, a file listing, possibly an
-  // `.rdd` planning pass — and query registries/benches re-ask it for the
-  // SAME corpus on every invocation. Canonicalized-plan equality is exactly
-  // "same source, same partitioning inputs"; the session is part of the key
-  // because the file-split confs (maxPartitionBytes) that shape the verdict
-  // are per-session. Bounded + access-ordered: an evicted (or, with files
-  // appended to a directory mid-session, stale) entry only re-runs the
-  // probe / costs an unnecessary-but-correct spread.
-  private val spreadVerdicts = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(Int, LogicalPlan), java.lang.Boolean](32, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, LogicalPlan), java.lang.Boolean]): Boolean =
-        size() > 256
-    })
-
   /** Should this corpus projection be hash-spread to the session's
-    * parallelism before scoring? Cached per (session, plan); the decision
-    * logic itself is documented at the call site in [[bruteTopK]].
+    * parallelism before scoring? The tiered gate, its verdict cache, and
+    * the 100 TB exit live in [[Spread.needsSpread]] (shared with the
+    * ingest/text operators); the decision logic is documented at the call
+    * site in [[bruteTopK]].
     */
   private def needsSpread(
-      spark: SparkSession, sel: DataFrame, parallelism: Int): Boolean = {
-    val key = (System.identityHashCode(spark),
-      sel.queryExecution.optimizedPlan.canonicalized)
-    val cached = spreadVerdicts.get(key)
-    if (cached != null) return cached.booleanValue()
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Join, RepartitionOperation, Sort, Window => LWindow}
-    val derived = sel.queryExecution.optimizedPlan.collectFirst {
-      case p @ (_: Join | _: Aggregate | _: Distinct | _: Sort |
-        _: LWindow | _: RepartitionOperation) => p
-    }.isDefined
-    val manyFiles =
-      try sel.inputFiles.length >= parallelism catch { case _: Exception => true }
-    val verdict =
-      !derived && !manyFiles && sel.rdd.getNumPartitions < parallelism
-    spreadVerdicts.put(key, java.lang.Boolean.valueOf(verdict))
-    verdict
-  }
+      spark: SparkSession, sel: DataFrame, parallelism: Int): Boolean =
+    Spread.needsSpread(spark, sel, parallelism)
 
   /** Exact top-k cosine neighbors for each query vector. `queries` is
     * expected to be small (it is broadcast); ties break on neighbor id for

@@ -377,6 +377,10 @@ object TrainPipeline {
     // re-runs the iteration chain. At multi-node scale swap localCheckpoint
     // for checkpoint() on a fault-tolerant dir (executor loss invalidates
     // local checkpoints); the round structure is unchanged.
+    // (Measured, r14: pre-partitioning e by src / labels by node before
+    // the checkpoints does NOT survive the checkpoint boundary under AQE —
+    // the rounds re-exchange regardless — so the two extra setup exchanges
+    // were pure cost and are not done.)
     val e = bidir
       .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -394,19 +398,33 @@ object TrainPipeline {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // LAZY localCheckpoint: the labelSum probe right below is the round's
+      // TWO propagation rounds per materialization + probe (bounded by the
+      // remaining round budget — maxIter still counts ROUNDS, so a
+      // maxIter=1 caller gets exactly one round). Each driver sync
+      // (checkpoint + labelSum action) costs a fixed number of jobs
+      // whatever the data size; fusing rounds halves those syncs while
+      // shuffling the same bytes. Convergence detection stays EXACT:
+      // labels are pointwise non-increasing, so an unchanged sum across a
+      // fused step forces both half-rounds unchanged — the fixpoint test
+      // cannot false-positive, it is at worst confirmed one cheap no-op
+      // round later.
+      val rounds = math.min(2, maxIter - iter)
+      // LAZY localCheckpoint: the labelSum probe right below is the step's
       // one action and materializes the checkpoint as it runs — an eager
-      // checkpoint would execute the round twice (materialize + probe)
-      val prop = labels.join(e, col("node") === col("src"))
-        .select(col("dst").as("node"), col("label"))
-        .union(labels)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(false)
+      // checkpoint would execute the step twice (materialize + probe)
+      var prop = labels
+      (1 to rounds).foreach { _ =>
+        prop = prop.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), col("label"))
+          .union(prop)
+          .groupBy("node").agg(min("label").as("label"))
+      }
+      prop = prop.localCheckpoint(false)
       val s = labelSum(prop)
       labels = prop
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      iter += 1
+      iter += rounds
     }
     if (!converged) {
       val msg = s"connectedComponents exited at maxIter=$maxIter before the " +
