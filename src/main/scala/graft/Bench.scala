@@ -9,6 +9,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The whole-stage-codegen compiled-class cache defaults to 100
+      // entries; this registry generates ~1,400 distinct codegen units, so
+      // at the default every "warm" pass Janino-recompiles ~1,280 of them
+      // (measured r14: 52-62 s/pass thrashing vs 33 s/pass with 0
+      // recompiles once sized to hold the working set). Scale-neutral: the
+      // same per-JVM cache backs every executor, and a workload with this
+      // many distinct operators thrashes it on any cluster. Env-tunable to
+      // keep the knob visible; memory cost is tens of MB of classes.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

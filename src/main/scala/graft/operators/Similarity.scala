@@ -362,7 +362,10 @@ object Similarity {
     // orders of magnitude smaller than the corpus) forms every pair
     // exactly once while saturating the cluster and shrinking each
     // task's sort. No-op when the index already has ≥ 4× cells per core.
-    val numCells = math.max(1, index.centroids.count().toInt)
+    // numCells comes from the index record — both build and load populate
+    // it — so sizing the salt costs no count() job (measured r14: the
+    // recount was one driver-synced job on EVERY knn invocation).
+    val numCells = math.max(1, index.numCells)
     val saltN = math.max(1,
       math.ceil(4.0 * parallelism / numCells.toDouble).toInt)
     val (probeSide, corpusSide) =
@@ -432,11 +435,19 @@ object Similarity {
     val keep = withQv.columns.map(col)
     val centsTyped = centroids
       .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
-    val numCells = centsTyped.count().toInt
-    val probeN = math.min(nprobe, numCells)
-    if (numCells <= maxLiteralCells) {
-      val cents = centsTyped
-        .collect()
+    // ONE driver action sizes AND fetches: limit(gate+1).collect() returns
+    // the complete centroid set whenever it is at or under the gate (limit
+    // only truncates past it), so the literal path needs no separate
+    // count() job — measured r14, the count was a driver-synced job on
+    // every IVF probe. Exactly gate+1 rows back ⇒ over the gate ⇒ the
+    // broadcast-join form (which never needs the exact count).
+    val headRows = centsTyped
+      .limit(math.min(maxLiteralCells.toLong + 1L, Int.MaxValue.toLong).toInt)
+      .collect()
+    if (headRows.length <= maxLiteralCells) {
+      val numCells = headRows.length
+      val probeN = math.min(nprobe, numCells)
+      val cents = headRows
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
       val candStructs = cents.map { case (cell, c) =>
@@ -452,6 +463,9 @@ object Similarity {
         .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(
           keep :+ col("p.cell").as("cell")): _*)
     } else {
+      // numCells > gate ≥ any sane nprobe here; `slice` truncates to the
+      // array length anyway, so min(nprobe, numCells) needs no exact count
+      val probeN = nprobe
       // c·c rides the broadcast row too (same left-to-right double fold
       // as the literal path's driver-side sum); array_sort on the
       // (cell, …) struct reproduces the literal path's sortBy(cell)
