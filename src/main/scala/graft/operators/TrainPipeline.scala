@@ -381,9 +381,17 @@ object TrainPipeline {
     // the checkpoints does NOT survive the checkpoint boundary under AQE —
     // the rounds re-exchange regardless — so the two extra setup exchanges
     // were pure cost and are not done.)
+    // SELF-LOOPS ride the edge table: with (v, v) present for every node,
+    // a propagation round is join + min-aggregate ONLY — the old
+    // `union(labels)` branch (which existed to keep each node's own label
+    // in play) is exactly what the self-loop join rows reproduce, so each
+    // round's plan drops an operator and scans `labels` once instead of
+    // twice. Labels per round are identical either way (min over the same
+    // multiset).
     val e = bidir
       .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .union(nodeSet.select(col("node").as("src"), col("node").as("dst")))
       .localCheckpoint()
     var labels = nodes.select(col(nodeCol).as("node"), col(nodeCol).as("label"))
       .localCheckpoint()
@@ -416,7 +424,6 @@ object TrainPipeline {
       (1 to rounds).foreach { _ =>
         prop = prop.join(e, col("node") === col("src"))
           .select(col("dst").as("node"), col("label"))
-          .union(prop)
           .groupBy("node").agg(min("label").as("label"))
       }
       prop = prop.localCheckpoint(false)
