@@ -525,8 +525,10 @@ object TrainPipeline {
     * Sizing + build cost at most two bench-side passes (one with an
     * `expectedShingles` hint) — the side that is small relative to the
     * corpus by construction; at 100 TB the corpus-side shuffle they avoid
-    * dominates both. Neither pass shuffles: sizing is a
-    * map-side-combined approx_count_distinct, the build a treeAggregate.
+    * dominates both. Neither pass shuffles: sizing is a tokenize-only
+    * instance-count upper bound (no shingle strings, no distinct
+    * sketch — oversizing only lowers the realized fpp), the build a
+    * treeAggregate.
     */
   def decontaminateBloom(
       corpus: DataFrame, bench: DataFrame,
@@ -543,13 +545,22 @@ object TrainPipeline {
     val benchSh = benchShingles(bench, idCol, textCol, n, maxBenchDf)
     // Bloom insertion is idempotent, so the build runs over the RAW
     // (id, shingle) stream — no distinct shuffle. Sizing: a caller hint
-    // (a benchmark suite's shingle count is typically known), else one
-    // map-side-combined approx_count_distinct pass; the +10% headroom
-    // covers the sketch's error band — an overestimate only wastes bloom
-    // bits, an underestimate would inflate the real fpp.
+    // (a benchmark suite's shingle count is typically known), else ONE
+    // tokenize-only pass summing per-doc shingle INSTANCES (|tokens|−n+1)
+    // — an upper bound on the distinct count that needs no shingle
+    // strings, no explode, no distinct sketch (measured r14: the old
+    // approx_count_distinct sizing pass rebuilt and deduplicated every
+    // bench shingle just to pick a size). Overestimating only wastes
+    // bloom bits — fpp can only come out LOWER — and the exact verify
+    // join makes the result row set independent of the size either way.
+    import graft.functions.{TextFunctions => STF}
     val expected = math.max(64L,
       if (expectedShingles > 0) expectedShingles
-      else (benchSh.agg(approx_count_distinct(col("sh"))).head().getLong(0) * 11L) / 10L)
+      else bench
+        .select(greatest(lit(0),
+          size(STF.tokens(col(textCol))) - (n - 1)).cast("long").as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)))
+        .head().getLong(0))
     val bloom = benchSh.select(xxhash64(col("sh")).as("h"))
       .stat.bloomFilter("h", expected, fpp)
     val bloomBytes = SketchExprs.serialize(bloom)
