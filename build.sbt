@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: `sbt "runMain graft.Bench"` must end its stdout with the
+// bench's single JSON line. Two sbt behaviours break that: (a) forked-run
+// output is routed through the logger and prefixed `[info]`, (b) sbt appends
+// a `[success] Total time: ...` trailer AFTER the program's output — the
+// driver's last-line parse has received that trailer instead of the JSON
+// since r10 (BENCH_r10–r14 all have parsed:null). StdoutOutput passes the
+// forked JVM's stdout through verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — the unused-key
+// lint can't see that; exclude it so the warning doesn't pollute stdout.
+Global / excludeLintKeys += showSuccess
 // Build-metadata injection — the sbt analogue of the reference's
 // `-ldflags -X github.com/kobsio/klogs/pkg/version.Version=...` population
 // of pkg/version/version.go:11-18. The build date is the HEAD commit date
