@@ -1025,22 +1025,27 @@ object Queries {
   private val queryLanguageAggPercentile = Q(
     (s, dir) => {
       val (src, roll) = Fixtures.rollupDirs(s, dir)
-      val raw = graft.query.LogQuery.aggregate(
-          LogSchema.readLogs(s, src), "", "namespace", "p90",
-          Some("event.value"))
-        .select(col("group"), r(col("value"), 2).as("p90"))
+      // ONE raw-table pass computes the exact p90 AND the p85/p95 band
+      // (was: LogQuery.aggregate + a separate band aggregate — two scans,
+      // two exchanges over the same rows; r15, guide §2.4). percentile
+      // over an array of fractions evaluates every fraction against the
+      // same accumulated buffer with the same interpolation, so element 2
+      // is bit-identical to the scalar percentile(v, 0.9) the aggregate
+      // path computed — the expression below is exactly LogQuery's
+      // metricFor("p90") / numField("event.value") resolution, widened to
+      // the three fractions.
+      val stats = LogSchema.readLogs(s, src)
+        .groupBy(col("namespace").as("group"))
+        .agg(expr("percentile(try_element_at(fields_number, 'event.value'), " +
+          "array(0.85, 0.9, 0.95))").as("b"))
       val routed = graft.query.LogQuery.aggregateFromRollup(
           graft.model.Rollup.readRollup(s, roll), "", "namespace", "p90",
           Some("event.value")).get
         .select(col("group"), col("value").as("est"))
-      val bands = LogSchema.readLogs(s, src)
-        .groupBy(col("namespace").as("group"))
-        .agg(expr("percentile(try_element_at(fields_number, 'event.value'), " +
-          "array(0.85, 0.95))").as("b"))
-      raw.join(routed, "group").join(bands, "group")
-        .select(col("group"), col("p90"),
+      stats.join(routed, "group")
+        .select(col("group"), r(element_at(col("b"), 2), 2).as("p90"),
           (col("est") >= element_at(col("b"), 1) &&
-            col("est") <= element_at(col("b"), 2)).as("p90_routed_ok"))
+            col("est") <= element_at(col("b"), 3)).as("p90_routed_ok"))
         .orderBy("group")
     },
     Some("""SELECT event_type AS "group",
@@ -1696,12 +1701,20 @@ object Queries {
   private val setIntersectExcept = Q(
     (s, dir) => {
       val ev = t(s, dir, "events")
-      val purchase = ev.where(col("event_type") === "purchase")
-        .select("user_id").distinct()
-      val error = ev.where(col("event_type") === "error")
-        .select("user_id").distinct()
-      purchase.intersect(error).withColumn("op", lit("i"))
-        .unionByName(purchase.except(error).withColumn("op", lit("e")))
+      // ONE scan + ONE exchange: per-user presence flags are exactly
+      // INTERSECT / EXCEPT over the two distinct user sets — a user with
+      // both types is the intersection, purchase-without-error the
+      // difference. The set-operator form evaluated each distinct subtree
+      // twice (once per set op): 4 scans of events, 4+ exchanges (r15,
+      // guide §2.4). groupBy groups NULL user_ids like the set ops'
+      // null-safe equality does.
+      ev.where(col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(max(col("event_type") === "purchase").as("_p"),
+          max(col("event_type") === "error").as("_e"))
+        .where(col("_p"))
+        .select(col("user_id"),
+          when(col("_e"), lit("i")).otherwise(lit("e")).as("op"))
         .orderBy("op", "user_id")
     },
     Some("""SELECT user_id, op FROM (

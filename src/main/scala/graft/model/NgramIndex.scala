@@ -220,12 +220,16 @@ object NgramIndex {
       tablePath: String,
       needle: String,
       n: Int = 4): DataFrame = {
-    val full = LogSchema.readLogs(spark, tablePath)
-      .where(col("log").contains(needle))
+    val logs = LogSchema.readLogs(spark, tablePath)
+    val full = logs.where(col("log").contains(needle))
     prune(spark, tablePath, needle, n) match {
       case Some(p) if p.pruned > 0 =>
         if (p.candidates.isEmpty) full.limit(0)
         else spark.read
+          // reuse the already-resolved table schema: skips one
+          // schema-inference job per candidate relation (r15, guide §5 —
+          // readLogs is a bare parquet read, so the schemas coincide)
+          .schema(logs.schema)
           .option("basePath", tablePath) // keep the `date` partition column
           .parquet(p.candidates: _*)
           .where(col("log").contains(needle))
@@ -271,7 +275,10 @@ object NgramIndex {
     if (prunings.forall(_.pruned == 0) && cand.nonEmpty) full
     else if (cand.isEmpty) full.limit(0)
     else LogQuery.filter(
-      spark.read.option("basePath", tablePath).parquet(cand.toSeq: _*),
+      // schema reuse: same rationale as [[searchLogs]] — one fewer
+      // schema-inference job on the candidate relation
+      spark.read.schema(logs.schema).option("basePath", tablePath)
+        .parquet(cand.toSeq: _*),
       query)
   }
 }

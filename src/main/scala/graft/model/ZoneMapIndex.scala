@@ -383,12 +383,24 @@ object ZoneMapIndex {
     val fullTable = spark.read.parquet(tablePath)
     val aligned = pruneAllAligned(spark, tablePath, ranges,
       fullTable.inputFiles.toSeq)
+    // Candidate relations reuse the already-resolved table schema (skips
+    // one schema-inference job per relation) and are BUILT ONCE PER
+    // DISTINCT candidate SET — correlated ranges (e.g. two columns that
+    // cluster together) frequently survive to the same files, and relation
+    // resolution (listing + partition discovery) was the dominant warm
+    // cost of the probe path (r15; measured 0.45 s build vs 0.21 s exec
+    // for the two-range zonemap query).
+    val relCache = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    def candidateRel(files: Seq[String]): DataFrame =
+      relCache.getOrElseUpdate(files.sorted,
+        spark.read
+          .schema(fullTable.schema)
+          .option("basePath", tablePath) // keep partition columns
+          .parquet(files: _*))
     ranges.zip(aligned).map {
       case (r, Some(p)) if p.pruned > 0 =>
         if (p.candidates.isEmpty) exact(fullTable, r).limit(0)
-        else exact(spark.read
-          .option("basePath", tablePath) // keep partition columns
-          .parquet(p.candidates: _*), r)
+        else exact(candidateRel(p.candidates), r)
       case (r, _) => exact(fullTable, r)
     }
   }

@@ -19,9 +19,17 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc"),
       explode(TF.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(countDistinct(col("doc")).as("df"))
+    // df as a WINDOW over tf — tf has one row per (doc, term), so
+    // count(*) over (partition by term) == countDistinct(doc) over toks.
+    // The old join-with-a-second-aggregation evaluated the tokenize+explode
+    // subtree twice (Catalyst prunes the count from the df branch, so the
+    // two exchanges never canonicalize equal and nothing is reused): one
+    // scan + 3 exchanges + a broadcast → one scan + 2 exchanges (r15,
+    // guide §2.4).
+    val df = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("term"))
     val n = docs.agg(count(lit(1)).as("n"))
-    tf.join(df, "term")
+    tf.withColumn("df", df)
       .crossJoin(broadcast(n))
       .select(col("doc"), col("term"), col("tf"),
         Rounding.r4(col("tf") * log(col("n").cast("double") / col("df")))

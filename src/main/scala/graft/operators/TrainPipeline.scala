@@ -388,13 +388,16 @@ object TrainPipeline {
     // round's plan drops an operator and scans `labels` once instead of
     // twice. Labels per round are identical either way (min over the same
     // multiset).
+    // LAZY setup checkpoints: e materializes inside the first sync's own
+    // action and labels inside the initial labelSum below — the eager form
+    // paid one extra driver-synced job per frame for nothing (r15, §5).
     val e = bidir
       .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .union(nodeSet.select(col("node").as("src"), col("node").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = nodes.select(col(nodeCol).as("node"), col(nodeCol).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // convergence probe: per-node labels only ever decrease, so the label
     // sum is strictly monotone until the fixpoint — one map-side-combined
     // aggregate per round instead of a join-diff. Decimal dodges overflow
@@ -406,17 +409,21 @@ object TrainPipeline {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // TWO propagation rounds per materialization + probe (bounded by the
+      // FOUR propagation rounds per materialization + probe (bounded by the
       // remaining round budget — maxIter still counts ROUNDS, so a
       // maxIter=1 caller gets exactly one round). Each driver sync
       // (checkpoint + labelSum action) costs a fixed number of jobs
-      // whatever the data size; fusing rounds halves those syncs while
-      // shuffling the same bytes. Convergence detection stays EXACT:
-      // labels are pointwise non-increasing, so an unchanged sum across a
-      // fused step forces both half-rounds unchanged — the fixpoint test
-      // cannot false-positive, it is at worst confirmed one cheap no-op
-      // round later.
-      val rounds = math.min(2, maxIter - iter)
+      // whatever the data size; fusing rounds divides those syncs while
+      // shuffling the same bytes. Convergence detection stays EXACT for
+      // any fusion width: labels are pointwise non-increasing, so an
+      // unchanged sum across a fused step forces every half-round in it
+      // unchanged — the fixpoint test cannot false-positive, it is at
+      // worst confirmed k−1 cheap no-op rounds later. Width 4 measured
+      // best on the bench's shallow dedup graphs (r15: 2 syncs instead of
+      // 3 for a diameter-≤3 component; jobs/query −30%); deeper fusion
+      // pays more wasted no-op rounds past the fixpoint than it saves in
+      // syncs once the diameter is below the width.
+      val rounds = math.min(4, maxIter - iter)
       // LAZY localCheckpoint: the labelSum probe right below is the step's
       // one action and materializes the checkpoint as it runs — an eager
       // checkpoint would execute the step twice (materialize + probe)
@@ -592,7 +599,11 @@ object TrainPipeline {
   def connectedComponentsAlternating(nodes: DataFrame, nodeCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30, requireConvergence: Boolean = false): DataFrame = {
-    val nodeSet = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    // LAZY setup checkpoints (see the simple variant): nodeSet and e
+    // materialize inside eCount's job below instead of paying two extra
+    // driver-synced setup jobs (r15, §5).
+    val nodeSet = nodes.select(col(nodeCol).as("node")).distinct()
+      .localCheckpoint(false)
     // same universe rule as the simple variant: foreign endpoints dropped;
     // canonical big→small orientation, self-loops removed
     var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -600,7 +611,7 @@ object TrainPipeline {
       .join(nodeSet.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     def largeStar(cur: DataFrame): DataFrame = {
       val nbrs = cur.select(col("u").as("x"), col("v").as("y"))
@@ -608,10 +619,14 @@ object TrainPipeline {
       val mins = nbrs.groupBy("x")
         .agg(min("y").as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("m"))
-      // emit (y, m) for y > x: y > x >= m, so the pair is already canonical
+      // emit (y, m) for y > x: y > x >= m, so the pair is already canonical.
+      // NO trailing distinct: the only consumer is smallStar, whose own
+      // trailing distinct restores set semantics (its groupBy-min and join
+      // are duplicate-insensitive), so the exchange a distinct would cost
+      // here is pure overhead — one fewer shuffle per round (r15, §2.4).
       nbrs.join(mins, "x").where(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
     }
 
     def smallStar(cur: DataFrame): DataFrame = {
